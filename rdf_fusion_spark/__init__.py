@@ -1,0 +1,20 @@
+"""rdf_fusion_spark — a PySpark-native SPARQL 1.1 analytics engine.
+
+Brand-new implementation with the query and data-processing capabilities of
+tobixdev/rdf-fusion (reference studied read-only at /root/reference),
+re-expressed Spark-first: DataFrame/SQL logical plans, Catalyst
+optimization, Tungsten execution. Plus large-scale training-data pipeline
+operators (dedup, similarity search, text analysis, multimodal plumbing).
+"""
+
+from .store import GraphStore, ActiveGraph
+from .terms import (
+    NamedNode, BlankNode, Literal, Variable,
+    TERM_TYPE, QUADS_SCHEMA,
+)
+
+__all__ = [
+    "GraphStore", "ActiveGraph",
+    "NamedNode", "BlankNode", "Literal", "Variable",
+    "TERM_TYPE", "QUADS_SCHEMA",
+]

@@ -1,0 +1,595 @@
+"""SPARQL expression → Spark Column compiler (the §2.8 function surface).
+
+Every function is a pure Column expression over the plain-term struct —
+JVM-side, whole-stage-codegen'd, no Python UDFs in the hot path.
+(reference: lib/functions/src/scalar/** one Rust file per function,
+dispatched from lib/execution/src/sparql/rewriting/expression_rewriter.rs:44-250;
+here one builder per function, dispatched from a dict.)
+
+`compile_expr` returns a term-struct Column (errors = NULL);
+`compile_bool` returns a native boolean Column (the EBV), skipping the
+term round-trip for comparisons/logicals — the same strength reduction the
+reference implements as SimplifySparqlExpressionsRule
+(lib/logical/src/expr/expression_simplifier.rs:21-300), done by construction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from ..terms import (
+    RDF_LANG_STRING,
+    TT_BNODE,
+    TT_IRI,
+    TT_LITERAL,
+    XSD,
+    XSD_BOOLEAN,
+    XSD_DATE,
+    XSD_DATETIME,
+    XSD_DAY_TIME_DURATION,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_FLOAT,
+    XSD_INTEGER,
+    XSD_STRING,
+    Literal,
+    NamedNode,
+    term_lit,
+    term_struct,
+)
+from . import typed_ops as tv
+from .typed_ops import (
+    DECIMAL_T,
+    RANK_DECIMAL,
+    RANK_FLOAT,
+    as_boolean,
+    as_decimal,
+    as_double,
+    as_long,
+    as_string,
+    as_timestamp,
+    bool_term,
+    decimal_term,
+    double_term,
+    ebv,
+    int_term,
+    is_numeric,
+    is_plain_string,
+    is_string_like,
+    numeric_rank,
+    string_term,
+)
+
+TERM_DDL = "struct<t:tinyint,v:string,dt:string,lang:string>"
+
+
+def NULL_TERM() -> Column:
+    return F.lit(None).cast(TERM_DDL)
+
+
+def NULL_BOOL() -> Column:
+    return F.lit(None).cast("boolean")
+
+Resolver = Callable[[str], Column]
+
+
+class SparqlCompileError(Exception):
+    pass
+
+
+def _err_if(cond: Column, val: Column) -> Column:
+    return F.when(~cond, val)  # cond true (or NULL) → NULL (error)
+
+
+# ---------------------------------------------------------------------------
+# public entry points
+# ---------------------------------------------------------------------------
+
+def compile_expr(expr, resolve: Resolver) -> Column:
+    """Expression → term-struct Column."""
+    from ..sparql.algebra import ECall, ETerm, EVar, EExists
+
+    if isinstance(expr, EVar):
+        return resolve(expr.name)
+    if isinstance(expr, ETerm):
+        return term_lit(expr.term)
+    if isinstance(expr, EExists):
+        raise SparqlCompileError(
+            "EXISTS outside FILTER conjunction is not supported yet")
+    if isinstance(expr, ECall):
+        name = expr.name
+        if name in _BOOL_OPS:
+            return bool_term(compile_bool(expr, resolve))
+        fn = _TERM_FNS.get(name)
+        if fn is None:
+            fn = _cast_fn(name)
+        if fn is None:
+            raise SparqlCompileError(f"unsupported function: {name}")
+        return fn([a for a in expr.args], resolve)
+    raise SparqlCompileError(f"unknown expression node: {expr!r}")
+
+
+def compile_bool(expr, resolve: Resolver) -> Column:
+    """Expression → native boolean Column (EBV semantics, 3-valued)."""
+    from ..sparql.algebra import ECall, EExists
+
+    if isinstance(expr, ECall):
+        name = expr.name
+        a = expr.args
+        if name == "&&":
+            return compile_bool(a[0], resolve) & compile_bool(a[1], resolve)
+        if name == "||":
+            return compile_bool(a[0], resolve) | compile_bool(a[1], resolve)
+        if name == "!":
+            return ~compile_bool(a[0], resolve)
+        if name in ("=", "!=", "<", "<=", ">", ">="):
+            l = compile_expr(a[0], resolve)
+            r = compile_expr(a[1], resolve)
+            return {
+                "=": tv.rdf_equal, "!=": tv.rdf_not_equal,
+                "<": tv.rdf_less, "<=": tv.rdf_less_eq,
+                ">": tv.rdf_greater, ">=": tv.rdf_greater_eq,
+            }[name](l, r)
+        if name in ("IN", "NOT IN"):
+            l = compile_expr(a[0], resolve)
+            conds = [tv.rdf_equal(l, compile_expr(x, resolve)) for x in a[1:]]
+            if not conds:
+                res = F.lit(False)
+            else:
+                res = conds[0]
+                for c in conds[1:]:
+                    res = res | c
+            return ~res if name == "NOT IN" else res
+        if name == "BOUND":
+            from ..sparql.algebra import EVar
+            if not isinstance(a[0], EVar):
+                raise SparqlCompileError("BOUND requires a variable")
+            return resolve(a[0].name).isNotNull()
+        if name == "SAMETERM":
+            l, r = compile_expr(a[0], resolve), compile_expr(a[1], resolve)
+            return F.when(l.isNull() | r.isNull(), NULL_BOOL()).otherwise(l == r)
+        if name == "ISIRI" or name == "ISURI":
+            c = compile_expr(a[0], resolve)
+            return F.when(c.isNotNull(), c["t"] == TT_IRI)
+        if name == "ISBLANK":
+            c = compile_expr(a[0], resolve)
+            return F.when(c.isNotNull(), c["t"] == TT_BNODE)
+        if name == "ISLITERAL":
+            c = compile_expr(a[0], resolve)
+            return F.when(c.isNotNull(), c["t"] == TT_LITERAL)
+        if name == "ISNUMERIC":
+            c = compile_expr(a[0], resolve)
+            return F.when(c.isNotNull(), is_numeric(c))
+        if name in ("STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES", "REGEX"):
+            return _string_predicate(name, a, resolve)
+    if isinstance(expr, EExists):
+        raise SparqlCompileError(
+            "EXISTS outside FILTER conjunction is not supported yet")
+    return ebv(compile_expr(expr, resolve))
+
+
+_BOOL_OPS = {
+    "&&", "||", "!", "=", "!=", "<", "<=", ">", ">=", "IN", "NOT IN",
+    "BOUND", "SAMETERM", "ISIRI", "ISURI", "ISBLANK", "ISLITERAL",
+    "ISNUMERIC", "STRSTARTS", "STRENDS", "CONTAINS", "LANGMATCHES", "REGEX",
+}
+
+
+# ---------------------------------------------------------------------------
+# string helpers
+# ---------------------------------------------------------------------------
+
+def _args_compatible(a: Column, b: Column) -> Column:
+    """SPARQL 17.4.3.1.2 argument compatibility for binary string functions."""
+    return is_string_like(a) & is_string_like(b) & (
+        b["lang"].isNull() | (a["lang"] == b["lang"])
+    )
+
+
+def _string_predicate(name: str, args: list, resolve: Resolver) -> Column:
+    a = compile_expr(args[0], resolve)
+    b = compile_expr(args[1], resolve)
+    if name == "LANGMATCHES":
+        tag, rng = as_string(a), as_string(b)
+        res = F.when(rng == "*", tag != "").otherwise(
+            (F.lower(tag) == F.lower(rng))
+            | F.lower(tag).startswith(F.concat(F.lower(rng), F.lit("-"))))
+        return F.when(tag.isNotNull() & rng.isNotNull(), res)
+    if name == "REGEX":
+        s = as_string(a)
+        pat = as_string(b)
+        if len(args) >= 3:
+            flags = as_string(compile_expr(args[2], resolve))
+            pat = F.concat(F.lit("(?"), flags, F.lit(")"), pat)
+        return F.when(s.isNotNull() & pat.isNotNull(), F.regexp_like(s, pat))
+    ok = _args_compatible(a, b)
+    fn = {"STRSTARTS": lambda x, y: x.startswith(y),
+          "STRENDS": lambda x, y: x.endswith(y),
+          "CONTAINS": lambda x, y: x.contains(y)}[name]
+    return F.when(ok, fn(a["v"], b["v"]))
+
+
+def _preserve_lang(src: Column, new_value: Column) -> Column:
+    """Result literal carries src's lang/dt (for SUBSTR/UCASE/REPLACE...)."""
+    return F.when(
+        src.isNotNull() & is_string_like(src) & new_value.isNotNull(),
+        term_struct(F.lit(TT_LITERAL), new_value, src["dt"], src["lang"]),
+    )
+
+
+# ---------------------------------------------------------------------------
+# term-valued builtins
+# ---------------------------------------------------------------------------
+
+def _fn_str(args, resolve):
+    c = compile_expr(args[0], resolve)
+    return F.when(c["t"] != TT_BNODE, string_term(c["v"]))
+
+
+def _fn_lang(args, resolve):
+    c = compile_expr(args[0], resolve)
+    return F.when(c["t"] == TT_LITERAL, string_term(F.coalesce(c["lang"], F.lit(""))))
+
+
+def _fn_datatype(args, resolve):
+    c = compile_expr(args[0], resolve)
+    return F.when(c["t"] == TT_LITERAL,
+                  term_struct(F.lit(TT_IRI), F.coalesce(c["dt"], F.lit(XSD_STRING))))
+
+
+def _fn_iri(args, resolve):
+    c = compile_expr(args[0], resolve)
+    return (
+        F.when(c["t"] == TT_IRI, c)
+        .when(is_plain_string(c), term_struct(F.lit(TT_IRI), c["v"]))
+    )
+
+
+def _fn_bnode(args, resolve):
+    if not args:
+        return term_struct(F.lit(TT_BNODE), F.expr("uuid()"))
+    c = compile_expr(args[0], resolve)
+    return F.when(is_plain_string(c), term_struct(F.lit(TT_BNODE), c["v"]))
+
+
+def _fn_strdt(args, resolve):
+    lex = compile_expr(args[0], resolve)
+    dt = compile_expr(args[1], resolve)
+    return F.when(
+        is_plain_string(lex) & (dt["t"] == TT_IRI),
+        term_struct(F.lit(TT_LITERAL), lex["v"], dt["v"]),
+    )
+
+
+def _fn_strlang(args, resolve):
+    lex = compile_expr(args[0], resolve)
+    lang = compile_expr(args[1], resolve)
+    return F.when(
+        is_plain_string(lex) & is_plain_string(lang) & (F.length(lang["v"]) > 0),
+        term_struct(F.lit(TT_LITERAL), lex["v"], F.lit(RDF_LANG_STRING),
+                    F.lower(lang["v"])),
+    )
+
+
+def _fn_uuid(args, resolve):
+    return term_struct(F.lit(TT_IRI), F.concat(F.lit("urn:uuid:"), F.expr("uuid()")))
+
+
+def _fn_struuid(args, resolve):
+    return string_term(F.expr("uuid()"))
+
+
+def _fn_strlen(args, resolve):
+    c = compile_expr(args[0], resolve)
+    return int_term(F.length(as_string(c)))
+
+
+def _fn_substr(args, resolve):
+    c = compile_expr(args[0], resolve)
+    start = as_long(compile_expr(args[1], resolve)).cast("int")
+    if len(args) >= 3:
+        length = as_long(compile_expr(args[2], resolve)).cast("int")
+        new = c["v"].substr(start, length)
+    else:
+        new = c["v"].substr(start, F.lit(2147483647))
+    return _preserve_lang(c, new)
+
+
+def _fn_ucase(args, resolve):
+    c = compile_expr(args[0], resolve)
+    return _preserve_lang(c, F.upper(as_string(c)))
+
+
+def _fn_lcase(args, resolve):
+    c = compile_expr(args[0], resolve)
+    return _preserve_lang(c, F.lower(as_string(c)))
+
+
+def _fn_strbefore(args, resolve):
+    a = compile_expr(args[0], resolve)
+    b = compile_expr(args[1], resolve)
+    pos = F.instr(a["v"], b["v"])
+    found = _preserve_lang(a, a["v"].substr(F.lit(1), pos - 1))
+    return F.when(_args_compatible(a, b),
+                  F.when(pos > 0, found).otherwise(string_term(F.lit(""))))
+
+
+def _fn_strafter(args, resolve):
+    a = compile_expr(args[0], resolve)
+    b = compile_expr(args[1], resolve)
+    pos = F.instr(a["v"], b["v"])
+    tail = _preserve_lang(
+        a, a["v"].substr(pos + F.length(b["v"]), F.lit(2147483647)))
+    return F.when(_args_compatible(a, b),
+                  F.when(pos > 0, tail).otherwise(string_term(F.lit(""))))
+
+
+def _fn_concat(args, resolve):
+    terms = [compile_expr(a, resolve) for a in args]
+    if not terms:
+        return string_term(F.lit(""))
+    all_str = terms[0].isNotNull() & is_string_like(terms[0])
+    for t in terms[1:]:
+        all_str = all_str & t.isNotNull() & is_string_like(t)
+    value = F.concat(*[t["v"] for t in terms])
+    lang0 = terms[0]["lang"]
+    same_lang = F.lit(True)
+    for t in terms[1:]:
+        same_lang = same_lang & (t["lang"].eqNullSafe(lang0))
+    out_lang = F.when(same_lang, lang0)
+    out_dt = F.when(same_lang & lang0.isNotNull(), F.lit(RDF_LANG_STRING)) \
+        .otherwise(F.lit(XSD_STRING))
+    return F.when(all_str, term_struct(F.lit(TT_LITERAL), value, out_dt, out_lang))
+
+
+def _fn_replace(args, resolve):
+    c = compile_expr(args[0], resolve)
+    pat = as_string(compile_expr(args[1], resolve))
+    rep = as_string(compile_expr(args[2], resolve))
+    if len(args) >= 4:
+        flags = as_string(compile_expr(args[3], resolve))
+        pat = F.concat(F.lit("(?"), flags, F.lit(")"), pat)
+    return _preserve_lang(c, F.regexp_replace(as_string(c), pat, rep))
+
+
+def _fn_encode_for_uri(args, resolve):
+    c = as_string(compile_expr(args[0], resolve))
+    enc = F.url_encode(c)
+    # align Java URLEncoder with RFC 3986 / XPath fn:encode-for-uri
+    enc = F.replace(enc, F.lit("+"), F.lit("%20"))
+    enc = F.replace(enc, F.lit("*"), F.lit("%2A"))
+    enc = F.replace(enc, F.lit("%7E"), F.lit("~"))
+    return string_term(enc)
+
+
+def _hash_fn(h):
+    def fn(args, resolve):
+        c = compile_expr(args[0], resolve)
+        return string_term(h(as_string(c)))
+    return fn
+
+
+def _fn_abs(args, resolve):
+    c = compile_expr(args[0], resolve)
+    rank = numeric_rank(c)
+    return (
+        F.when(rank.isNull(), NULL_TERM())
+        .when(rank >= RANK_FLOAT, double_term(F.abs(as_double(c))))
+        .when(rank == RANK_DECIMAL, decimal_term(F.abs(as_decimal(c))))
+        .otherwise(int_term(F.abs(as_long(c))))
+    )
+
+
+def _fn_round(args, resolve):
+    # SPARQL ROUND = round half toward +inf == floor(x + 0.5)
+    c = compile_expr(args[0], resolve)
+    rank = numeric_rank(c)
+    return (
+        F.when(rank.isNull(), NULL_TERM())
+        .when(rank >= RANK_FLOAT, double_term(F.floor(as_double(c) + 0.5).cast("double")))
+        .when(rank == RANK_DECIMAL,
+              decimal_term(F.floor(as_decimal(c) + 0.5).cast(DECIMAL_T)))
+        .otherwise(int_term(as_long(c)))
+    )
+
+
+def _fn_ceil(args, resolve):
+    c = compile_expr(args[0], resolve)
+    rank = numeric_rank(c)
+    return (
+        F.when(rank.isNull(), NULL_TERM())
+        .when(rank >= RANK_FLOAT, double_term(F.ceil(as_double(c)).cast("double")))
+        .when(rank == RANK_DECIMAL, decimal_term(F.ceil(as_decimal(c)).cast(DECIMAL_T)))
+        .otherwise(int_term(as_long(c)))
+    )
+
+
+def _fn_floor(args, resolve):
+    c = compile_expr(args[0], resolve)
+    rank = numeric_rank(c)
+    return (
+        F.when(rank.isNull(), NULL_TERM())
+        .when(rank >= RANK_FLOAT, double_term(F.floor(as_double(c)).cast("double")))
+        .when(rank == RANK_DECIMAL, decimal_term(F.floor(as_decimal(c)).cast(DECIMAL_T)))
+        .otherwise(int_term(as_long(c)))
+    )
+
+
+def _fn_rand(args, resolve):
+    return double_term(F.rand())
+
+
+def _dt_part(part_fn):
+    def fn(args, resolve):
+        c = compile_expr(args[0], resolve)
+        return int_term(part_fn(as_timestamp(c)).cast("long"))
+    return fn
+
+
+def _fn_seconds(args, resolve):
+    c = compile_expr(args[0], resolve)
+    ts = as_timestamp(c)
+    # keep fractional seconds: second() truncates
+    frac = ts.cast("decimal(38,6)") % 60
+    return decimal_term(frac.cast(DECIMAL_T))
+
+
+def _fn_tz(args, resolve):
+    c = compile_expr(args[0], resolve)
+    tz = F.regexp_extract(c["v"], r"(Z|[+-]\d\d:\d\d)$", 1)
+    return F.when(as_timestamp(c).isNotNull(), string_term(tz))
+
+
+def _fn_timezone(args, resolve):
+    c = compile_expr(args[0], resolve)
+    tz = F.regexp_extract(c["v"], r"(Z|[+-]\d\d:\d\d)$", 1)
+    sign = F.when(tz.startswith("-"), -1).otherwise(1)
+    hours = (F.regexp_extract(tz).try_cast(r"(\d\d):", 1), "int") * sign
+    mins = (F.regexp_extract(tz).try_cast(r":(\d\d)$", 1), "int") * sign
+    lex = (
+        F.when(tz == "Z", F.lit("PT0S"))
+        .when((hours == 0) & (mins == 0), F.lit("PT0S"))
+        .when(mins == 0, F.concat(F.when(sign < 0, F.lit("-")).otherwise(F.lit("")),
+                                  F.lit("PT"), F.abs(hours).cast("string"), F.lit("H")))
+        .otherwise(F.concat(F.when(sign < 0, F.lit("-")).otherwise(F.lit("")),
+                            F.lit("PT"), F.abs(hours).cast("string"), F.lit("H"),
+                            F.abs(mins).cast("string"), F.lit("M")))
+    )
+    return F.when((tz != "") & as_timestamp(c).isNotNull(),
+                  term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_DAY_TIME_DURATION)))
+
+
+def _fn_if(args, resolve):
+    cond = compile_bool(args[0], resolve)
+    t = compile_expr(args[1], resolve)
+    e = compile_expr(args[2], resolve)
+    return F.when(cond, t).when(~cond, e)
+
+
+def _fn_coalesce(args, resolve):
+    cols = [compile_expr(a, resolve) for a in args]
+    return F.coalesce(*cols) if cols else NULL_TERM()
+
+
+def _arith(op):
+    def fn(args, resolve):
+        l = compile_expr(args[0], resolve)
+        r = compile_expr(args[1], resolve)
+        return {"+": tv.rdf_add, "-": tv.rdf_sub,
+                "*": tv.rdf_mul, "/": tv.rdf_div}[op](l, r)
+    return fn
+
+
+def _fn_uminus(args, resolve):
+    return tv.rdf_neg(compile_expr(args[0], resolve))
+
+
+def _fn_uplus(args, resolve):
+    return tv.rdf_unary_plus(compile_expr(args[0], resolve))
+
+
+_TERM_FNS: dict[str, Callable] = {
+    "+": _arith("+"), "-": _arith("-"), "*": _arith("*"), "/": _arith("/"),
+    "UMINUS": _fn_uminus, "UPLUS": _fn_uplus,
+    "STR": _fn_str, "LANG": _fn_lang, "DATATYPE": _fn_datatype,
+    "IRI": _fn_iri, "URI": _fn_iri, "BNODE": _fn_bnode,
+    "STRDT": _fn_strdt, "STRLANG": _fn_strlang,
+    "UUID": _fn_uuid, "STRUUID": _fn_struuid,
+    "STRLEN": _fn_strlen, "SUBSTR": _fn_substr,
+    "UCASE": _fn_ucase, "LCASE": _fn_lcase,
+    "STRBEFORE": _fn_strbefore, "STRAFTER": _fn_strafter,
+    "CONCAT": _fn_concat, "REPLACE": _fn_replace,
+    "ENCODE_FOR_URI": _fn_encode_for_uri,
+    "MD5": _hash_fn(F.md5),
+    "SHA1": _hash_fn(F.sha1),
+    "SHA256": _hash_fn(lambda c: F.sha2(c, 256)),
+    "SHA384": _hash_fn(lambda c: F.sha2(c, 384)),
+    "SHA512": _hash_fn(lambda c: F.sha2(c, 512)),
+    "ABS": _fn_abs, "ROUND": _fn_round, "CEIL": _fn_ceil, "FLOOR": _fn_floor,
+    "RAND": _fn_rand,
+    "YEAR": _dt_part(F.year), "MONTH": _dt_part(F.month), "DAY": _dt_part(F.day),
+    "HOURS": _dt_part(F.hour), "MINUTES": _dt_part(F.minute),
+    "SECONDS": _fn_seconds, "TZ": _fn_tz, "TIMEZONE": _fn_timezone,
+    "IF": _fn_if, "COALESCE": _fn_coalesce,
+}
+
+
+# ---------------------------------------------------------------------------
+# XSD constructor casts (reference: lib/functions/src/scalar/conversion/)
+# ---------------------------------------------------------------------------
+
+def _cast_fn(name: str):
+    if not name.startswith(XSD):
+        return None
+    target = name[len(XSD):]
+
+    def fn(args, resolve):
+        c = compile_expr(args[0], resolve)
+        if target in ("integer", "int", "long", "short", "byte"):
+            val = (
+                F.when(is_numeric(c), (F.try_cast(c["v"]).try_cast("double"), "long"))
+                .when((c["dt"] == XSD_BOOLEAN),
+                      F.when(as_boolean(c), 1).otherwise(0).cast("long"))
+                .when(is_plain_string(c), (c["v"]).try_cast("long"))
+            )
+            return int_term(val)
+        if target == "decimal":
+            val = (
+                F.when(is_numeric(c), (c["v"]).try_cast(DECIMAL_T))
+                .when(c["dt"] == XSD_BOOLEAN,
+                      F.when(as_boolean(c), 1).otherwise(0).cast(DECIMAL_T))
+                .when(is_plain_string(c), (c["v"]).try_cast(DECIMAL_T))
+            )
+            return decimal_term(val)
+        if target in ("double", "float"):
+            val = (
+                F.when(is_numeric(c), (c["v"]).try_cast("double"))
+                .when(c["dt"] == XSD_BOOLEAN,
+                      F.when(as_boolean(c), 1.0).otherwise(0.0))
+                .when(is_plain_string(c), (c["v"]).try_cast("double"))
+            )
+            mk = double_term if target == "double" else _float_term
+            return mk(val)
+        if target == "boolean":
+            val = (
+                F.when(c["dt"] == XSD_BOOLEAN, as_boolean(c))
+                .when(is_numeric(c), as_double(c) != 0.0)
+                .when(is_plain_string(c) & c["v"].isin("true", "1"), F.lit(True))
+                .when(is_plain_string(c) & c["v"].isin("false", "0"), F.lit(False))
+            )
+            return bool_term(val)
+        if target == "string":
+            return F.when(c["t"] != TT_BNODE, string_term(c["v"]))
+        if target == "dateTime":
+            val = F.when(
+                c["dt"].isin(XSD_DATETIME, XSD_DATE) | is_plain_string(c),
+                (c["v"]).try_cast("timestamp"),
+            )
+            lex = F.regexp_replace(val.cast("string"), " ", "T")
+            return F.when(val.isNotNull(),
+                          term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_DATETIME)))
+        if target == "date":
+            val = F.when(
+                c["dt"].isin(XSD_DATETIME, XSD_DATE) | is_plain_string(c),
+                (c["v"]).try_cast("date"),
+            )
+            return F.when(val.isNotNull(),
+                          term_struct(F.lit(TT_LITERAL), val.cast("string"),
+                                      F.lit(XSD_DATE)))
+        return None
+
+    # probe: unsupported targets return None
+    if target not in ("integer", "int", "long", "short", "byte", "decimal",
+                      "double", "float", "boolean", "string", "dateTime", "date"):
+        return None
+    return fn
+
+
+def _float_term(x: Column) -> Column:
+    return F.when(
+        x.isNotNull(),
+        term_struct(F.lit(TT_LITERAL), x.cast("float").cast("string"), F.lit(XSD_FLOAT)),
+    )

@@ -1,0 +1,176 @@
+"""SPARQL join strategy selection (compatible-mapping semantics).
+
+Port of the *decision logic* of SparqlJoinLoweringRule
+(reference: lib/logical/src/join/rewrite.rs:23-260) — not its rule
+machinery: we decide the join shape eagerly at translate time using our own
+definitely-bound variable tracking (Spark schema nullability is unreliable
+after unions), then let Catalyst pick broadcast/sort-merge/shuffle-hash.
+
+Strategy order (same as the reference):
+ 1. disjoint vars, no filter      → cross join
+ 2. all shared vars definitely bound on both sides
+                                  → equi hash join on the term structs
+ 3. else                          → theta join on IS_COMPATIBLE conjunction
+                                    + coalesce projection per shared var
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Solution:
+    """A solution relation: DataFrame + bound-variable bookkeeping.
+
+    `maybe`  — variables present in the schema (possibly NULL = unbound)
+    `bound`  — variables guaranteed non-NULL in every row
+    """
+    df: DataFrame
+    bound: set = field(default_factory=set)
+    maybe: set = field(default_factory=set)
+    pending_order: list = field(default_factory=list)  # OrderCondition list
+
+    def with_df(self, df: DataFrame) -> "Solution":
+        return replace(self, df=df)
+
+
+BoolCompiler = Callable[[object, Callable[[str], Column]], Column]
+
+
+def _compat(lc: Column, rc: Column) -> Column:
+    """IS_COMPATIBLE: either side unbound, or terms identical
+    (reference: lib/functions/src/builtin/query/is_compatible.rs:18-180)."""
+    return lc.isNull() | rc.isNull() | (lc == rc)
+
+
+def join_solutions(
+    left: Solution,
+    right: Solution,
+    how: str = "inner",
+    filter_expr=None,
+    compile_bool: Optional[BoolCompiler] = None,
+) -> Solution:
+    """SPARQL join/left-join of two solutions."""
+    shared = sorted(left.maybe & right.maybe)
+    all_bound = all(v in left.bound and v in right.bound for v in shared)
+
+    # fast path: plain equi join, no extra filter → join on names
+    if shared and all_bound and filter_expr is None:
+        df = left.df.join(right.df, on=shared, how=how)
+        return Solution(
+            df=df,
+            bound=set(left.bound) | (set(right.bound) if how == "inner" else set()),
+            maybe=left.maybe | right.maybe,
+            pending_order=left.pending_order,
+        )
+
+    # fast path: disjoint, no filter → cross join
+    if not shared and filter_expr is None and how == "inner":
+        df = left.df.crossJoin(right.df)
+        return Solution(df=df, bound=left.bound | right.bound,
+                        maybe=left.maybe | right.maybe,
+                        pending_order=left.pending_order)
+
+    # general path: aliased theta join + coalesce projection
+    L = left.df.alias("l")
+    R = right.df.alias("r")
+
+    conds: list[Column] = []
+    for v in shared:
+        lc, rc = L[v], R[v]
+        if v in left.bound and v in right.bound:
+            conds.append(lc == rc)
+        else:
+            conds.append(_compat(lc, rc))
+
+    def resolve(name: str) -> Column:
+        if name in shared:
+            return F.coalesce(L[name], R[name])
+        if name in left.maybe:
+            return L[name]
+        if name in right.maybe:
+            return R[name]
+        return F.lit(None).cast("struct<t:tinyint,v:string,dt:string,lang:string>")
+
+    if filter_expr is not None:
+        assert compile_bool is not None
+        conds.append(compile_bool(filter_expr, resolve))
+
+    cond = F.lit(True)
+    for c in conds:
+        cond = cond & c
+
+    df = L.join(R, cond, how)
+    out_cols: list[Column] = []
+    for v in sorted(left.maybe | right.maybe):
+        if v in shared:
+            out_cols.append(F.coalesce(L[v], R[v]).alias(v))
+        elif v in left.maybe:
+            out_cols.append(L[v].alias(v))
+        else:
+            out_cols.append(R[v].alias(v))
+    df = df.select(*out_cols)
+
+    bound = set(left.bound)
+    if how == "inner":
+        bound |= right.bound
+    return Solution(df=df, bound=bound, maybe=left.maybe | right.maybe,
+                    pending_order=left.pending_order)
+
+
+def minus_solutions(left: Solution, right: Solution) -> Solution:
+    """SPARQL MINUS → left-anti join with compatibility condition AND at
+    least one shared var bound on both sides
+    (reference: lib/logical/src/minus/rewrite.rs:16-130)."""
+    shared = sorted(left.maybe & right.maybe)
+    if not shared:
+        return left  # identity per spec
+
+    L = left.df.alias("l")
+    R = right.df.alias("r")
+    all_bound = all(v in left.bound and v in right.bound for v in shared)
+
+    if all_bound:
+        # pure equality anti join → hash-joinable
+        cond = F.lit(True)
+        for v in shared:
+            cond = cond & (L[v] == R[v])
+    else:
+        cond = F.lit(True)
+        any_both = F.lit(False)
+        for v in shared:
+            cond = cond & _compat(L[v], R[v])
+            any_both = any_both | (L[v].isNotNull() & R[v].isNotNull())
+        cond = cond & any_both
+
+    df = L.join(R, cond, "left_anti")
+    return replace(left, df=df)
+
+
+def exists_join(left: Solution, right: Solution, negated: bool) -> Solution:
+    """FILTER EXISTS / NOT EXISTS → left-semi / left-anti join on
+    compatibility of shared variables
+    (reference: expression_rewriter.rs:325-340 + DecorrelatePredicateSubquery)."""
+    shared = sorted(left.maybe & right.maybe)
+    how = "left_anti" if negated else "left_semi"
+    if not shared:
+        # uncorrelated: keep all (resp. none) depending on right emptiness
+        marker = right.df.limit(1)
+        df = left.df.join(marker, F.lit(True), how)
+        return replace(left, df=df)
+    L = left.df.alias("l")
+    R = right.df.alias("r")
+    all_bound = all(v in left.bound and v in right.bound for v in shared)
+    cond = F.lit(True)
+    for v in shared:
+        if all_bound:
+            cond = cond & (L[v] == R[v])
+        else:
+            cond = cond & _compat(L[v], R[v])
+    df = L.join(R, cond, how)
+    return replace(left, df=df)

@@ -1,0 +1,201 @@
+"""Property path evaluation over a (source, target) relation.
+
+reference: PropertyPathLoweringRule lowers paths onto a 3-column
+(path_graph, path_source, path_target) relation
+(lib/logical/src/paths/path_node/rewrite.rs:23-371); the `+`/`*` closure is
+a custom single-partition physical operator doing a semi-naive fixpoint
+(lib/physical/src/paths/kleene_plus/physical.rs:34-438).
+
+Spark-first redesign: same algebraic lowering, but the Kleene closure is a
+*distributed* semi-naive iteration — delta joined against the (cached) edge
+relation, de-duplicated against the accumulated set, localCheckpoint per
+iteration to cut lineage (GraphFrames-style). Scales past the reference's
+single-partition hash sets.
+"""
+
+from __future__ import annotations
+
+from dataclasses import replace
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..sparql import algebra as A
+from ..store import ActiveGraph
+from ..terms import NamedNode, Variable, term_lit, term_matches
+from .join import Solution
+
+SRC, TGT = "__src", "__tgt"
+MAX_ITERATIONS = 64
+
+
+def _edges_for_predicate(ctx, iris: list[NamedNode], negated: bool,
+                         inverse: bool = False) -> DataFrame:
+    """Scan quads for predicate∈iris (or ∉ for negated sets)."""
+    store = ctx.store
+    df = store.quads
+    g = F.col("graph")
+    ag = ctx.active_graph
+    if ag.kind == ActiveGraph.DEFAULT:
+        df = df.where(g.isNull())
+    elif ag.kind == ActiveGraph.ANY_NAMED:
+        df = df.where(g.isNotNull())
+    elif ag.kind == "union":
+        cond = None
+        for gr in ag.graphs:
+            c = term_matches(g, gr)
+            cond = c if cond is None else (cond | c)
+        df = df.where(cond)
+
+    p = F.col("predicate")
+    if iris:
+        cond = None
+        for i in iris:
+            c = term_matches(p, i)
+            cond = c if cond is None else (cond | c)
+        df = df.where(~cond if negated else cond)
+    elif negated:
+        pass  # negated empty set: all predicates
+
+    s, t = ("object", "subject") if inverse else ("subject", "object")
+    cols = [F.col(s).alias(SRC), F.col(t).alias(TGT)]
+    if ctx.graph_var is not None and ag.kind != ActiveGraph.DEFAULT:
+        cols.append(g.alias(ctx.graph_var.name))
+    return df.select(*cols)
+
+
+def _gcols(ctx) -> list[str]:
+    if ctx.graph_var is not None and ctx.active_graph.kind != ActiveGraph.DEFAULT:
+        return [ctx.graph_var.name]
+    return []
+
+
+def eval_path(path, ctx) -> DataFrame:
+    """Path → DataFrame(__src, __tgt [, graphvar])."""
+    g = _gcols(ctx)
+    if isinstance(path, A.PathLink):
+        return _edges_for_predicate(ctx, [path.iri], negated=False)
+    if isinstance(path, A.PathInverse):
+        inner = eval_path(path.inner, ctx)
+        return inner.select(F.col(TGT).alias(SRC), F.col(SRC).alias(TGT),
+                            *[F.col(c) for c in g])
+    if isinstance(path, A.PathNegatedSet):
+        parts = []
+        if path.forward or not path.inverse:
+            parts.append(_edges_for_predicate(ctx, path.forward, negated=True))
+        if path.inverse:
+            parts.append(_edges_for_predicate(ctx, path.inverse, negated=True,
+                                              inverse=True))
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out.dropDuplicates()
+    if isinstance(path, A.PathSequence):
+        l = eval_path(path.first, ctx).alias("l")
+        r = eval_path(path.second, ctx).alias("r")
+        cond = l[TGT] == r[SRC]
+        for c in g:
+            cond = cond & (l[c] == r[c])
+        out = l.join(r, cond).select(l[SRC].alias(SRC), r[TGT].alias(TGT),
+                                     *[l[c].alias(c) for c in g])
+        return out.dropDuplicates()
+    if isinstance(path, A.PathAlternative):
+        return (eval_path(path.left, ctx)
+                .unionByName(eval_path(path.right, ctx)).dropDuplicates())
+    if isinstance(path, A.PathZeroOrOne):
+        return _zero_length(ctx).unionByName(eval_path(path.inner, ctx)) \
+            .dropDuplicates()
+    if isinstance(path, A.PathOneOrMore):
+        return _kleene_plus(eval_path(path.inner, ctx), ctx)
+    if isinstance(path, A.PathZeroOrMore):
+        plus = _kleene_plus(eval_path(path.inner, ctx), ctx)
+        return _zero_length(ctx).unionByName(plus).dropDuplicates()
+    raise NotImplementedError(f"path: {type(path).__name__}")
+
+
+def _zero_length(ctx) -> DataFrame:
+    """Zero-length paths: every graph node relates to itself
+    (reference: rewrite.rs:248-266 — union of subjects and objects)."""
+    store = ctx.store
+    df = store.quads
+    ag = ctx.active_graph
+    g = F.col("graph")
+    if ag.kind == ActiveGraph.DEFAULT:
+        df = df.where(g.isNull())
+    elif ag.kind == ActiveGraph.ANY_NAMED:
+        df = df.where(g.isNotNull())
+    elif ag.kind == "union":
+        cond = None
+        for gr in ag.graphs:
+            c = term_matches(g, gr)
+            cond = c if cond is None else (cond | c)
+        df = df.where(cond)
+    gcols = _gcols(ctx)
+    extra = [g.alias(gcols[0])] if gcols else []
+    nodes = (df.select(F.col("subject").alias("n"), *extra)
+             .unionByName(df.select(F.col("object").alias("n"), *extra))
+             .dropDuplicates())
+    return nodes.select(F.col("n").alias(SRC), F.col("n").alias(TGT),
+                        *[F.col(c) for c in gcols])
+
+
+def _kleene_plus(edges: DataFrame, ctx) -> DataFrame:
+    """Distributed semi-naive transitive closure.
+
+    delta_{i+1} = (delta_i ⋈ edges) − paths_i ; paths_{i+1} = paths_i ∪ delta.
+    Edge relation is cached once; each iteration localCheckpoints to cut
+    lineage (SURVEY.md §7.3 hard-part 4). Replaces the reference's
+    single-partition in-memory fixpoint with distributed hash joins.
+    """
+    g = _gcols(ctx)
+    edges = edges.dropDuplicates().localCheckpoint(eager=True)
+    paths = edges
+    delta = edges
+    for _ in range(MAX_ITERATIONS):
+        l = delta.alias("d")
+        r = edges.alias("e")
+        cond = l[TGT] == r[SRC]
+        for c in g:
+            cond = cond & (l[c] == r[c])
+        stepped = (l.join(r, cond)
+                   .select(l[SRC].alias(SRC), r[TGT].alias(TGT),
+                           *[l[c].alias(c) for c in g])
+                   .dropDuplicates())
+        delta = stepped.join(paths, on=[SRC, TGT] + g, how="left_anti") \
+            .localCheckpoint(eager=True)
+        if not delta.head(1):
+            break
+        paths = paths.unionByName(delta).localCheckpoint(eager=True)
+    return paths
+
+
+def translate_path_pattern(p: A.PathPattern, ctx) -> Solution:
+    """Bind a path relation's endpoints to the pattern's subject/object."""
+    # trivial link → plain triple pattern scan (no path machinery)
+    if isinstance(p.path, A.PathLink):
+        from .translator import _scan
+        return _scan(A.TriplePattern(p.subject, p.path.iri, p.object), ctx)
+
+    df = eval_path(p.path, ctx)
+    g = _gcols(ctx)
+    vars_: dict[str, str] = {}
+
+    if isinstance(p.subject, Variable):
+        vars_[p.subject.name] = SRC
+    else:
+        df = df.where(term_matches(F.col(SRC), p.subject))
+    if isinstance(p.object, Variable):
+        if p.object.name in vars_:
+            df = df.where(F.col(SRC) == F.col(TGT))
+        else:
+            vars_[p.object.name] = TGT
+    else:
+        df = df.where(term_matches(F.col(TGT), p.object))
+
+    out_cols = [F.col(c).alias(v) for v, c in vars_.items()]
+    out_cols += [F.col(c) for c in g]
+    names = set(vars_) | set(g)
+    if not out_cols:
+        return Solution(df=df.limit(1).select(), bound=set(), maybe=set())
+    return Solution(df=df.select(*out_cols), bound=set(names), maybe=set(names))

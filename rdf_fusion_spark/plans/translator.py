@@ -1,0 +1,554 @@
+"""SPARQL algebra → DataFrame translator.
+
+The Spark analogue of the reference's GraphPatternRewriter
+(lib/execution/src/sparql/rewriting/graph_pattern_rewriter.rs:63-236) —
+but it lowers *eagerly*: every algebra node becomes DataFrame operations
+immediately (no custom logical nodes, no optimizer rules; SURVEY.md §7.2).
+Catalyst then applies predicate pushdown / column pruning / join selection.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+from dataclasses import dataclass, field, replace
+from typing import Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import builtins as B
+from ..functions.sortkeys import sort_key
+from ..functions import typed_ops as tv
+from ..sparql import algebra as A
+from ..store import ActiveGraph, GraphStore
+from ..terms import (
+    TERM_TYPE,
+    TT_LITERAL,
+    XSD_DATETIME,
+    Literal,
+    NamedNode,
+    Variable,
+    term_lit,
+)
+from .join import Solution, exists_join, join_solutions, minus_solutions
+
+TERM_DDL = B.TERM_DDL
+
+
+def NULL_TERM():
+    return B.NULL_TERM()
+
+
+@dataclass
+class Ctx:
+    """Carries GRAPH scoping + query-constant state through translation
+    (reference: RewritingState{active_graph, graph_name_var},
+    graph_pattern_rewriter.rs:407-451)."""
+    store: GraphStore
+    active_graph: ActiveGraph
+    graph_var: Optional[Variable] = None
+    now: Optional[Literal] = None
+    counter: list = field(default_factory=lambda: [0])
+
+    def fresh(self, tag: str) -> str:
+        self.counter[0] += 1
+        return f"__{tag}_{self.counter[0]}"
+
+
+# ---------------------------------------------------------------------------
+# expression plumbing
+# ---------------------------------------------------------------------------
+
+def _resolver(sol: Solution) -> Callable[[str], Column]:
+    def resolve(name: str) -> Column:
+        if name in sol.maybe:
+            return sol.df[name]
+        return NULL_TERM()
+    return resolve
+
+
+def _inject_now(expr, ctx: Ctx):
+    """Replace NOW() with the query-constant timestamp
+    (reference: expression_rewriter.rs:233-240)."""
+    if isinstance(expr, A.ECall):
+        if expr.name == "NOW":
+            return A.ETerm(ctx.now)
+        return A.ECall(expr.name, [_inject_now(a, ctx) for a in expr.args])
+    return expr
+
+
+def compile_term_expr(expr, sol: Solution, ctx: Ctx) -> Column:
+    return B.compile_expr(_inject_now(expr, ctx), _resolver(sol))
+
+
+def compile_bool_expr(expr, sol: Solution, ctx: Ctx) -> Column:
+    return B.compile_bool(_inject_now(expr, ctx), _resolver(sol))
+
+
+# ---------------------------------------------------------------------------
+# pattern translation
+# ---------------------------------------------------------------------------
+
+def translate(p, ctx: Ctx) -> Solution:
+    if isinstance(p, A.BGP):
+        return _translate_bgp(p, ctx)
+    if isinstance(p, A.PathPattern):
+        from .paths import translate_path_pattern
+        return translate_path_pattern(p, ctx)
+    if isinstance(p, A.Join):
+        l = translate(p.left, ctx)
+        r = translate(p.right, ctx)
+        return join_solutions(l, r, "inner")
+    if isinstance(p, A.LeftJoin):
+        l = translate(p.left, ctx)
+        r = translate(p.right, ctx)
+        cb = None
+        if p.expr is not None:
+            def cb(e, resolve):  # noqa: E306
+                return B.compile_bool(_inject_now(e, ctx), resolve)
+        return join_solutions(l, r, "left", p.expr, cb)
+    if isinstance(p, A.Filter):
+        return _translate_filter(p, ctx)
+    if isinstance(p, A.Union):
+        return _translate_union(p, ctx)
+    if isinstance(p, A.GraphNode):
+        return _translate_graph(p, ctx)
+    if isinstance(p, A.Extend):
+        sol = translate(p.inner, ctx)
+        col = compile_term_expr(p.expr, sol, ctx)
+        df = sol.df.withColumn(p.var.name, col)
+        return replace(sol, df=df, maybe=sol.maybe | {p.var.name})
+    if isinstance(p, A.Minus):
+        l = translate(p.left, ctx)
+        r = translate(p.right, ctx)
+        return minus_solutions(l, r)
+    if isinstance(p, A.ValuesNode):
+        return _translate_values(p, ctx)
+    if isinstance(p, A.OrderBy):
+        sol = translate(p.inner, ctx)
+        return replace(sol, pending_order=list(p.conditions))
+    if isinstance(p, A.Project):
+        return _translate_project(p, ctx)
+    if isinstance(p, A.Distinct):
+        sol = translate(p.inner, ctx)
+        cols = sorted(sol.maybe)
+        df = sol.df.dropDuplicates(cols) if cols else sol.df.limit(1)
+        return replace(sol, df=df)
+    if isinstance(p, A.Reduced):
+        # REDUCED treated as DISTINCT (legal per spec; reference leaves it
+        # unimplemented — graph_pattern_rewriter.rs:234)
+        return translate(A.Distinct(p.inner), ctx)
+    if isinstance(p, A.Slice):
+        return _translate_slice(p, ctx)
+    if isinstance(p, A.Group):
+        return _translate_group(p, ctx)
+    raise NotImplementedError(f"pattern not supported: {type(p).__name__}")
+
+
+def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
+    df = ctx.store.scan_pattern(
+        tp.subject, tp.predicate, tp.object,
+        active_graph=ctx.active_graph, graph_var=ctx.graph_var,
+    )
+    vars_ = set()
+    for x in (tp.subject, tp.predicate, tp.object):
+        if isinstance(x, Variable):
+            vars_.add(x.name)
+    if ctx.graph_var is not None and ctx.active_graph.kind != ActiveGraph.DEFAULT:
+        vars_.add(ctx.graph_var.name)
+    if not vars_:
+        # ground pattern: 1 or 0 solutions (empty mapping)
+        df = df.limit(1).select()
+        return Solution(df=df, bound=set(), maybe=set())
+    return Solution(df=df, bound=set(vars_), maybe=set(vars_))
+
+
+def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
+    """Greedy selectivity-ordered BGP join.
+
+    The reference joins in syntactic order (SURVEY.md §4.1 — no BGP
+    reordering). We do better: most-constant pattern first, then grow the
+    join tree along shared variables to avoid accidental cross joins; at
+    scale this keeps intermediate results small before Catalyst/AQE refine
+    the physical plan.
+    """
+    if not p.triples:
+        return _unit_solution(ctx)
+
+    def selectivity(tp: A.TriplePattern) -> int:
+        score = 0
+        # constants weighted: predicate constants are common, subject/object
+        # constants are more selective
+        if not isinstance(tp.subject, Variable):
+            score += 4
+        if not isinstance(tp.object, Variable):
+            score += 2
+        if not isinstance(tp.predicate, Variable):
+            score += 1
+        return -score
+
+    remaining = sorted(p.triples, key=selectivity)
+    first = remaining.pop(0)
+    acc = _scan(first, ctx)
+    while remaining:
+        idx = None
+        for i, tp in enumerate(remaining):
+            tp_vars = {x.name for x in (tp.subject, tp.predicate, tp.object)
+                       if isinstance(x, Variable)}
+            if tp_vars & acc.maybe:
+                idx = i
+                break
+        if idx is None:
+            idx = 0  # disconnected component → cross join
+        nxt = _scan(remaining.pop(idx), ctx)
+        acc = join_solutions(acc, nxt, "inner")
+    return acc
+
+
+def _unit_solution(ctx: Ctx) -> Solution:
+    return Solution(df=ctx.store.spark.range(1).select(), bound=set(), maybe=set())
+
+
+def _translate_filter(p: A.Filter, ctx: Ctx) -> Solution:
+    sol = translate(p.inner, ctx)
+    # decompose conjunction; EXISTS conjuncts become semi/anti joins
+    conjuncts = _split_and(p.expr)
+    plain = []
+    for c in conjuncts:
+        if isinstance(c, A.EExists):
+            inner_ctx = replace(ctx)
+            r = translate(c.pattern, inner_ctx)
+            sol = exists_join(sol, r, c.negated)
+        elif (isinstance(c, A.ECall) and c.name == "!"
+              and isinstance(c.args[0], A.EExists)):
+            inner_ctx = replace(ctx)
+            r = translate(c.args[0].pattern, inner_ctx)
+            sol = exists_join(sol, r, not c.args[0].negated)
+        else:
+            plain.append(c)
+    for c in plain:
+        sol = replace(sol, df=sol.df.where(compile_bool_expr(c, sol, ctx)))
+    return sol
+
+
+def _split_and(expr) -> list:
+    if isinstance(expr, A.ECall) and expr.name == "&&":
+        return _split_and(expr.args[0]) + _split_and(expr.args[1])
+    return [expr]
+
+
+def _translate_union(p: A.Union, ctx: Ctx) -> Solution:
+    l = translate(p.left, ctx)
+    r = translate(p.right, ctx)
+    lv, rv = l.maybe, r.maybe
+    ldf, rdf = l.df, r.df
+    for v in sorted(rv - lv):
+        ldf = ldf.withColumn(v, NULL_TERM())
+    for v in sorted(lv - rv):
+        rdf = rdf.withColumn(v, NULL_TERM())
+    cols = sorted(lv | rv)
+    if cols:
+        df = ldf.select(*cols).unionByName(rdf.select(*cols))
+    else:
+        df = ldf.unionByName(rdf)
+    return Solution(df=df, bound=l.bound & r.bound, maybe=lv | rv)
+
+
+def _translate_graph(p: A.GraphNode, ctx: Ctx) -> Solution:
+    if isinstance(p.name, NamedNode):
+        inner_ctx = replace(ctx, active_graph=ActiveGraph.union([p.name]),
+                            graph_var=None)
+        return translate(p.inner, inner_ctx)
+    # GRAPH ?g — every scan binds the graph column to ?g; BGP joins then
+    # naturally require same-graph (shared var)
+    inner_ctx = replace(ctx, active_graph=ActiveGraph.any_named(), graph_var=p.name)
+    sol = translate(p.inner, inner_ctx)
+    if p.name.name not in sol.maybe:
+        # pattern had no scans (e.g. VALUES only) — bind ?g from graph list
+        graphs = (ctx.store.quads.where(F.col("graph").isNotNull())
+                  .select(F.col("graph").alias(p.name.name)).distinct())
+        g = Solution(df=graphs, bound={p.name.name}, maybe={p.name.name})
+        sol = join_solutions(sol, g, "inner")
+    return sol
+
+
+def _translate_values(p: A.ValuesNode, ctx: Ctx) -> Solution:
+    from ..store import _term_row
+    names = [v.name for v in p.variables]
+    rows = [tuple(_term_row(t) for t in row) for row in p.rows]
+    schema_t = ", ".join(f"`{n}` {TERM_DDL}" for n in names)
+    df = ctx.store.spark.createDataFrame(rows, schema_t)
+    bound = set(names)
+    for j, v in enumerate(names):
+        if any(row[j] is None for row in p.rows):
+            bound.discard(v)
+    return Solution(df=df, bound=bound, maybe=set(names))
+
+
+def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
+    sol = translate(p.inner, ctx)
+    names = [v.name for v in p.variables]
+    cols = [
+        (sol.df[n].alias(n) if n in sol.maybe else NULL_TERM().alias(n))
+        for n in names
+    ]
+    df = sol.df.select(*cols)
+    return Solution(df=df, bound=sol.bound & set(names), maybe=set(names),
+                    pending_order=sol.pending_order)
+
+
+def _apply_order(sol: Solution, ctx: Ctx) -> Solution:
+    if not sol.pending_order:
+        return sol
+    sort_cols = []
+    for cond in sol.pending_order:
+        key = sort_key(compile_term_expr(cond.expr, sol, ctx))
+        sort_cols.append(key.asc_nulls_first() if cond.ascending
+                         else key.desc_nulls_last())
+    return replace(sol, df=sol.df.orderBy(*sort_cols), pending_order=[])
+
+
+def _translate_slice(p: A.Slice, ctx: Ctx) -> Solution:
+    sol = translate(p.inner, ctx)
+    sol = _apply_order(sol, ctx)
+    df = sol.df
+    if p.start:
+        df = df.offset(p.start)
+    if p.length is not None:
+        df = df.limit(p.length)
+    return replace(sol, df=df)
+
+
+# ---------------------------------------------------------------------------
+# aggregation (reference: graph_pattern_rewriter.rs:299-404 +
+# lib/functions/src/aggregates/)
+# ---------------------------------------------------------------------------
+
+def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
+    sol = translate(p.inner, ctx)
+    df = sol.df
+    keys = [v.name for v in p.keys]
+
+    aggs: list[Column] = []
+    tmp_cols: dict[str, Column] = {}
+
+    def tmp(col: Column) -> str:
+        name = ctx.fresh("agg_in")
+        tmp_cols[name] = col
+        return name
+
+    for out_var, call in p.aggregates:
+        aggs.append(_compile_aggregate(call, sol, ctx, tmp).alias(out_var.name))
+
+    for name, col in tmp_cols.items():
+        df = df.withColumn(name, col)
+
+    if keys:
+        gdf = df.groupBy(*[df[k] if k in sol.maybe else NULL_TERM().alias(k)
+                           for k in keys])
+    else:
+        gdf = df.groupBy()
+    out = gdf.agg(*aggs) if aggs else gdf.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+
+    bound = {k for k in keys if k in sol.bound}
+    for out_var, call in p.aggregates:
+        if call.name == "COUNT":
+            bound.add(out_var.name)
+    return Solution(df=out, bound=bound,
+                    maybe=set(keys) | {v.name for v, _ in p.aggregates})
+
+
+def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
+                       tmp: Callable[[Column], str]) -> Column:
+    name = call.name
+    if name == "COUNT" and call.expr is None:
+        if call.distinct:
+            all_cols = [sol.df[c] for c in sorted(sol.maybe)]
+            if not all_cols:
+                return tv.int_term(F.count(F.lit(1)))
+            t = tmp(F.struct(*all_cols))
+            return tv.int_term(F.count_distinct(F.col(t)))
+        return tv.int_term(F.count(F.lit(1)))
+
+    in_col = compile_term_expr(call.expr, sol, ctx)
+    t = tmp(in_col)
+    c = F.col(t)
+
+    if name == "COUNT":
+        n = F.count_distinct(c) if call.distinct else F.count(c)
+        return tv.int_term(n)
+
+    if name in ("SUM", "AVG"):
+        return _sum_avg(name, c, tmp, call.distinct)
+
+    if name in ("MIN", "MAX"):
+        k = tmp(sort_key(c))
+        fn = F.min_by if name == "MIN" else F.max_by
+        return fn(c, F.col(k))
+
+    if name == "SAMPLE":
+        return F.first(c, ignorenulls=True)
+
+    if name == "GROUP_CONCAT":
+        sep = call.separator if call.separator is not None else " "
+        s = tmp(tv.str_or_iri(c))
+        vals = F.collect_set(F.col(s)) if call.distinct else F.collect_list(F.col(s))
+        return tv.string_term(F.array_join(vals, sep))
+
+    raise NotImplementedError(f"aggregate {name}")
+
+
+def _sum_avg(name: str, c: Column, tmp: Callable[[Column], str],
+             distinct: bool) -> Column:
+    """SUM/AVG with the numeric promotion ladder, single hash-agg pass
+    (reference: lib/functions/src/aggregates/sum.rs:14-100, avg.rs).
+    integer→integer(sum)/decimal(avg); any decimal→decimal; any float/double
+    →double; any non-numeric bound value → error (NULL result)."""
+    rank_t = F.col(tmp(tv.numeric_rank(c)))
+    dec_t = F.col(tmp(tv.as_decimal(c)))
+    dbl_t = F.col(tmp(tv.as_double(c)))
+    bad_t = F.col(tmp((c.isNotNull() & ~tv.is_numeric(c)).cast("int")))
+
+    if distinct:
+        # distinct over the term value; approximate with distinct lexical+dt
+        agg_dec = F.sum_distinct(dec_t)
+        agg_dbl = F.sum_distinct(dbl_t)
+        n = F.count_distinct(dec_t)
+        n_dbl = F.count_distinct(dbl_t)
+    else:
+        agg_dec = F.sum(dec_t)
+        agg_dbl = F.sum(dbl_t)
+        n = F.count(dec_t)
+        n_dbl = F.count(dbl_t)
+
+    max_rank = F.max(rank_t)
+    any_bad = F.max(bad_t)
+
+    if name == "SUM":
+        return (
+            F.when(any_bad == 1, NULL_TERM())
+            .when(max_rank.isNull(), tv.int_term(F.lit(0)))  # empty group
+            .when(max_rank >= tv.RANK_FLOAT, tv.double_term(agg_dbl))
+            .when(max_rank == tv.RANK_DECIMAL, tv.decimal_term(agg_dec))
+            .otherwise(tv.int_term(agg_dec.cast("decimal(38,0)")))
+        )
+    # AVG
+    return (
+        F.when(any_bad == 1, NULL_TERM())
+        .when(max_rank.isNull(), tv.int_term(F.lit(0)))
+        .when(max_rank >= tv.RANK_FLOAT, tv.double_term(agg_dbl / n_dbl))
+        .otherwise(tv.decimal_term(agg_dec / n))
+    )
+
+
+# ---------------------------------------------------------------------------
+# query forms (reference: lib/execution/src/sparql/eval.rs:24-133)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SelectResult:
+    df: DataFrame
+    variables: list
+
+
+@dataclass
+class AskResult:
+    value: bool
+
+
+@dataclass
+class GraphResult:
+    df: DataFrame  # columns subject, predicate, object (term structs)
+
+
+def _now_literal() -> Literal:
+    now = _dt.datetime.now(_dt.timezone.utc).replace(tzinfo=None)
+    return Literal(now.isoformat(), XSD_DATETIME)
+
+
+def _dataset_ctx(store: GraphStore, dataset) -> Ctx:
+    ag = ActiveGraph.default()
+    if dataset is not None and dataset.default:
+        ag = ActiveGraph.union(list(dataset.default))
+    return Ctx(store=store, active_graph=ag, now=_now_literal())
+
+
+def evaluate_query(store: GraphStore, q):
+    ctx = _dataset_ctx(store, getattr(q, "dataset", None))
+
+    if isinstance(q, A.SelectQuery):
+        sol = translate(q.pattern, ctx)
+        sol = _apply_order(sol, ctx)
+        vars_ = sorted(sol.maybe)
+        if isinstance(q.pattern, (A.Project, A.Distinct, A.Reduced, A.Slice, A.OrderBy)):
+            vars_ = _projected_vars(q.pattern) or vars_
+        return SelectResult(df=sol.df, variables=vars_)
+
+    if isinstance(q, A.AskQuery):
+        sol = translate(q.pattern, ctx)
+        return AskResult(value=bool(sol.df.head(1)))
+
+    if isinstance(q, A.ConstructQuery):
+        sol = translate(q.pattern, ctx)
+        out = None
+        for tpl in q.template:
+            cols = []
+            for pos, x in (("subject", tpl.subject), ("predicate", tpl.predicate),
+                           ("object", tpl.object)):
+                if isinstance(x, Variable):
+                    col = sol.df[x.name] if x.name in sol.maybe else NULL_TERM()
+                else:
+                    col = term_lit(x)
+                cols.append(col.alias(pos))
+            t = sol.df.select(*cols)
+            t = t.where(
+                F.col("subject").isNotNull() & F.col("predicate").isNotNull()
+                & F.col("object").isNotNull()
+                & (F.col("subject")["t"] != TT_LITERAL)
+                & (F.col("predicate")["t"] == 0)
+            )
+            out = t if out is None else out.unionByName(t)
+        if out is None:
+            from ..terms import TERM_TYPE as _TT
+            import pyspark.sql.types as T
+            schema = T.StructType([
+                T.StructField("subject", _TT), T.StructField("predicate", _TT),
+                T.StructField("object", _TT)])
+            out = store.spark.createDataFrame([], schema)
+        return GraphResult(df=out.dropDuplicates())
+
+    if isinstance(q, A.DescribeQuery):
+        # reference approximation: return all triples whose subject is a
+        # described resource (eval.rs:87-131)
+        if q.pattern is not None:
+            sol = translate(q.pattern, ctx)
+            subjects = None
+            for t in q.terms:
+                if isinstance(t, Variable) and t.name in sol.maybe:
+                    s = sol.df.select(sol.df[t.name].alias("subject")).distinct()
+                    subjects = s if subjects is None else subjects.unionByName(s).distinct()
+        else:
+            subjects = None
+        consts = [t for t in q.terms if isinstance(t, NamedNode)]
+        quads = store.quads.where(F.col("graph").isNull())
+        triples = quads.select("subject", "predicate", "object")
+        out = None
+        if subjects is not None:
+            out = triples.join(subjects, on="subject", how="left_semi")
+        if consts:
+            cond = F.col("subject.v").isin([c.iri for c in consts]) & (F.col("subject.t") == 0)
+            t2 = triples.where(cond)
+            out = t2 if out is None else out.unionByName(t2)
+        if out is None:
+            out = triples.limit(0)
+        return GraphResult(df=out.dropDuplicates())
+
+    raise NotImplementedError(f"query form {type(q).__name__}")
+
+
+def _projected_vars(p) -> Optional[list]:
+    if isinstance(p, A.Project):
+        return [v.name for v in p.variables]
+    if isinstance(p, (A.Distinct, A.Reduced, A.Slice, A.OrderBy)):
+        return _projected_vars(p.inner)
+    return None

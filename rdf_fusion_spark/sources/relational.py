@@ -1,0 +1,138 @@
+"""Deterministic relational → RDF graph mapping (direct-mapping style).
+
+Turns the driver's TPC-H-ish parquet tables into a quads DataFrame so the
+SPARQL engine can be exercised — and oracle-checked — against the same data
+through DuckDB SQL on the raw tables.
+
+Mapping (R2RML-direct-mapping flavoured, BSBM-shaped —
+reference workload schema: FIXTURES.md F3):
+  * row  → subject IRI  x:{code}:{key}           (composite keys joined by '-')
+  * row  → rdf:type     x:class:{table}
+  * col  → predicate    x:{code}#{col}
+  * FK   → object IRI   x:{target_code}:{value}  (graph link, not a literal)
+  * other cols → typed literals (integer/double/string/dateTime by Spark type)
+
+Everything is one narrow projection + explode per table — no shuffle; at
+100 TB this parallelizes embarrassingly with the parquet scan.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..terms import (
+    RDF_TYPE,
+    TERM_TYPE,
+    TT_IRI,
+    TT_LITERAL,
+    XSD_DATETIME,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    XSD_STRING,
+    term_struct,
+)
+
+# table → (short code, key columns, {fk column → target table})
+TPCH_SPEC: dict[str, tuple[str, Sequence[str], dict[str, str]]] = {
+    "region": ("r", ["r_regionkey"], {}),
+    "nation": ("n", ["n_nationkey"], {"n_regionkey": "region"}),
+    "customer": ("c", ["c_custkey"], {"c_nationkey": "nation"}),
+    "supplier": ("s", ["s_suppkey"], {"s_nationkey": "nation"}),
+    "part": ("p", ["p_partkey"], {}),
+    "orders": ("o", ["o_orderkey"], {"o_custkey": "customer"}),
+    "lineitem": ("l", ["l_orderkey", "l_linenumber"],
+                 {"l_orderkey": "orders", "l_partkey": "part", "l_suppkey": "supplier"}),
+    "events": ("e", ["event_id"], {}),
+    "documents": ("d", ["doc_id"], {}),
+}
+
+
+def entity_iri_prefix(table: str) -> str:
+    return f"x:{TPCH_SPEC[table][0]}:"
+
+
+def predicate_iri(table: str, col: str) -> str:
+    return f"x:{TPCH_SPEC[table][0]}#{col}"
+
+
+def class_iri(table: str) -> str:
+    return f"x:class:{table}"
+
+
+def _const_iri(iri: str) -> Column:
+    return term_struct(F.lit(TT_IRI), F.lit(iri))
+
+
+def _literal_for(col: Column, dtype: T.DataType) -> Optional[Column]:
+    """Typed literal term for a relational value; lexical forms round-trip
+    exactly through Spark casts (Double.toString / ISO timestamps)."""
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return term_struct(F.lit(TT_LITERAL), col.cast("string"), F.lit(XSD_INTEGER))
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return term_struct(F.lit(TT_LITERAL), col.cast("double").cast("string"),
+                           F.lit(XSD_DOUBLE))
+    if isinstance(dtype, T.StringType):
+        return term_struct(F.lit(TT_LITERAL), col, F.lit(XSD_STRING))
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        lex = F.regexp_replace(col.cast("string"), " ", "T")
+        return term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_DATETIME))
+    return None  # arrays/maps/binary are not mapped into the graph
+
+
+def table_to_quads(df: DataFrame, table: str) -> DataFrame:
+    """One table → quads(graph=NULL, subject, predicate, object)."""
+    code, key_cols, fks = TPCH_SPEC[table]
+    subj = term_struct(
+        F.lit(TT_IRI),
+        F.concat(F.lit(f"x:{code}:"),
+                 F.concat_ws("-", *[F.col(k).cast("string") for k in key_cols])),
+    )
+
+    pairs: list[Column] = [
+        F.struct(_const_iri(RDF_TYPE).alias("p"), _const_iri(class_iri(table)).alias("o"))
+    ]
+    for field in df.schema.fields:
+        pred = _const_iri(predicate_iri(table, field.name))
+        if field.name in fks:
+            tgt_code = TPCH_SPEC[fks[field.name]][0]
+            obj = term_struct(
+                F.lit(TT_IRI),
+                F.concat(F.lit(f"x:{tgt_code}:"), F.col(field.name).cast("string")),
+            )
+            obj = F.when(F.col(field.name).isNotNull(), obj)
+        else:
+            lit = _literal_for(F.col(field.name), field.dataType)
+            if lit is None:
+                continue
+            obj = F.when(F.col(field.name).isNotNull(), lit)
+        pairs.append(F.struct(pred.alias("p"), obj.alias("o")))
+
+    exploded = df.select(
+        subj.alias("subject"), F.explode(F.array(*pairs)).alias("po")
+    ).where(F.col("po.o").isNotNull())
+    return exploded.select(
+        F.lit(None).cast(TERM_TYPE).alias("graph"),
+        F.col("subject"),
+        F.col("po.p").alias("predicate"),
+        F.col("po.o").alias("object"),
+    )
+
+
+def load_relational_graph(
+    spark: SparkSession,
+    sf_dir: str,
+    tables: Optional[Sequence[str]] = None,
+) -> DataFrame:
+    """Union of per-table quads for the driver's synthetic warehouse."""
+    names = list(tables) if tables else list(TPCH_SPEC)
+    out: Optional[DataFrame] = None
+    for t in names:
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        q = table_to_quads(df, t)
+        out = q if out is None else out.unionByName(q)
+    assert out is not None
+    return out

@@ -1,0 +1,229 @@
+"""The quad store: a (cached) quads DataFrame plus the public query API.
+
+Reference analogue: `Store` (lib/rdf-fusion/src/store.rs) over in-memory
+sorted GSPO/GPOS/GOSP indexes (lib/storage/src/memory/storage/mem_storage.rs:42-44).
+Spark-first redesign: ONE quads DataFrame; Catalyst predicate pushdown +
+column pruning replace index selection, and an optional subject-hash
+repartition replaces the sorted permutations (subject-subject joins — the
+dominant join in BGP stars — then reuse one exchange).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .terms import (
+    COL_GRAPH,
+    COL_OBJECT,
+    COL_PREDICATE,
+    COL_SUBJECT,
+    QUADS_SCHEMA,
+    BlankNode,
+    Literal,
+    NamedNode,
+    Term,
+    TermOrVar,
+    Variable,
+    term_lit,
+    term_matches,
+)
+
+
+class ActiveGraph:
+    """Which graphs a pattern matches (reference:
+    lib/logical/src/active_graph.rs)."""
+
+    DEFAULT = "default"
+    ALL = "all"          # union of default + named
+    ANY_NAMED = "named"  # any named graph
+
+    def __init__(self, kind: str, graphs: Optional[list[NamedNode]] = None):
+        self.kind = kind
+        self.graphs = graphs or []
+
+    @classmethod
+    def default(cls) -> "ActiveGraph":
+        return cls(cls.DEFAULT)
+
+    @classmethod
+    def union(cls, graphs: list[NamedNode]) -> "ActiveGraph":
+        return cls("union", graphs)
+
+    @classmethod
+    def any_named(cls) -> "ActiveGraph":
+        return cls(cls.ANY_NAMED)
+
+    @classmethod
+    def all_graphs(cls) -> "ActiveGraph":
+        return cls(cls.ALL)
+
+
+class GraphStore:
+    def __init__(self, spark: SparkSession, quads: DataFrame):
+        self.spark = spark
+        self.quads = quads
+
+    # ------------------------------------------------------------------
+    # constructors
+    # ------------------------------------------------------------------
+
+    @classmethod
+    def empty(cls, spark: SparkSession) -> "GraphStore":
+        return cls(spark, spark.createDataFrame([], QUADS_SCHEMA))
+
+    @classmethod
+    def from_relational(cls, spark: SparkSession, sf_dir: str,
+                        tables=None) -> "GraphStore":
+        from .sources.relational import load_relational_graph
+        return cls(spark, load_relational_graph(spark, sf_dir, tables))
+
+    @classmethod
+    def from_parquet(cls, spark: SparkSession, path: str) -> "GraphStore":
+        """Quads persisted by save_parquet (reference:
+        lib/storage/src/memory/persistence/parquet.rs — whole store ⇄ Parquet
+        in PlainTerm encoding; here it's the native table format)."""
+        return cls(spark, spark.read.parquet(path))
+
+    @classmethod
+    def from_ntriples(cls, spark: SparkSession, path: str) -> "GraphStore":
+        from .sources.ntriples import read_ntriples
+        return cls(spark, read_ntriples(spark, path))
+
+    @classmethod
+    def from_python_quads(cls, spark: SparkSession, quads) -> "GraphStore":
+        """quads: iterable of (graph|None, subject, predicate, object) Terms."""
+        rows = []
+        for g, s, p, o in quads:
+            rows.append((_term_row(g), _term_row(s), _term_row(p), _term_row(o)))
+        return cls(spark, spark.createDataFrame(rows, QUADS_SCHEMA))
+
+    def save_parquet(self, path: str, mode: str = "overwrite") -> None:
+        self.quads.write.mode(mode).parquet(path)
+
+    # ------------------------------------------------------------------
+    # tuning
+    # ------------------------------------------------------------------
+
+    def cached(self) -> "GraphStore":
+        return GraphStore(self.spark, self.quads.cache())
+
+    def partitioned_by_subject(self, n: Optional[int] = None) -> "GraphStore":
+        """Pre-shuffle by subject so star-join chains reuse one exchange."""
+        q = self.quads.repartition(n, COL_SUBJECT) if n else self.quads.repartition(COL_SUBJECT)
+        return GraphStore(self.spark, q)
+
+    # ------------------------------------------------------------------
+    # pattern scan (reference: QuadPatternNode,
+    # lib/logical/src/quad_pattern/logical.rs:33-140 +
+    # MemQuadPatternDataSource, pattern_data_source.rs:19-108)
+    # ------------------------------------------------------------------
+
+    def scan_pattern(
+        self,
+        subject: TermOrVar,
+        predicate: TermOrVar,
+        obj: TermOrVar,
+        active_graph: Optional[ActiveGraph] = None,
+        graph_var: Optional[Variable] = None,
+    ) -> DataFrame:
+        """Solution DataFrame for one quad pattern: one column per variable.
+
+        Constant terms become field-level parquet-pushable filters; repeated
+        variables become same-column equality filters; output is projected to
+        the variable columns only (column pruning reaches the scan).
+        """
+        ag = active_graph or ActiveGraph.default()
+        df = self.quads
+        gcol = F.col(COL_GRAPH)
+
+        if ag.kind == ActiveGraph.DEFAULT:
+            df = df.where(gcol.isNull())
+        elif ag.kind == ActiveGraph.ANY_NAMED:
+            df = df.where(gcol.isNotNull())
+        elif ag.kind == "union":
+            conds = [term_matches(gcol, g) for g in ag.graphs]
+            if len(conds) == 1:
+                df = df.where(conds[0])
+            else:
+                c = conds[0]
+                for extra in conds[1:]:
+                    c = c | extra
+                df = df.where(c)
+        # ALL: no graph filter
+
+        positions = [(COL_SUBJECT, subject), (COL_PREDICATE, predicate), (COL_OBJECT, obj)]
+        var_first_col: dict[str, str] = {}
+        for colname, tv in positions:
+            if isinstance(tv, Variable):
+                if tv.name in var_first_col:  # repeated variable → equality
+                    df = df.where(F.col(var_first_col[tv.name]) == F.col(colname))
+                else:
+                    var_first_col[tv.name] = colname
+            elif tv is not None:
+                df = df.where(term_matches(F.col(colname), tv))
+
+        out_cols = [F.col(c).alias(v) for v, c in
+                    ((v, c) for v, c in var_first_col.items())]
+        if graph_var is not None and ag.kind != ActiveGraph.DEFAULT:
+            out_cols.append(gcol.alias(graph_var.name))
+        if not out_cols:
+            # fully-ground pattern: keep a row per match, no columns needed —
+            # emit a dummy to keep DataFrame non-degenerate
+            return df.select(F.lit(True).alias("__match__"))
+        return df.select(*out_cols)
+
+    def quads_for_pattern(
+        self,
+        subject: Optional[Term] = None,
+        predicate: Optional[Term] = None,
+        obj: Optional[Term] = None,
+        graph: Union[Term, None, str] = "any",
+    ) -> DataFrame:
+        """Raw quad rows matching a (possibly wildcarded) pattern
+        (reference: Store::quads_for_pattern, lib/rdf-fusion/src/store.rs:272-382)."""
+        df = self.quads
+        if graph is None:
+            df = df.where(F.col(COL_GRAPH).isNull())
+        elif isinstance(graph, (NamedNode, BlankNode)):
+            df = df.where(term_matches(F.col(COL_GRAPH), graph))
+        for colname, t in ((COL_SUBJECT, subject), (COL_PREDICATE, predicate),
+                           (COL_OBJECT, obj)):
+            if t is not None:
+                df = df.where(term_matches(F.col(colname), t))
+        return df
+
+    def __len__(self) -> int:
+        return self.quads.count()
+
+    def contains(self, subject: Term, predicate: Term, obj: Term,
+                 graph: Union[Term, None, str] = "any") -> bool:
+        return bool(self.quads_for_pattern(subject, predicate, obj, graph).head(1))
+
+    # ------------------------------------------------------------------
+    # SPARQL
+    # ------------------------------------------------------------------
+
+    def query(self, sparql: str):
+        """Parse + translate + return the result (DataFrame-backed).
+
+        reference lifecycle: lib/execution/src/sparql/eval.rs:24-133.
+        """
+        from .sparql.parser import parse_query
+        from .plans.translator import evaluate_query
+        q = parse_query(sparql)
+        return evaluate_query(self, q)
+
+
+def _term_row(t: Optional[Term]):
+    if t is None:
+        return None
+    if isinstance(t, NamedNode):
+        return (0, t.iri, None, None)
+    if isinstance(t, BlankNode):
+        return (1, t.id, None, None)
+    if isinstance(t, Literal):
+        return (2, t.lexical, t.datatype, t.language)
+    raise TypeError(f"not a term: {t!r}")

@@ -1,0 +1,294 @@
+"""RDF term model for the PySpark engine.
+
+The engine's universal value domain is the *plain term*: a Spark struct
+mirroring the reference's PlainTerm Arrow encoding
+(reference: lib/encoding/src/plain_term/encoding.rs:17-76) —
+
+    struct<t: tinyint NOT NULL,   -- 0=IRI, 1=blank node, 2=literal
+           v: string  NOT NULL,   -- IRI string / bnode id / lexical form
+           dt: string NULL,       -- datatype IRI (literals only)
+           lang: string NULL>     -- language tag (lang literals only)
+
+Design decisions (Spark-first, not a port):
+  * Struct columns support `=`, hash joins, groupBy and dropDuplicates
+    natively in Spark, and struct equality treats NULL fields as equal —
+    which is exactly SPARQL `sameTerm` semantics
+    (reference invariant: lib/encoding/src/encoding.rs:80-83).
+  * Simple literals are canonicalized to dt=xsd:string and language tags
+    are lower-cased at construction, so byte-equality == term identity.
+  * The TypedValue union encoding of the reference
+    (lib/encoding/src/typed_value/encoding.rs:16-136) is NOT materialized;
+    value-space views are computed lazily as Column expressions in
+    functions/typed_ops.py. Catalyst's common-subexpression elimination and
+    whole-stage codegen make the recomputation cheap, and we avoid carrying
+    a wide union struct through every shuffle.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Union
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# Well-known IRIs
+# ---------------------------------------------------------------------------
+
+XSD = "http://www.w3.org/2001/XMLSchema#"
+RDF_NS = "http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+RDFS_NS = "http://www.w3.org/2000/01/rdf-schema#"
+
+XSD_STRING = XSD + "string"
+XSD_BOOLEAN = XSD + "boolean"
+XSD_INTEGER = XSD + "integer"
+XSD_INT = XSD + "int"
+XSD_LONG = XSD + "long"
+XSD_SHORT = XSD + "short"
+XSD_BYTE = XSD + "byte"
+XSD_NON_NEGATIVE_INTEGER = XSD + "nonNegativeInteger"
+XSD_NON_POSITIVE_INTEGER = XSD + "nonPositiveInteger"
+XSD_NEGATIVE_INTEGER = XSD + "negativeInteger"
+XSD_POSITIVE_INTEGER = XSD + "positiveInteger"
+XSD_UNSIGNED_LONG = XSD + "unsignedLong"
+XSD_UNSIGNED_INT = XSD + "unsignedInt"
+XSD_UNSIGNED_SHORT = XSD + "unsignedShort"
+XSD_UNSIGNED_BYTE = XSD + "unsignedByte"
+XSD_DECIMAL = XSD + "decimal"
+XSD_FLOAT = XSD + "float"
+XSD_DOUBLE = XSD + "double"
+XSD_DATETIME = XSD + "dateTime"
+XSD_DATE = XSD + "date"
+XSD_TIME = XSD + "time"
+XSD_DURATION = XSD + "duration"
+XSD_YEAR_MONTH_DURATION = XSD + "yearMonthDuration"
+XSD_DAY_TIME_DURATION = XSD + "dayTimeDuration"
+RDF_LANG_STRING = RDF_NS + "langString"
+RDF_TYPE = RDF_NS + "type"
+
+# integer-family datatypes (value space ⊆ xsd:integer)
+INTEGER_TYPES = (
+    XSD_INTEGER, XSD_INT, XSD_LONG, XSD_SHORT, XSD_BYTE,
+    XSD_NON_NEGATIVE_INTEGER, XSD_NON_POSITIVE_INTEGER,
+    XSD_NEGATIVE_INTEGER, XSD_POSITIVE_INTEGER,
+    XSD_UNSIGNED_LONG, XSD_UNSIGNED_INT, XSD_UNSIGNED_SHORT,
+    XSD_UNSIGNED_BYTE,
+)
+NUMERIC_TYPES = INTEGER_TYPES + (XSD_DECIMAL, XSD_FLOAT, XSD_DOUBLE)
+
+# term_type codes (reference: lib/encoding/src/plain_term/encoding.rs term_type)
+TT_IRI = 0
+TT_BNODE = 1
+TT_LITERAL = 2
+
+# ---------------------------------------------------------------------------
+# Spark schema
+# ---------------------------------------------------------------------------
+
+TERM_FIELDS = [
+    T.StructField("t", T.ByteType(), False),
+    T.StructField("v", T.StringType(), False),
+    T.StructField("dt", T.StringType(), True),
+    T.StructField("lang", T.StringType(), True),
+]
+TERM_TYPE = T.StructType(TERM_FIELDS)
+
+# the quads table schema (reference: lib/model/src/quads.rs:1-4)
+# graph is NULL for the default graph.
+QUADS_SCHEMA = T.StructType([
+    T.StructField("graph", TERM_TYPE, True),
+    T.StructField("subject", TERM_TYPE, False),
+    T.StructField("predicate", TERM_TYPE, False),
+    T.StructField("object", TERM_TYPE, False),
+])
+
+COL_GRAPH = "graph"
+COL_SUBJECT = "subject"
+COL_PREDICATE = "predicate"
+COL_OBJECT = "object"
+
+
+# ---------------------------------------------------------------------------
+# Python-side term values (used in patterns, constants, test fixtures)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class NamedNode:
+    iri: str
+
+    def __str__(self) -> str:  # N-Triples form
+        return f"<{self.iri}>"
+
+
+@dataclass(frozen=True)
+class BlankNode:
+    id: str
+
+    def __str__(self) -> str:
+        return f"_:{self.id}"
+
+
+@dataclass(frozen=True)
+class Literal:
+    lexical: str
+    datatype: str = XSD_STRING
+    language: Optional[str] = None
+
+    def __post_init__(self):
+        if self.language is not None:
+            object.__setattr__(self, "language", self.language.lower())
+            object.__setattr__(self, "datatype", RDF_LANG_STRING)
+
+    def __str__(self) -> str:
+        esc = (self.lexical.replace("\\", "\\\\").replace('"', '\\"')
+               .replace("\n", "\\n").replace("\r", "\\r"))
+        if self.language:
+            return f'"{esc}"@{self.language}'
+        if self.datatype and self.datatype != XSD_STRING:
+            return f'"{esc}"^^<{self.datatype}>'
+        return f'"{esc}"'
+
+
+@dataclass(frozen=True)
+class Variable:
+    name: str
+
+    def __str__(self) -> str:
+        return f"?{self.name}"
+
+
+Term = Union[NamedNode, BlankNode, Literal]
+TermOrVar = Union[NamedNode, BlankNode, Literal, Variable]
+
+# default graph sentinel used in the public API (maps to NULL graph column)
+DEFAULT_GRAPH = None
+
+
+def integer(n: int) -> Literal:
+    return Literal(str(n), XSD_INTEGER)
+
+
+def double(x: float) -> Literal:
+    return Literal(repr(float(x)), XSD_DOUBLE)
+
+
+def boolean(b: bool) -> Literal:
+    return Literal("true" if b else "false", XSD_BOOLEAN)
+
+
+def string(s: str) -> Literal:
+    return Literal(s, XSD_STRING)
+
+
+# ---------------------------------------------------------------------------
+# Column builders
+# ---------------------------------------------------------------------------
+
+def _tt(code: int) -> Column:
+    return F.lit(code).cast("tinyint")
+
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
+def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None) -> Column:
+    """Assemble a term struct column from parts."""
+    return F.struct(
+        t.cast("tinyint").alias("t"),
+        v.alias("v"),
+        (dt if dt is not None else _null_str()).alias("dt"),
+        (lang if lang is not None else _null_str()).alias("lang"),
+    )
+
+
+def iri_col(v: Column) -> Column:
+    return term_struct(_tt(TT_IRI), v)
+
+
+def bnode_col(v: Column) -> Column:
+    return term_struct(_tt(TT_BNODE), v)
+
+
+def literal_col(v: Column, datatype: str = XSD_STRING, lang: Column = None) -> Column:
+    if lang is not None:
+        return term_struct(_tt(TT_LITERAL), v, F.lit(RDF_LANG_STRING), F.lower(lang))
+    return term_struct(_tt(TT_LITERAL), v, F.lit(datatype))
+
+
+def typed_literal_col(v: Column, dt: Column) -> Column:
+    return term_struct(_tt(TT_LITERAL), v, dt)
+
+
+def term_lit(term: Term) -> Column:
+    """A constant term as a Column literal."""
+    if isinstance(term, NamedNode):
+        return term_struct(_tt(TT_IRI), F.lit(term.iri))
+    if isinstance(term, BlankNode):
+        return term_struct(_tt(TT_BNODE), F.lit(term.id))
+    if isinstance(term, Literal):
+        if term.language:
+            return term_struct(_tt(TT_LITERAL), F.lit(term.lexical),
+                               F.lit(RDF_LANG_STRING), F.lit(term.language))
+        return term_struct(_tt(TT_LITERAL), F.lit(term.lexical), F.lit(term.datatype))
+    raise TypeError(f"not a term: {term!r}")
+
+
+def term_matches(col: Column, term: Term) -> Column:
+    """Field-level equality filter for a constant term.
+
+    Emitted as a conjunction of leaf comparisons (not struct equality) so
+    Catalyst pushes each predicate into the Parquet scan
+    (reference analogue: pattern constant filters,
+    lib/logical/src/patterns/rewrite.rs:29-150).
+    """
+    if isinstance(term, NamedNode):
+        return (col["t"] == TT_IRI) & (col["v"] == term.iri)
+    if isinstance(term, BlankNode):
+        return (col["t"] == TT_BNODE) & (col["v"] == term.id)
+    if isinstance(term, Literal):
+        cond = (col["t"] == TT_LITERAL) & (col["v"] == term.lexical)
+        if term.language:
+            cond = cond & (col["lang"] == term.language)
+        else:
+            cond = cond & (col["dt"] == term.datatype) & col["lang"].isNull()
+        return cond
+    raise TypeError(f"not a term: {term!r}")
+
+
+def same_term(a: Column, b: Column) -> Column:
+    """SPARQL sameTerm — struct equality (NULL fields compare equal in Spark
+    struct ordering, matching 'dt is NULL on both sides' identity)."""
+    return a == b
+
+
+def is_iri(c: Column) -> Column:
+    return c["t"] == TT_IRI
+
+
+def is_bnode(c: Column) -> Column:
+    return c["t"] == TT_BNODE
+
+
+def is_literal(c: Column) -> Column:
+    return c["t"] == TT_LITERAL
+
+
+def is_numeric_literal(c: Column) -> Column:
+    return (c["t"] == TT_LITERAL) & c["dt"].isin(*NUMERIC_TYPES)
+
+
+def term_to_python(row) -> Optional[Term]:
+    """Decode a term struct Row to a Python term (driver-side, result decoding)."""
+    if row is None:
+        return None
+    t = row["t"]
+    if t == TT_IRI:
+        return NamedNode(row["v"])
+    if t == TT_BNODE:
+        return BlankNode(row["v"])
+    if row["lang"]:
+        return Literal(row["v"], language=row["lang"])
+    return Literal(row["v"], row["dt"] or XSD_STRING)
