@@ -92,13 +92,16 @@ def eval_path(path, ctx) -> DataFrame:
             out = out.unionByName(x)
         return out.dropDuplicates()
     if isinstance(path, A.PathSequence):
-        l = eval_path(path.first, ctx).alias("l")
-        r = eval_path(path.second, ctx).alias("r")
-        cond = l[TGT] == r[SRC]
+        l = eval_path(path.first, ctx)
+        # rename right side to avoid self-join ambiguity (e.g. :p/:p)
+        r = eval_path(path.second, ctx).select(
+            F.col(SRC).alias("__rsrc"), F.col(TGT).alias("__rtgt"),
+            *[F.col(c).alias(f"__rg_{c}") for c in g])
+        cond = F.col(TGT) == F.col("__rsrc")
         for c in g:
-            cond = cond & (l[c] == r[c])
-        out = l.join(r, cond).select(l[SRC].alias(SRC), r[TGT].alias(TGT),
-                                     *[l[c].alias(c) for c in g])
+            cond = cond & (F.col(c) == F.col(f"__rg_{c}"))
+        out = l.join(r, cond).select(F.col(SRC), F.col("__rtgt").alias(TGT),
+                                     *[F.col(c) for c in g])
         return out.dropDuplicates()
     if isinstance(path, A.PathAlternative):
         return (eval_path(path.left, ctx)
@@ -150,17 +153,18 @@ def _kleene_plus(edges: DataFrame, ctx) -> DataFrame:
     """
     g = _gcols(ctx)
     edges = edges.dropDuplicates().localCheckpoint(eager=True)
+    # renamed copy of the (static) edge relation for unambiguous self-joins
+    redges = edges.select(F.col(SRC).alias("__esrc"), F.col(TGT).alias("__etgt"),
+                          *[F.col(c).alias(f"__eg_{c}") for c in g])
     paths = edges
     delta = edges
     for _ in range(MAX_ITERATIONS):
-        l = delta.alias("d")
-        r = edges.alias("e")
-        cond = l[TGT] == r[SRC]
+        cond = F.col(TGT) == F.col("__esrc")
         for c in g:
-            cond = cond & (l[c] == r[c])
-        stepped = (l.join(r, cond)
-                   .select(l[SRC].alias(SRC), r[TGT].alias(TGT),
-                           *[l[c].alias(c) for c in g])
+            cond = cond & (F.col(c) == F.col(f"__eg_{c}"))
+        stepped = (delta.join(redges, cond)
+                   .select(F.col(SRC), F.col("__etgt").alias(TGT),
+                           *[F.col(c) for c in g])
                    .dropDuplicates())
         delta = stepped.join(paths, on=[SRC, TGT] + g, how="left_anti") \
             .localCheckpoint(eager=True)

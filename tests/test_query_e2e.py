@@ -1,0 +1,114 @@
+"""Full pipeline: SPARQL text → parse → translate → execute."""
+
+from rdf_fusion_spark.plans.translator import AskResult, GraphResult, SelectResult
+from rdf_fusion_spark.terms import Literal, NamedNode, term_to_python
+
+EX = "http://example.org/"
+
+
+def d(result):
+    """rows as list of dicts var→python term"""
+    out = []
+    for r in result.df.collect():
+        out.append({v: term_to_python(r[v]) for v in result.variables})
+    return out
+
+
+def test_select_query_text(spiderman):
+    res = spiderman.query("""
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX rel: <http://www.perceive.net/schemas/relationship/>
+        SELECT ?name WHERE {
+          ?s rel:enemyOf <http://example.org/green-goblin> .
+          ?s foaf:name ?name .
+          FILTER(LANG(?name) = "")
+        }
+    """)
+    assert isinstance(res, SelectResult)
+    assert d(res) == [{"name": Literal("Spiderman")}]
+
+
+def test_ask(spiderman):
+    assert spiderman.query(
+        "ASK { <http://example.org/spiderman> ?p ?o }").value is True
+    assert spiderman.query(
+        "ASK { <http://example.org/nobody> ?p ?o }").value is False
+
+
+def test_order_limit(spiderman):
+    res = spiderman.query("""
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        SELECT ?name WHERE { ?s foaf:name ?name } ORDER BY ?name LIMIT 2
+    """)
+    names = [r["name"].lexical for r in d(res)]
+    assert names == sorted(names)
+    assert len(names) == 2
+
+
+def test_aggregate_query(spiderman):
+    res = spiderman.query("""
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        SELECT ?s (COUNT(?name) AS ?n) WHERE { ?s foaf:name ?name }
+        GROUP BY ?s ORDER BY DESC(?n)
+    """)
+    rows = d(res)
+    assert rows[0]["n"].lexical == "2"
+
+
+def test_construct(spiderman):
+    res = spiderman.query("""
+        PREFIX rel: <http://www.perceive.net/schemas/relationship/>
+        CONSTRUCT { ?b <http://example.org/foe> ?a }
+        WHERE { ?a rel:enemyOf ?b }
+    """)
+    assert isinstance(res, GraphResult)
+    triples = res.df.collect()
+    assert len(triples) == 2
+
+
+def test_property_path_query(spiderman):
+    # enemyOf+ from spiderman reaches both (cycle)
+    res = spiderman.query("""
+        PREFIX rel: <http://www.perceive.net/schemas/relationship/>
+        SELECT ?x WHERE { <http://example.org/spiderman> rel:enemyOf+ ?x }
+    """)
+    xs = {r["x"].iri for r in d(res)}
+    assert xs == {EX + "spiderman", EX + "green-goblin"}
+
+
+def test_values_join(spiderman):
+    res = spiderman.query("""
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        SELECT ?s ?name WHERE {
+          VALUES ?s { <http://example.org/spiderman> }
+          ?s foaf:name ?name .
+          FILTER(LANG(?name) = "")
+        }
+    """)
+    rows = d(res)
+    assert len(rows) == 1 and rows[0]["name"].lexical == "Spiderman"
+
+
+def test_exists_filter(spiderman):
+    res = spiderman.query("""
+        PREFIX foaf: <http://xmlns.com/foaf/0.1/>
+        PREFIX rel: <http://www.perceive.net/schemas/relationship/>
+        SELECT ?s WHERE {
+          ?s a foaf:Person .
+          FILTER EXISTS { ?s foaf:name ?n FILTER(LANGMATCHES(LANG(?n), "ru")) }
+        }
+    """)
+    assert [r["s"].iri for r in d(res)] == [EX + "spiderman"]
+
+
+def test_bind_arithmetic(spiderman):
+    res = spiderman.query("""
+        SELECT ?y WHERE { BIND(2 + 3 * 4 AS ?y) }
+    """)
+    assert d(res)[0]["y"].lexical == "14"
+
+
+def test_describe(spiderman):
+    res = spiderman.query("DESCRIBE <http://example.org/spiderman>")
+    assert isinstance(res, GraphResult)
+    assert res.df.count() == 4  # type, enemyOf, two names
