@@ -1,0 +1,89 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": sec, ...},
+   "sf": ...}
+
+Each query is materialized with a noop write (full plan execution, no
+driver-side collect) so the timing reflects distributed execution cost.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+# representative slice of the inventory: scan+agg, star join, top-k,
+# optional, transitive closure, datetime, plus the LLM-pipeline operators
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q2_join_region_filter",
+    "q3_topk_revenue",
+    "q5_star_join",
+    "q_optional_highqty",
+    "q_group_minmax_having",
+    "q_events_by_type",
+    "q_path_kleene_plus",
+    "q_dedup_exact",
+    "q_dedup_minhash_lsh",
+    "q_ann_cosine_topk",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .appName("rdf-fusion-spark-bench")
+        .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.sql.adaptive.enabled", "true")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from rdf_fusion_spark import entry_queries as EQ
+
+    qs = EQ.queries()
+    names = [n for n in BENCH_QUERIES if n in qs]
+
+    # warm the relational graph cache once, outside per-query timings
+    EQ.get_graph(spark, SF_DIR)
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in names:
+        t0 = time.perf_counter()
+        df = qs[name](spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: object = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": sf_val,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -118,11 +118,11 @@ _q(
      ("avg_disc", "double"), ("count_order", "long")],
     f"""
     SELECT l_returnflag, l_linestatus,
-           CAST(SUM({_dec('l_quantity')}) AS DOUBLE) AS sum_qty,
-           CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE) AS sum_base_price,
-           CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE)
+           CAST(CAST(SUM({_dec('l_quantity')}) AS VARCHAR) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM({_dec('l_extendedprice')}) AS VARCHAR) AS DOUBLE) AS sum_base_price,
+           CAST(CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS VARCHAR) AS DOUBLE)
                AS sum_disc_price,
-           CAST(SUM({_dec('l_discount')}) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
+           CAST(CAST(SUM({_dec('l_discount')}) AS VARCHAR) AS DOUBLE) / COUNT(l_discount) AS avg_disc,
            CAST(COUNT(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -171,7 +171,7 @@ _q(
     [("n_name", "str"), ("revenue", "double")],
     f"""
     SELECT n_name,
-           CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) AS revenue
+           CAST(CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
     JOIN customer ON o_custkey = c_custkey
@@ -200,7 +200,7 @@ _q(
     [("okey", "long"), ("revenue", "double")],
     f"""
     SELECT o_orderkey AS okey,
-           CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS DOUBLE) AS revenue
+           CAST(CAST(SUM({_dec('l_extendedprice * (1 - l_discount)')}) AS VARCHAR) AS DOUBLE) AS revenue
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     GROUP BY o_orderkey
     ORDER BY revenue DESC, okey
@@ -437,7 +437,7 @@ _q(
     [("etype", "str"), ("n", "long"), ("total", "double")],
     f"""
     SELECT event_type AS etype, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM({_dec('value')}) AS DOUBLE) AS total
+           CAST(CAST(SUM({_dec('value')}) AS VARCHAR) AS DOUBLE) AS total
     FROM events WHERE YEAR(ts) >= 2024
     GROUP BY event_type
     """,
@@ -487,7 +487,7 @@ _q(
     [("nname", "str"), ("avg_bal", "double")],
     f"""
     SELECT n_name AS nname,
-           CAST(SUM({_dec('c_acctbal')}) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
+           CAST(CAST(SUM({_dec('c_acctbal')}) AS VARCHAR) AS DOUBLE) / COUNT(c_acctbal) AS avg_bal
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,

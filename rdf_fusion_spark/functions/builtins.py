@@ -85,6 +85,43 @@ def _err_if(cond: Column, val: Column) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# subexpression interning — keeps compiled plans LINEAR in expression size.
+#
+# Every builder below references its operand Columns several times
+# (numeric_rank / as_long / as_decimal / ... are each a CASE over the
+# operand), so inlining operand trees grows plans exponentially with nesting
+# and OOMs the driver JVM at plan time. The translator pushes an interner
+# (Column -> named temp column reference) while compiling against a
+# DataFrame; every ECall result routes through it, so operands are always
+# plain column references. Catalyst's CollapseProject keeps multi-referenced
+# aliases materialized, preserving linearity through optimization.
+# ---------------------------------------------------------------------------
+
+_INTERN_STACK: list[Callable[[Column], Column]] = []
+
+
+def _intern(col: Column) -> Column:
+    if _INTERN_STACK:
+        return _INTERN_STACK[-1](col)
+    return col
+
+
+class intern_scope:
+    """Context manager installing an interner for the duration of a compile."""
+
+    def __init__(self, interner: Callable[[Column], Column]):
+        self.interner = interner
+
+    def __enter__(self):
+        _INTERN_STACK.append(self.interner)
+        return self.interner
+
+    def __exit__(self, *exc):
+        _INTERN_STACK.pop()
+        return False
+
+
+# ---------------------------------------------------------------------------
 # public entry points
 # ---------------------------------------------------------------------------
 
@@ -102,13 +139,13 @@ def compile_expr(expr, resolve: Resolver) -> Column:
     if isinstance(expr, ECall):
         name = expr.name
         if name in _BOOL_OPS:
-            return bool_term(compile_bool(expr, resolve))
+            return _intern(bool_term(compile_bool(expr, resolve)))
         fn = _TERM_FNS.get(name)
         if fn is None:
             fn = _cast_fn(name)
         if fn is None:
             raise SparqlCompileError(f"unsupported function: {name}")
-        return fn([a for a in expr.args], resolve)
+        return _intern(fn([a for a in expr.args], resolve))
     raise SparqlCompileError(f"unknown expression node: {expr!r}")
 
 
@@ -447,8 +484,8 @@ def _fn_timezone(args, resolve):
     c = compile_expr(args[0], resolve)
     tz = F.regexp_extract(c["v"], r"(Z|[+-]\d\d:\d\d)$", 1)
     sign = F.when(tz.startswith("-"), -1).otherwise(1)
-    hours = (F.regexp_extract(tz).try_cast(r"(\d\d):", 1), "int") * sign
-    mins = (F.regexp_extract(tz).try_cast(r":(\d\d)$", 1), "int") * sign
+    hours = F.regexp_extract(tz, r"(\d\d):", 1).try_cast("int") * sign
+    mins = F.regexp_extract(tz, r":(\d\d)$", 1).try_cast("int") * sign
     lex = (
         F.when(tz == "Z", F.lit("PT0S"))
         .when((hours == 0) & (mins == 0), F.lit("PT0S"))
@@ -530,7 +567,8 @@ def _cast_fn(name: str):
         c = compile_expr(args[0], resolve)
         if target in ("integer", "int", "long", "short", "byte"):
             val = (
-                F.when(is_numeric(c), (F.try_cast(c["v"]).try_cast("double"), "long"))
+                F.when(is_numeric(c), F.coalesce(c["v"].try_cast("long"),
+                                                 c["v"].try_cast("double").cast("long")))
                 .when((c["dt"] == XSD_BOOLEAN),
                       F.when(as_boolean(c), 1).otherwise(0).cast("long"))
                 .when(is_plain_string(c), (c["v"]).try_cast("long"))

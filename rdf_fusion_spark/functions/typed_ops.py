@@ -311,8 +311,10 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
         F.when(~valid, F.lit(None).cast("struct<t:tinyint,v:string,dt:string,lang:string>"))
         .when(rank >= RANK_FLOAT, double_term(xres))
         .when((rank == RANK_DECIMAL) | F.lit(op == "/"), decimal_term(dres))
-        .otherwise(int_term(lres))
     )
+    # '/' has no integer branch: integer ÷ integer → decimal per the spec
+    if op != "/":
+        out = out.otherwise(int_term(lres))
     return out
 
 

@@ -62,9 +62,27 @@ class Ctx:
 def _resolver(sol: Solution) -> Callable[[str], Column]:
     def resolve(name: str) -> Column:
         if name in sol.maybe:
-            return sol.df[name]
+            return F.col(name)
         return NULL_TERM()
     return resolve
+
+
+class Interner:
+    """Materializes each compiled subexpression as a named temp column so
+    plans stay linear in expression size (see builtins._intern). Collect the
+    compiled Columns with __call__, read the augmented frame from .df, and
+    drop .names afterwards."""
+
+    def __init__(self, df: DataFrame, ctx: "Ctx"):
+        self.df = df
+        self.ctx = ctx
+        self.names: list[str] = []
+
+    def __call__(self, col: Column) -> Column:
+        name = self.ctx.fresh("ex")
+        self.df = self.df.withColumn(name, col)
+        self.names.append(name)
+        return F.col(name)
 
 
 def _inject_now(expr, ctx: Ctx):
@@ -115,8 +133,11 @@ def translate(p, ctx: Ctx) -> Solution:
         return _translate_graph(p, ctx)
     if isinstance(p, A.Extend):
         sol = translate(p.inner, ctx)
-        col = compile_term_expr(p.expr, sol, ctx)
-        df = sol.df.withColumn(p.var.name, col)
+        it = Interner(sol.df, ctx)
+        with B.intern_scope(it):
+            col = compile_term_expr(p.expr, sol, ctx)
+        keep = [c for c in sol.df.columns]
+        df = it.df.withColumn(p.var.name, col).select(*keep, p.var.name)
         return replace(sol, df=df, maybe=sol.maybe | {p.var.name})
     if isinstance(p, A.Minus):
         l = translate(p.left, ctx)
@@ -226,8 +247,15 @@ def _translate_filter(p: A.Filter, ctx: Ctx) -> Solution:
             sol = exists_join(sol, r, not c.args[0].negated)
         else:
             plain.append(c)
-    for c in plain:
-        sol = replace(sol, df=sol.df.where(compile_bool_expr(c, sol, ctx)))
+    if plain:
+        keep = [c for c in sol.df.columns]
+        it = Interner(sol.df, ctx)
+        with B.intern_scope(it):
+            conds = [compile_bool_expr(c, sol, ctx) for c in plain]
+        df = it.df
+        for cond in conds:
+            df = df.where(cond)
+        sol = replace(sol, df=df.select(*keep))
     return sol
 
 
@@ -287,25 +315,32 @@ def _translate_values(p: A.ValuesNode, ctx: Ctx) -> Solution:
 
 def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
     sol = translate(p.inner, ctx)
+    # ORDER BY must see pre-projection scope (its expressions may reference
+    # variables the projection drops); the sort survives the projection
+    # because a narrow select preserves row order.
+    sol = _apply_order(sol, ctx)
     names = [v.name for v in p.variables]
     cols = [
         (sol.df[n].alias(n) if n in sol.maybe else NULL_TERM().alias(n))
         for n in names
     ]
     df = sol.df.select(*cols)
-    return Solution(df=df, bound=sol.bound & set(names), maybe=set(names),
-                    pending_order=sol.pending_order)
+    return Solution(df=df, bound=sol.bound & set(names), maybe=set(names))
 
 
 def _apply_order(sol: Solution, ctx: Ctx) -> Solution:
     if not sol.pending_order:
         return sol
-    sort_cols = []
-    for cond in sol.pending_order:
-        key = sort_key(compile_term_expr(cond.expr, sol, ctx))
-        sort_cols.append(key.asc_nulls_first() if cond.ascending
-                         else key.desc_nulls_last())
-    return replace(sol, df=sol.df.orderBy(*sort_cols), pending_order=[])
+    keep = [c for c in sol.df.columns]
+    it = Interner(sol.df, ctx)
+    with B.intern_scope(it):
+        sort_cols = []
+        for cond in sol.pending_order:
+            key = it(sort_key(compile_term_expr(cond.expr, sol, ctx)))
+            sort_cols.append(key.asc_nulls_first() if cond.ascending
+                             else key.desc_nulls_last())
+    df = it.df.orderBy(*sort_cols).select(*keep)
+    return replace(sol, df=df, pending_order=[])
 
 
 def _translate_slice(p: A.Slice, ctx: Ctx) -> Solution:
@@ -326,7 +361,6 @@ def _translate_slice(p: A.Slice, ctx: Ctx) -> Solution:
 
 def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
     sol = translate(p.inner, ctx)
-    df = sol.df
     keys = [v.name for v in p.keys]
 
     aggs: list[Column] = []
@@ -337,14 +371,17 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
         tmp_cols[name] = col
         return name
 
-    for out_var, call in p.aggregates:
-        aggs.append(_compile_aggregate(call, sol, ctx, tmp).alias(out_var.name))
+    it = Interner(sol.df, ctx)
+    with B.intern_scope(it):
+        for out_var, call in p.aggregates:
+            aggs.append(_compile_aggregate(call, sol, ctx, tmp).alias(out_var.name))
+    df = it.df
 
     for name, col in tmp_cols.items():
         df = df.withColumn(name, col)
 
     if keys:
-        gdf = df.groupBy(*[df[k] if k in sol.maybe else NULL_TERM().alias(k)
+        gdf = df.groupBy(*[F.col(k) if k in sol.maybe else NULL_TERM().alias(k)
                            for k in keys])
     else:
         gdf = df.groupBy()

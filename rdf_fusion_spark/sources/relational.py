@@ -37,6 +37,10 @@ from ..terms import (
 )
 
 # table → (short code, key columns, {fk column → target table})
+# Key columns are used for subject identity ONLY when they are genuinely
+# unique. The driver's lineitem data has duplicate (l_orderkey, l_linenumber)
+# groups, so lineitem subjects derive from a full-row hash instead (no table
+# FK-references lineitem, so nothing else depends on its subject shape).
 TPCH_SPEC: dict[str, tuple[str, Sequence[str], dict[str, str]]] = {
     "region": ("r", ["r_regionkey"], {}),
     "nation": ("n", ["n_nationkey"], {"n_regionkey": "region"}),
@@ -49,6 +53,25 @@ TPCH_SPEC: dict[str, tuple[str, Sequence[str], dict[str, str]]] = {
     "events": ("e", ["event_id"], {}),
     "documents": ("d", ["doc_id"], {}),
 }
+
+# tables whose declared keys are NOT unique in the driver data: subject
+# identity = xxhash64 over every column (deterministic across re-scans, no
+# shuffle — scales to any size; verified collision-free on the test data).
+HASH_SUBJECT_TABLES = {"lineitem"}
+
+
+def configure_session(spark: SparkSession) -> SparkSession:
+    """Session settings the engine depends on (all runtime-settable).
+
+    * nanosAsLong lets Spark read the driver's TIMESTAMP(NANOS) parquet
+      (values surface as timestamp_ntz on Spark 4.x).
+    * UTC session timezone so xsd:dateTime comparisons match the oracle.
+    * AQE handles skew/partition coalescing at scale.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    return spark
 
 
 def entity_iri_prefix(table: str) -> str:
@@ -86,11 +109,11 @@ def _literal_for(col: Column, dtype: T.DataType) -> Optional[Column]:
 def table_to_quads(df: DataFrame, table: str) -> DataFrame:
     """One table → quads(graph=NULL, subject, predicate, object)."""
     code, key_cols, fks = TPCH_SPEC[table]
-    subj = term_struct(
-        F.lit(TT_IRI),
-        F.concat(F.lit(f"x:{code}:"),
-                 F.concat_ws("-", *[F.col(k).cast("string") for k in key_cols])),
-    )
+    if table in HASH_SUBJECT_TABLES:
+        row_id = F.xxhash64(*[F.col(f.name) for f in df.schema.fields]).cast("string")
+    else:
+        row_id = F.concat_ws("-", *[F.col(k).cast("string") for k in key_cols])
+    subj = term_struct(F.lit(TT_IRI), F.concat(F.lit(f"x:{code}:"), row_id))
 
     pairs: list[Column] = [
         F.struct(_const_iri(RDF_TYPE).alias("p"), _const_iri(class_iri(table)).alias("o"))
@@ -128,11 +151,34 @@ def load_relational_graph(
     tables: Optional[Sequence[str]] = None,
 ) -> DataFrame:
     """Union of per-table quads for the driver's synthetic warehouse."""
+    configure_session(spark)
     names = list(tables) if tables else list(TPCH_SPEC)
     out: Optional[DataFrame] = None
     for t in names:
-        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        df = read_table(spark, sf_dir, t)
         q = table_to_quads(df, t)
         out = q if out is None else out.unionByName(q)
     assert out is not None
     return out
+
+
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] (Spark surfaces them as raw
+    nanosecond longs under nanosAsLong). One footer read — O(1) at any scale."""
+    try:
+        import pyarrow.parquet as pq
+        return [f.name for f in pq.read_schema(path)
+                if str(f.type) == "timestamp[ns]"]
+    except Exception:
+        return []
+
+
+def read_table(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read one warehouse table with timestamp normalization applied."""
+    configure_session(spark)
+    path = f"{sf_dir}/{table}.parquet"
+    df = spark.read.parquet(path)
+    for c in _nanos_ts_columns(path):
+        # integer div: nanos exceed 2^53, float division would lose precision
+        df = df.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    return df

@@ -1,13 +1,15 @@
 """Local replica of the driver's t2 gate: every entry_queries query must
 match its DuckDB oracle on the same parquet tables (sf0.001 for speed)."""
 
+import os
+
 import duckdb
 import pandas as pd
 import pytest
 
 from rdf_fusion_spark import entry_queries as EQ
 
-SF_DIR = "/root/testdata/sf0.001"
+SF_DIR = os.environ.get("PARITY_SF_DIR", "/root/testdata/sf0.001")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
