@@ -494,11 +494,267 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# LLM-data-pipeline operators (pipeline/): dedup, similarity, text analysis
+# over the raw documents/embeddings tables. Hashes are MD5-derived so the
+# DuckDB oracle replicates results exactly (see pipeline/dedup.py).
+# ---------------------------------------------------------------------------
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.relational import read_table
+    return read_table(spark, sf_dir, "documents")
+
+
+def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .sources.relational import read_table
+    return read_table(spark, sf_dir, "embeddings")
+
+
+def _pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import with_text_stats
+    return with_text_stats(_docs(spark, sf_dir)).select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "avg_word_len", "fingerprint",
+    )
+
+
+def _pipe_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import with_language_id
+    return with_language_id(_docs(spark, sf_dir)).select(
+        "doc_id", "lang_pred", "ratio_en")
+
+
+def _pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import exact_dedup_groups
+    return exact_dedup_groups(_docs(spark, sf_dir)).select(
+        "text_hash", F.col("n_copies").cast("long").alias("n_copies"),
+        "canonical_id")
+
+
+def _pipe_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import fingerprint_dedup_groups
+    return fingerprint_dedup_groups(_docs(spark, sf_dir)).select(
+        "fingerprint", F.col("n_docs").cast("long").alias("n_docs"),
+        "canonical_id")
+
+
+JACCARD_THRESHOLD = 0.8
+LSH_THRESHOLD = 0.5
+
+
+def _pipe_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import jaccard_pairs
+    return jaccard_pairs(_docs(spark, sf_dir), JACCARD_THRESHOLD)
+
+
+def _pipe_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import minhash_lsh_pairs
+    return minhash_lsh_pairs(_docs(spark, sf_dir), LSH_THRESHOLD)
+
+
+def _pipe_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import simhash
+    return simhash(_docs(spark, sf_dir))
+
+
+ANN_K = 3
+ANN_NUM_QUERIES = 10
+
+
+def _pipe_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.similarity import cosine_topk
+    embs = _embs(spark, sf_dir)
+    out = cosine_topk(embs, embs.where(F.col("vec_id") < ANN_NUM_QUERIES), ANN_K)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cosine")
+
+
+def _pipe_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.similarity import lsh_bucket_topk
+    embs = _embs(spark, sf_dir)
+    out = lsh_bucket_topk(embs, embs.where(F.col("vec_id") < ANN_NUM_QUERIES), ANN_K)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cosine")
+
+
+def _pipeline_oracles() -> dict[str, str]:
+    from .pipeline.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
+    from .pipeline.text import LID_FLOOR, LID_MARKERS, TOKEN_RE
+
+    md5i = "('0x'||substr(md5({}),1,8))::BIGINT"
+    words = "string_split(text,' ')"
+    shingles = (f"list_distinct(list_transform(generate_series(1, len({words})-1),"
+                f" i -> {words}[i] || ' ' || {words}[i+1]))")
+
+    langs = sorted(LID_MARKERS)
+    ratio_exprs = {
+        lang: (f"len(list_filter({words}, w -> w IN ("
+               + ",".join(f"'{m}'" for m in LID_MARKERS[lang])
+               + f")))::DOUBLE / len({words})::DOUBLE")
+        for lang in langs
+    }
+    lid_case = (f"CASE WHEN greatest({', '.join('ratio_' + x for x in langs)})"
+                f" < {LID_FLOOR} THEN 'und' "
+                + " ".join(
+                    f"WHEN ratio_{x} = greatest("
+                    f"{', '.join('ratio_' + y for y in langs)}) THEN '{x}'"
+                    for x in langs)
+                + " END")
+
+    sig_exprs = ",\n    ".join(
+        "list_min(list_transform(shingles, "
+        f"s -> ('0x'||substr(md5(s||'#{k}'),1,8))::BIGINT)) AS s{k}"
+        for k in range(NUM_HASHES))
+    band_case = " ".join(
+        f"WHEN {i} THEN " + "||'_'||".join(
+            f"s{i * ROWS_PER_BAND + r}::VARCHAR" for r in range(ROWS_PER_BAND))
+        for i in range(NUM_BANDS))
+
+    charge_exprs = ",\n      ".join(
+        f"SUM(CASE WHEN (h & {1 << k}) <> 0 THEN 1 ELSE -1 END) AS c{k}"
+        for k in range(SIMHASH_BITS))
+    value_expr = " + ".join(
+        f"(CASE WHEN c{k} > 0 THEN {1 << k} ELSE 0 END)"
+        for k in range(SIMHASH_BITS))
+
+    # DuckDB single-quoted strings keep backslashes literal — escape only quotes
+    token_re_sql = TOKEN_RE.replace("'", "''")
+
+    ann_base = """
+    WITH q AS (SELECT vec_id AS query_id,
+                      list_transform(embedding, x -> x::DOUBLE) AS e{qfilter}
+               FROM embeddings{qwhere}),
+    c AS (SELECT vec_id AS neighbor_id,
+                 list_transform(embedding, x -> x::DOUBLE) AS e{cfilter}
+          FROM embeddings),
+    s AS (
+      SELECT query_id, neighbor_id,
+             list_dot_product(q.e, c.e)
+             / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e)))
+             AS cosine
+      FROM q JOIN c ON query_id <> neighbor_id{bucket_join}
+    )
+    SELECT query_id, rnk::BIGINT AS rank, neighbor_id, cosine
+    FROM (SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id) AS rnk
+          FROM s)
+    WHERE rnk <= {k}
+    """
+    bucket_expr = "||".join(
+        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
+        for i in range(8))
+
+    return {
+        "q_text_stats": f"""
+        SELECT doc_id,
+               len({words})::BIGINT AS n_words,
+               len(list_distinct({words}))::BIGINT AS n_distinct_words,
+               len(regexp_extract_all(text, '{token_re_sql}'))::BIGINT AS n_tokens,
+               length(replace(text,' ',''))::DOUBLE / len({words})::DOUBLE
+                   AS avg_word_len,
+               md5(array_to_string(list_sort(list_distinct({words})),' '))
+                   AS fingerprint
+        FROM documents
+        """,
+        "q_text_language_id": f"""
+        SELECT doc_id, {lid_case} AS lang_pred, ratio_en
+        FROM (SELECT doc_id,
+              {', '.join(f'{e} AS ratio_{lang}' for lang, e in ratio_exprs.items())}
+              FROM documents)
+        """,
+        "q_dedup_exact": """
+        SELECT md5(text) AS text_hash, COUNT(*)::BIGINT AS n_copies,
+               MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY md5(text)
+        """,
+        "q_dedup_fingerprint": f"""
+        SELECT md5(array_to_string(list_sort(list_distinct({words})),' '))
+                   AS fingerprint,
+               COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
+        FROM documents
+        GROUP BY 1 HAVING COUNT(*) >= 2
+        """,
+        "q_dedup_jaccard_pairs": f"""
+        WITH s AS (SELECT doc_id AS id, {shingles} AS sh FROM documents)
+        SELECT a.id AS id_a, b.id AS id_b,
+               len(list_intersect(a.sh, b.sh))::DOUBLE
+               / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE AS jaccard
+        FROM s a JOIN s b ON a.id < b.id
+        WHERE len(list_intersect(a.sh, b.sh))::DOUBLE
+              / len(list_distinct(list_concat(a.sh, b.sh)))::DOUBLE
+              >= {JACCARD_THRESHOLD}
+        """,
+        "q_dedup_minhash_lsh": f"""
+        WITH docs AS (SELECT doc_id, {shingles} AS shingles FROM documents),
+        sigs AS (SELECT doc_id, shingles, {sig_exprs} FROM docs),
+        bands AS (
+          SELECT doc_id, shingles, b.band_idx,
+                 CASE b.band_idx {band_case} END AS band_key
+          FROM sigs, (SELECT unnest(generate_series(0,{NUM_BANDS - 1}))
+                      AS band_idx) b
+        ),
+        cand AS (
+          SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                 a.shingles AS sh_a, b.shingles AS sh_b
+          FROM bands a JOIN bands b
+            ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+        )
+        SELECT id_a, id_b,
+               len(list_intersect(sh_a, sh_b))::DOUBLE
+               / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE AS jaccard
+        FROM cand
+        WHERE len(list_intersect(sh_a, sh_b))::DOUBLE
+              / len(list_distinct(list_concat(sh_a, sh_b)))::DOUBLE
+              >= {LSH_THRESHOLD}
+        """,
+        "q_dedup_simhash": f"""
+        WITH tok AS (
+          SELECT doc_id AS id,
+                 {md5i.format('w')} AS h
+          FROM (SELECT doc_id, unnest({words}) AS w FROM documents)
+        ),
+        charges AS (
+          SELECT id,
+      {charge_exprs}
+          FROM tok GROUP BY id
+        )
+        SELECT id, ({value_expr})::BIGINT AS simhash FROM charges
+        """,
+        "q_ann_cosine_topk": ann_base.format(
+            qfilter="", qwhere=f" WHERE vec_id < {ANN_NUM_QUERIES}",
+            cfilter="", bucket_join="", k=ANN_K),
+        "q_ann_lsh_bucket": ann_base.format(
+            qfilter=f", {bucket_expr} AS bucket",
+            qwhere=f" WHERE vec_id < {ANN_NUM_QUERIES}",
+            cfilter=f", {bucket_expr} AS bucket",
+            bucket_join=" AND q.bucket = c.bucket", k=ANN_K),
+    }
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "q_text_stats": _pipe_text_stats,
+    "q_text_language_id": _pipe_language_id,
+    "q_dedup_exact": _pipe_dedup_exact,
+    "q_dedup_fingerprint": _pipe_dedup_fingerprint,
+    "q_dedup_jaccard_pairs": _pipe_dedup_jaccard,
+    "q_dedup_minhash_lsh": _pipe_dedup_minhash,
+    "q_dedup_simhash": _pipe_simhash,
+    "q_ann_cosine_topk": _pipe_ann_cosine,
+    "q_ann_lsh_bucket": _pipe_ann_lsh,
+}
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     for name, spec in SPECS.items():
         out[name] = (lambda sp: (lambda spark, sf: sp.run(spark, sf)))(spec)
     out["q_construct_triples"] = _run_construct
+    out.update(PIPELINE_QUERIES)
     return out
 
 
@@ -506,4 +762,5 @@ def oracle_sql() -> dict[str, str]:
     out = {name: spec.oracle for name, spec in SPECS.items()
            if spec.oracle is not None}
     out["q_construct_triples"] = CONSTRUCT_ORACLE
+    out.update(_pipeline_oracles())
     return out

@@ -1,0 +1,173 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four families, all shuffle-efficient at 100 TB:
+
+* exact      — hash-groupBy on the raw text (one shuffle on a 16-byte key)
+* fingerprint— hash-groupBy on an order-insensitive bag-of-words id
+* MinHash-LSH— banded LSH: shingle → k minhashes → b bands → bucket join.
+               Only documents sharing a band bucket are ever paired, so the
+               candidate set is ~linear in corpus size (never all-pairs);
+               the exact-Jaccard verify runs on candidates only.
+* SimHash    — 16-bit charge-accumulation fingerprint; hamming-close docs
+               collide on the value (or on rotated halves for ≤k distance).
+
+Hashes are MD5-derived (first 8 hex chars as int64) — deliberately portable
+so DuckDB/any ANSI engine can replicate results bit-for-bit for the
+correctness oracle. xxhash64 would be ~3× faster; swap `_md5i` for
+F.xxhash64 in production where cross-engine parity is not required.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import words_col
+
+# MinHash configuration: NUM_HASHES signature, bands of ROWS_PER_BAND.
+# P(candidate | jaccard=s) = 1-(1-s^r)^b — with r=2, b=4: s=0.9 → 97%,
+# s=0.5 → 68%, s=0.2 → 15%. Tune b/r per corpus.
+NUM_HASHES = 8
+ROWS_PER_BAND = 2
+NUM_BANDS = NUM_HASHES // ROWS_PER_BAND
+
+
+def _md5i(c: Column) -> Column:
+    """Portable 32-bit hash as long: first 8 hex chars of md5."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+def shingles_col(text: Column, n: int = 2) -> Column:
+    """Distinct word n-gram shingles of a document."""
+    w = words_col(text)
+    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    gram = F.transform(
+        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
+    )
+    return F.array_distinct(gram)
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Exact duplicate groups: one row per distinct text with the count of
+    copies and the smallest id as the canonical representative."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.min(id_col).alias("canonical_id"))
+    )
+
+
+def fingerprint_dedup_groups(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """Near-duplicate groups under the bag-of-words fingerprint (documents
+    with the same word set, any order/multiplicity)."""
+    words = words_col(F.col(text_col))
+    fp = F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(words))))
+    return (
+        df.groupBy(fp.alias("fingerprint"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.min(id_col).alias("canonical_id"))
+        .where(F.col("n_docs") >= 2)
+    )
+
+
+def _jaccard(a: Column, b: Column) -> Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_distinct(F.concat(a, b))).cast("double")
+    return inter / union
+
+
+def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Brute-force all-pairs n-gram Jaccard — the small-corpus baseline and
+    the verification oracle for LSH. O(n²): use minhash_lsh_pairs at scale."""
+    s = df.select(F.col(id_col).alias("id"),
+                  shingles_col(F.col(text_col)).alias("sh"))
+    a, b = s.alias("a"), s.alias("b")
+    j = _jaccard(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                j.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """doc → (id, shingles, sig_0..sig_{k-1}) minhash signature row."""
+    s = df.select(F.col(id_col).alias("id"),
+                  shingles_col(F.col(text_col)).alias("sh"))
+    sigs = [
+        F.array_min(F.transform(
+            F.col("sh"), lambda x, k=k: _md5i(F.concat(x, F.lit(f"#{k}")))
+        )).alias(f"s{k}")
+        for k in range(NUM_HASHES)
+    ]
+    return s.select("id", "sh", *sigs)
+
+
+def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Banded-LSH near-duplicate pairs with exact-Jaccard verification.
+
+    Plan shape at scale: one scan computes signatures; explode to b rows per
+    doc; ONE shuffle on (band_idx, band_key) joins same-bucket docs; the
+    quadratic blow-up is confined to individual buckets (skew-bounded by
+    band width). No all-pairs join ever materializes.
+    """
+    sig = minhash_signature(df, text_col, id_col)
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.concat_ws("_", *[
+                F.col(f"s{i * ROWS_PER_BAND + r}").cast("string")
+                for r in range(ROWS_PER_BAND)
+            ]).alias("band_key"),
+        )
+        for i in range(NUM_BANDS)
+    ])
+    exploded = sig.select("id", "sh", F.explode(bands).alias("b")) \
+        .select("id", "sh", F.col("b.band_idx").alias("band_idx"),
+                F.col("b.band_key").alias("band_key"))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_key") == F.col("b.band_key"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = _jaccard(F.col("sh_a"), F.col("sh_b"))
+    return (cand.select("id_a", "id_b", j.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+SIMHASH_BITS = 16
+
+
+def simhash(df: DataFrame, text_col: str = "text",
+            id_col: str = "doc_id") -> DataFrame:
+    """16-bit SimHash per document (token-frequency weighted).
+
+    Each token contributes ±1 per bit position from its portable hash; the
+    sign of each accumulated charge becomes the output bit. Implemented as
+    explode + one hash-aggregate (map-side combined) — one shuffle on the
+    doc id, no UDFs.
+    """
+    tok = df.select(F.col(id_col).alias("id"),
+                    F.explode(words_col(F.col(text_col))).alias("w"))
+    h = _md5i(F.col("w"))
+    charges = [
+        F.sum(F.when(h.bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1))
+        .alias(f"c{k}")
+        for k in range(SIMHASH_BITS)
+    ]
+    agg = tok.groupBy("id").agg(*charges)
+    value = None
+    for k in range(SIMHASH_BITS):
+        bit = F.when(F.col(f"c{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
+        value = bit if value is None else value + bit
+    return agg.select("id", value.cast("long").alias("simhash"))

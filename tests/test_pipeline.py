@@ -1,0 +1,133 @@
+"""Unit tests for the LLM-data-pipeline operators (dedup, similarity,
+text analysis, multimodal plumbing) on tiny in-memory data."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_fusion_spark.pipeline import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different words entirely here now"),
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_text_stats(docs):
+    r = {row["doc_id"]: row
+         for row in text.with_text_stats(docs).collect()}
+    assert r[0]["n_words"] == 9
+    assert r[0]["n_distinct_words"] == 8  # 'the' twice
+    assert r[0]["n_tokens"] == 9
+    assert r[0]["fingerprint"] == r[3]["fingerprint"]
+    assert r[0]["fingerprint"] != r[1]["fingerprint"]
+    assert abs(r[2]["avg_word_len"] - 39 / 6.0) < 1e-9
+
+
+def test_language_id(docs):
+    r = {row["doc_id"]: row["lang_pred"]
+         for row in text.with_language_id(docs).collect()}
+    assert r[0] == "en"  # 'the' twice out of 9 words
+    assert r[2] == "und"
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_dedup_groups(docs).collect()
+    by_canon = {g["canonical_id"]: g["n_copies"] for g in groups}
+    assert by_canon[0] == 2  # docs 0 and 3
+    assert by_canon[1] == 1
+    assert len(groups) == 3
+
+
+def test_jaccard_and_minhash_agree(docs):
+    """LSH candidates verified with exact Jaccard must be a subset of the
+    brute-force pairs at the same threshold, and catch the obvious dup."""
+    brute = {(r["id_a"], r["id_b"])
+             for r in dedup.jaccard_pairs(docs, 0.5).collect()}
+    lsh = {(r["id_a"], r["id_b"])
+           for r in dedup.minhash_lsh_pairs(docs, 0.5).collect()}
+    assert (0, 3) in lsh  # identical docs always collide in every band
+    assert lsh <= brute
+
+
+def test_simhash_identity(docs):
+    r = {row["id"]: row["simhash"] for row in dedup.simhash(docs).collect()}
+    assert r[0] == r[3]
+    assert r[0] != r[2]
+    assert 0 <= r[0] < (1 << dedup.SIMHASH_BITS)
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # closest to 0
+        (2, [0.0, 1.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0]),  # antipode of 0
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk(vectors):
+    out = similarity.cosine_topk(
+        vectors, vectors.where(F.col("vec_id") == 0), k=3).collect()
+    order = [r["neighbor_id"] for r in sorted(out, key=lambda r: r["rank"])]
+    assert order == [1, 2, 3]
+    assert abs(out[0]["cosine"] - 0.9 / math.hypot(0.9, 0.1)) < 1e-9
+
+
+def test_lsh_bucket_topk(vectors):
+    out = similarity.lsh_bucket_topk(
+        vectors, vectors.where(F.col("vec_id") == 0), k=3, bits=3).collect()
+    ids = {r["neighbor_id"] for r in out}
+    # vec 3 has a different sign pattern -> different bucket, never a candidate
+    assert 3 not in ids
+    assert 1 in ids
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    rows = [
+        (0, "image", bytearray(b"\x01\x02\x03\x04"), "image/png",
+         2, 2, None, None),
+        (1, "audio", bytearray(b"\x10" * 100), "audio/wav",
+         None, None, 16000, 2000),
+        (2, "video", bytearray(b"\xff" * 10), "video/mp4",
+         8, 8, None, 3500),
+        (3, "image", None, "image/png", None, None, None, None),
+    ]
+    return spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+
+
+def test_multimodal_features(media):
+    out = {r["media_id"]: r for r in multimodal.extract_features(
+        media, batch_decoder=multimodal.deterministic_fake_decoder).collect()}
+    assert out[0]["n_bytes"] == 4
+    assert out[0]["feature"] == [4.0, 2.5, 1.0, 4.0]
+    assert out[1]["feature"][0] == 100.0
+    assert out[3]["feature"] is None and out[3]["n_bytes"] is None
+    assert len(out) == 4
+
+
+def test_multimodal_default_decoder_is_stub(media):
+    with pytest.raises(Exception):
+        multimodal.extract_features(media.limit(1)).collect()
+
+
+def test_frame_sample_plan(media):
+    rows = multimodal.frame_sample_plan(media, every_ms=1000).collect()
+    assert sorted(r["frame_ts_ms"] for r in rows) == [0, 1000, 2000, 3000]
+    assert all(r["media_id"] == 2 for r in rows)
+
+
+def test_repartition_by_bytes(media):
+    df = multimodal.repartition_by_bytes(media, target_bytes=50)
+    assert df.rdd.getNumPartitions() >= 2
+    assert df.count() == 4
