@@ -48,6 +48,11 @@ def main() -> None:
         .config("spark.sql.shuffle.partitions", str(max(int(CPUS), 8)))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.sql.adaptive.enabled", "true")
+        # local[N] with small parquet files: split finer than the 128 MB
+        # default so scans parallelize across cores (on a real cluster the
+        # default is right — files there are many and large)
+        .config("spark.sql.files.maxPartitionBytes", "4m")
+        .config("spark.sql.files.openCostInBytes", "1m")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")

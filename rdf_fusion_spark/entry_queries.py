@@ -41,12 +41,17 @@ _GRAPH_CACHE: dict[str, GraphStore] = {}
 
 
 def get_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
-    """Cached RDF view of the warehouse at sf_dir (built once per session)."""
+    """Virtual RDF view of the warehouse at sf_dir (one store per dir).
+
+    Virtual = triple patterns compile to direct source-table projections
+    with pushed filters (sources/virtual.py); nothing is materialized or
+    cached — the only scale-safe shape at 100 TB.
+    """
     key = sf_dir.rstrip("/")
     store = _GRAPH_CACHE.get(key)
     if store is None or store.spark is not spark:
-        store = GraphStore.from_relational(spark, key).cached()
-        store.quads.count()  # materialize the cache eagerly
+        from .sources.virtual import VirtualRelationalStore
+        store = VirtualRelationalStore(spark, key)
         _GRAPH_CACHE[key] = store
     return store
 

@@ -144,6 +144,11 @@ def compile_expr(expr, resolve: Resolver) -> Column:
         if fn is None:
             fn = _cast_fn(name)
         if fn is None:
+            from .registry import lookup
+            builder = lookup(name)
+            if builder is not None:
+                cols = [compile_expr(a, resolve) for a in expr.args]
+                return _intern(builder(cols))
             raise SparqlCompileError(f"unsupported function: {name}")
         return _intern(fn([a for a in expr.args], resolve))
     raise SparqlCompileError(f"unknown expression node: {expr!r}")

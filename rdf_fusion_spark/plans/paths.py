@@ -27,13 +27,26 @@ from ..terms import NamedNode, Variable, term_lit, term_matches
 from .join import Solution
 
 SRC, TGT = "__src", "__tgt"
-MAX_ITERATIONS = 64
+# one edge-hop per semi-naive iteration: the cap bounds graph *diameter*,
+# not size. Exceeding it raises (wrong answers are worse than errors).
+MAX_ITERATIONS = 1000
 
 
 def _edges_for_predicate(ctx, iris: list[NamedNode], negated: bool,
                          inverse: bool = False) -> DataFrame:
     """Scan quads for predicate∈iris (or ∉ for negated sets)."""
     store = ctx.store
+    ag_kind = ctx.active_graph.kind
+    if (not negated and iris and ctx.graph_var is None
+            and ag_kind in (ActiveGraph.DEFAULT, ActiveGraph.ALL)):
+        virtual = getattr(store, "virtual_edges", None)
+        if virtual is not None:
+            ve = virtual(iris)
+            if ve is not None:
+                if inverse:
+                    return ve.select(F.col(TGT).alias(SRC),
+                                     F.col(SRC).alias(TGT))
+                return ve
     df = store.quads
     g = F.col("graph")
     ag = ctx.active_graph
@@ -156,6 +169,9 @@ def _kleene_plus(edges: DataFrame, ctx) -> DataFrame:
     # renamed copy of the (static) edge relation for unambiguous self-joins
     redges = edges.select(F.col(SRC).alias("__esrc"), F.col(TGT).alias("__etgt"),
                           *[F.col(c).alias(f"__eg_{c}") for c in g])
+    # only each iteration's DELTA is checkpointed; the accumulated set is a
+    # lazy union of those materialized pieces (no O(iters × |closure|)
+    # re-checkpoint churn)
     paths = edges
     delta = edges
     for _ in range(MAX_ITERATIONS):
@@ -170,7 +186,12 @@ def _kleene_plus(edges: DataFrame, ctx) -> DataFrame:
             .localCheckpoint(eager=True)
         if not delta.head(1):
             break
-        paths = paths.unionByName(delta).localCheckpoint(eager=True)
+        paths = paths.unionByName(delta)
+    else:
+        raise RuntimeError(
+            f"Kleene closure did not converge within {MAX_ITERATIONS} "
+            "iterations (graph diameter exceeds the cap); raise "
+            "MAX_ITERATIONS for extremely deep graphs")
     return paths
 
 

@@ -104,6 +104,77 @@ def compile_bool_expr(expr, sol: Solution, ctx: Ctx) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# EXISTS as a general expression (inside IF / BIND / || / ...)
+#
+# reference: expression_rewriter.rs:325-340 — EXISTS anywhere in an
+# expression is pre-computed into a boolean marker column. The marker
+# depends only on the shared variables, so it is evaluated once per
+# DISTINCT shared-variable tuple (semi-join on the deduplicated keys), then
+# joined back null-safely — no row duplication, no per-row subquery.
+# ---------------------------------------------------------------------------
+
+def _has_exists(expr) -> bool:
+    if isinstance(expr, A.EExists):
+        return True
+    if isinstance(expr, A.ECall):
+        return any(_has_exists(a) for a in expr.args)
+    return False
+
+
+def _bind_exists_markers(expr, sol: Solution, ctx: Ctx):
+    """Replace every EExists in `expr` with a variable bound to an
+    xsd:boolean marker column on `sol`; returns (expr', sol')."""
+    if isinstance(expr, A.EExists):
+        right = translate(expr.pattern, replace(ctx))
+        marker, sol = _exists_marker(sol, right, ctx)
+        var_expr = A.EVar(marker)
+        if expr.negated:
+            return A.ECall("!", [var_expr]), sol
+        return var_expr, sol
+    if isinstance(expr, A.ECall):
+        new_args = []
+        for a in expr.args:
+            a2, sol = _bind_exists_markers(a, sol, ctx)
+            new_args.append(a2)
+        return A.ECall(expr.name, new_args), sol
+    return expr, sol
+
+
+def _exists_marker(left: Solution, right: Solution, ctx: Ctx):
+    """Add a boolean-term marker column to `left`: does a compatible
+    solution of `right` exist?"""
+    from .join import _compat
+    name = ctx.fresh("exists")
+    shared = sorted(left.maybe & right.maybe)
+    if not shared:
+        m = right.df.limit(1).select(F.lit(True).alias(f"__m_{name}"))
+        df = left.df.join(F.broadcast(m), F.lit(True), "left")
+    else:
+        keys = left.df.select(*shared).dropDuplicates()
+        K, R = keys.alias("k"), right.df.alias("r")
+        cond = F.lit(True)
+        for v in shared:
+            if v in left.bound and v in right.bound:
+                cond = cond & (K[v] == R[v])
+            else:
+                cond = cond & _compat(K[v], R[v])
+        matched = (K.join(R, cond, "left_semi")
+                   .withColumn(f"__m_{name}", F.lit(True)))
+        # null-safe equi join back: each left row meets ≤1 matched row
+        back = F.lit(True)
+        L, M = left.df.alias("l"), matched.alias("m")
+        for v in shared:
+            back = back & L[v].eqNullSafe(M[v])
+        df = L.join(M, back, "left").select(
+            *[L[c] for c in left.df.columns], M[f"__m_{name}"])
+    df = df.withColumn(name, tv.bool_term(F.col(f"__m_{name}").isNotNull())) \
+        .drop(f"__m_{name}")
+    new_sol = replace(left, df=df, maybe=left.maybe | {name},
+                      bound=left.bound | {name})
+    return name, new_sol
+
+
+# ---------------------------------------------------------------------------
 # pattern translation
 # ---------------------------------------------------------------------------
 
@@ -133,12 +204,17 @@ def translate(p, ctx: Ctx) -> Solution:
         return _translate_graph(p, ctx)
     if isinstance(p, A.Extend):
         sol = translate(p.inner, ctx)
+        orig_maybe, orig_bound = sol.maybe, sol.bound
+        expr = p.expr
+        if _has_exists(expr):
+            expr, sol = _bind_exists_markers(expr, sol, ctx)
         it = Interner(sol.df, ctx)
         with B.intern_scope(it):
-            col = compile_term_expr(p.expr, sol, ctx)
-        keep = [c for c in sol.df.columns]
+            col = compile_term_expr(expr, sol, ctx)
+        keep = [c for c in sol.df.columns if c in orig_maybe]
         df = it.df.withColumn(p.var.name, col).select(*keep, p.var.name)
-        return replace(sol, df=df, maybe=sol.maybe | {p.var.name})
+        return replace(sol, df=df, maybe=orig_maybe | {p.var.name},
+                       bound=orig_bound)
     if isinstance(p, A.Minus):
         l = translate(p.left, ctx)
         r = translate(p.right, ctx)
@@ -185,16 +261,47 @@ def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
 
 
 def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
-    """Greedy selectivity-ordered BGP join.
+    """Star-collapsed, selectivity-ordered BGP join.
 
-    The reference joins in syntactic order (SURVEY.md §4.1 — no BGP
-    reordering). We do better: most-constant pattern first, then grow the
-    join tree along shared variables to avoid accidental cross joins; at
-    scale this keeps intermediate results small before Catalyst/AQE refine
-    the physical plan.
+    Same-subject groups of constant-predicate patterns collapse into ONE
+    source scan when the store supports virtual scans (sources/virtual.py)
+    — the dominant BGP shape then compiles to the plan the equivalent SQL
+    would get (no self-joins). Remaining patterns join greedily along
+    shared variables (the reference joins in syntactic order with no
+    reordering — SURVEY.md §4.1; we do better to keep intermediates small).
     """
     if not p.triples:
         return _unit_solution(ctx)
+
+    units: list[Solution] = []
+    remaining: list[A.TriplePattern] = []
+
+    star_scan = getattr(ctx.store, "star_scan", None)
+    resolves = getattr(ctx.store, "resolves", None)
+    if star_scan is not None and ctx.graph_var is None:
+        groups: dict[str, list[A.TriplePattern]] = {}
+        for tp in p.triples:
+            if (isinstance(tp.subject, Variable) and resolves(tp.predicate)
+                    and not (isinstance(tp.object, Variable)
+                             and tp.object.name == tp.subject.name)):
+                groups.setdefault(tp.subject.name, []).append(tp)
+            else:
+                remaining.append(tp)
+        for subj_name, tps in groups.items():
+            if len(tps) < 2:
+                remaining.extend(tps)  # single patterns: virtual scan_pattern
+                continue
+            items = [(tp.predicate, tp.object) for tp in tps]
+            df = star_scan(Variable(subj_name), items,
+                           active_graph=ctx.active_graph)
+            if df is None:
+                remaining.extend(tps)
+                continue
+            vars_ = {c for c in df.columns if c != "__match__"}
+            units.append(Solution(df=df.select(*sorted(vars_)) if vars_ else df,
+                                  bound=set(vars_), maybe=set(vars_)))
+    else:
+        remaining = list(p.triples)
 
     def selectivity(tp: A.TriplePattern) -> int:
         score = 0
@@ -208,21 +315,19 @@ def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
             score += 1
         return -score
 
-    remaining = sorted(p.triples, key=selectivity)
-    first = remaining.pop(0)
-    acc = _scan(first, ctx)
-    while remaining:
+    units.extend(_scan(tp, ctx) for tp in sorted(remaining, key=selectivity))
+
+    acc = units[0]
+    rest = units[1:]
+    while rest:
         idx = None
-        for i, tp in enumerate(remaining):
-            tp_vars = {x.name for x in (tp.subject, tp.predicate, tp.object)
-                       if isinstance(x, Variable)}
-            if tp_vars & acc.maybe:
+        for i, u in enumerate(rest):
+            if u.maybe & acc.maybe:
                 idx = i
                 break
         if idx is None:
             idx = 0  # disconnected component → cross join
-        nxt = _scan(remaining.pop(idx), ctx)
-        acc = join_solutions(acc, nxt, "inner")
+        acc = join_solutions(acc, rest.pop(idx), "inner")
     return acc
 
 
@@ -249,13 +354,20 @@ def _translate_filter(p: A.Filter, ctx: Ctx) -> Solution:
             plain.append(c)
     if plain:
         keep = [c for c in sol.df.columns]
+        orig_maybe, orig_bound = sol.maybe, sol.bound
+        rewritten = []
+        for c in plain:
+            if _has_exists(c):  # EXISTS nested below the top-level AND
+                c, sol = _bind_exists_markers(c, sol, ctx)
+            rewritten.append(c)
         it = Interner(sol.df, ctx)
         with B.intern_scope(it):
-            conds = [compile_bool_expr(c, sol, ctx) for c in plain]
+            conds = [compile_bool_expr(c, sol, ctx) for c in rewritten]
         df = it.df
         for cond in conds:
             df = df.where(cond)
-        sol = replace(sol, df=df.select(*keep))
+        sol = replace(sol, df=df.select(*keep), maybe=orig_maybe,
+                      bound=orig_bound)
     return sol
 
 

@@ -106,32 +106,46 @@ def _literal_for(col: Column, dtype: T.DataType) -> Optional[Column]:
     return None  # arrays/maps/binary are not mapped into the graph
 
 
-def table_to_quads(df: DataFrame, table: str) -> DataFrame:
-    """One table → quads(graph=NULL, subject, predicate, object)."""
-    code, key_cols, fks = TPCH_SPEC[table]
+def subject_term(table: str, df: DataFrame) -> Column:
+    """The subject IRI term for a row of `table`."""
+    code, key_cols, _ = TPCH_SPEC[table]
     if table in HASH_SUBJECT_TABLES:
         row_id = F.xxhash64(*[F.col(f.name) for f in df.schema.fields]).cast("string")
     else:
         row_id = F.concat_ws("-", *[F.col(k).cast("string") for k in key_cols])
-    subj = term_struct(F.lit(TT_IRI), F.concat(F.lit(f"x:{code}:"), row_id))
+    return term_struct(F.lit(TT_IRI), F.concat(F.lit(f"x:{code}:"), row_id))
+
+
+def object_term(table: str, col_name: str, df: DataFrame) -> Optional[Column]:
+    """The object term for one column of `table` (NULL row value → NULL term);
+    None when the column is not mapped into the graph (arrays/maps/binary)."""
+    fks = TPCH_SPEC[table][2]
+    if col_name in fks:
+        tgt_code = TPCH_SPEC[fks[col_name]][0]
+        obj = term_struct(
+            F.lit(TT_IRI),
+            F.concat(F.lit(f"x:{tgt_code}:"), F.col(col_name).cast("string")),
+        )
+        return F.when(F.col(col_name).isNotNull(), obj)
+    dtype = df.schema[col_name].dataType
+    lit = _literal_for(F.col(col_name), dtype)
+    if lit is None:
+        return None
+    return F.when(F.col(col_name).isNotNull(), lit)
+
+
+def table_to_quads(df: DataFrame, table: str) -> DataFrame:
+    """One table → quads(graph=NULL, subject, predicate, object)."""
+    subj = subject_term(table, df)
 
     pairs: list[Column] = [
         F.struct(_const_iri(RDF_TYPE).alias("p"), _const_iri(class_iri(table)).alias("o"))
     ]
     for field in df.schema.fields:
         pred = _const_iri(predicate_iri(table, field.name))
-        if field.name in fks:
-            tgt_code = TPCH_SPEC[fks[field.name]][0]
-            obj = term_struct(
-                F.lit(TT_IRI),
-                F.concat(F.lit(f"x:{tgt_code}:"), F.col(field.name).cast("string")),
-            )
-            obj = F.when(F.col(field.name).isNotNull(), obj)
-        else:
-            lit = _literal_for(F.col(field.name), field.dataType)
-            if lit is None:
-                continue
-            obj = F.when(F.col(field.name).isNotNull(), lit)
+        obj = object_term(table, field.name, df)
+        if obj is None:
+            continue
         pairs.append(F.struct(pred.alias("p"), obj.alias("o")))
 
     exploded = df.select(

@@ -1,0 +1,337 @@
+"""Virtual-quads store: triple patterns resolve directly to source-table
+projections instead of a materialized quads union.
+
+The relational→RDF mapping (relational.py) is a *static rewrite*: a
+constant-predicate pattern `?s x:l#l_quantity ?q` is, by construction, a
+2-column projection of one parquet table. Scanning the exploded quads union
+for it reads every column of every table (10-20× amplification) and defeats
+parquet predicate/column pushdown — a non-starter at 100 TB. This store
+rewrites:
+
+* a constant-predicate pattern → scan of ONE table, reading ONLY the
+  subject-key and object columns (column pruning reaches the parquet scan);
+* a whole same-subject star of constant predicates → ONE scan producing
+  one column per object variable (what the equivalent SQL would do): no
+  self-joins at all for the dominant BGP shape;
+* constant objects/subjects → native column filters (string equality and
+  FK-key equality are pushed into the parquet reader).
+
+Patterns it cannot virtualize (variable predicate, non-mapped IRIs, named
+graphs) fall back to the lazily-built quads union of the base class.
+
+Reference analogue: the storage-planned index scan
+(lib/storage/src/memory/storage/pattern_data_source.rs:19-108) — here the
+"index" is the source table itself and Catalyst does the planning.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..store import ActiveGraph, GraphStore
+from ..terms import (
+    RDF_TYPE,
+    BlankNode,
+    Literal,
+    NamedNode,
+    TermOrVar,
+    Variable,
+    term_matches,
+)
+from .relational import (
+    HASH_SUBJECT_TABLES,
+    TPCH_SPEC,
+    class_iri,
+    load_relational_graph,
+    object_term,
+    predicate_iri,
+    read_table,
+    subject_term,
+)
+
+
+class VirtualRelationalStore(GraphStore):
+    """GraphStore over a relational warehouse with virtual quad scans."""
+
+    def __init__(self, spark: SparkSession, sf_dir: str,
+                 tables: Optional[Sequence[str]] = None):
+        self.spark = spark
+        self.sf_dir = sf_dir.rstrip("/")
+        self.tables = list(tables) if tables else list(TPCH_SPEC)
+        self._table_dfs: dict[str, DataFrame] = {}
+        self._quads: Optional[DataFrame] = None
+        # predicate IRI → (table, column); class IRI → table
+        self._pred_map: dict[str, tuple[str, str]] = {}
+        self._class_map: dict[str, str] = {}
+        for t in self.tables:
+            self._class_map[class_iri(t)] = t
+            for f in self.table_df(t).schema.fields:
+                self._pred_map[predicate_iri(t, f.name)] = (t, f.name)
+
+    # ------------------------------------------------------------------
+
+    def table_df(self, table: str) -> DataFrame:
+        df = self._table_dfs.get(table)
+        if df is None:
+            df = read_table(self.spark, self.sf_dir, table)
+            self._table_dfs[table] = df
+        return df
+
+    @property
+    def quads(self) -> DataFrame:
+        """Fallback quads union (paths over unions of predicates, DESCRIBE,
+        variable-predicate patterns). Built lazily, never cached — at scale
+        this relation must stay virtual."""
+        if self._quads is None:
+            self._quads = load_relational_graph(self.spark, self.sf_dir,
+                                                self.tables)
+        return self._quads
+
+    @quads.setter
+    def quads(self, value):  # GraphStore.__init__ compatibility
+        self._quads = value
+
+    # ------------------------------------------------------------------
+
+    def _graph_ok(self, active_graph: Optional[ActiveGraph]) -> bool:
+        """The warehouse mapping populates only the default graph."""
+        ag = active_graph or ActiveGraph.default()
+        return ag.kind in (ActiveGraph.DEFAULT, ActiveGraph.ALL)
+
+    def resolves(self, predicate) -> bool:
+        """Can this constant predicate be virtualized?"""
+        return isinstance(predicate, NamedNode) and (
+            predicate.iri in self._pred_map
+            or predicate.iri == RDF_TYPE
+        )
+
+    def scan_pattern(self, subject, predicate, obj, active_graph=None,
+                     graph_var=None) -> DataFrame:
+        if self._graph_ok(active_graph) and self.resolves(predicate):
+            df = self.star_scan(subject, [(predicate, obj)],
+                                active_graph=active_graph)
+            if df is not None:
+                return df
+        return super().scan_pattern(subject, predicate, obj,
+                                    active_graph=active_graph,
+                                    graph_var=graph_var)
+
+    # ------------------------------------------------------------------
+    # virtual edge relation for property paths
+    # ------------------------------------------------------------------
+
+    def virtual_edges(self, iris: list[NamedNode],
+                      src: str = "__src", tgt: str = "__tgt"
+                      ) -> Optional[DataFrame]:
+        """(source, target) pairs for a union of constant predicates as
+        direct table projections — property paths never touch the exploded
+        quads union. Returns None when any predicate is unmapped in a way
+        that requires the fallback."""
+        parts: list[DataFrame] = []
+        for iri in iris:
+            if not isinstance(iri, NamedNode):
+                return None
+            if iri.iri == RDF_TYPE:
+                for t in self.tables:
+                    df = self.table_df(t)
+                    from ..terms import term_lit
+                    parts.append(df.select(
+                        subject_term(t, df).alias(src),
+                        term_lit(NamedNode(class_iri(t))).alias(tgt)))
+                continue
+            m = self._pred_map.get(iri.iri)
+            if m is None:
+                continue  # mapped graph has no such predicate: no edges
+            t, c = m
+            df = self.table_df(t)
+            ot = object_term(t, c, df)
+            if ot is None:
+                continue
+            parts.append(df.where(F.col(c).isNotNull())
+                         .select(subject_term(t, df).alias(src),
+                                 ot.alias(tgt)))
+        if not parts:
+            from ..terms import TERM_TYPE
+            return self.spark.range(1).select(
+                F.lit(None).cast(TERM_TYPE).alias(src),
+                F.lit(None).cast(TERM_TYPE).alias(tgt)).limit(0)
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out
+
+    # ------------------------------------------------------------------
+    # star scan: same-subject patterns with constant predicates → one scan
+    # ------------------------------------------------------------------
+
+    def star_scan(self, subject: TermOrVar,
+                  items: list[tuple[NamedNode, TermOrVar]],
+                  active_graph: Optional[ActiveGraph] = None
+                  ) -> Optional[DataFrame]:
+        """One table scan for a same-subject group of constant-predicate
+        patterns. Returns a solution DataFrame (one column per variable,
+        `__match__` if none) or None when not virtualizable here.
+
+        Different-table predicates in one group are contradictory (subject
+        IRI spaces are disjoint) → empty result, correct by construction.
+        """
+        if not self._graph_ok(active_graph):
+            return None
+        if isinstance(subject, (Literal,)):
+            return self._empty_solution(subject, items)
+
+        # determine the single table the star can live in
+        table: Optional[str] = None
+        contradictory = False
+        for pred, o in items:
+            if not isinstance(pred, NamedNode):
+                return None
+            if pred.iri == RDF_TYPE:
+                if isinstance(o, NamedNode):
+                    t = self._class_map.get(o.iri)
+                    if t is None:
+                        contradictory = True
+                        continue
+                elif isinstance(o, Variable):
+                    continue  # bound to the table's class once table is known
+                else:
+                    contradictory = True
+                    continue
+            elif pred.iri in self._pred_map:
+                t = self._pred_map[pred.iri][0]
+            else:
+                return None
+            if table is None:
+                table = t
+            elif table != t:
+                contradictory = True
+        if table is None:
+            # only rdf:type with variable object — table is unconstrained;
+            # fall back to the union (it enumerates all class quads)
+            return None
+        if isinstance(subject, NamedNode) and not subject.iri.startswith(
+                f"x:{TPCH_SPEC[table][0]}:"):
+            contradictory = True
+        if contradictory:
+            return self._empty_solution(subject, items)
+
+        df = self.table_df(table)
+        subj_term = subject_term(table, df)
+        out_vars: dict[str, Column] = {}
+        conds: list[Column] = []
+
+        if isinstance(subject, Variable):
+            out_vars[subject.name] = subj_term
+        elif isinstance(subject, NamedNode):
+            conds.append(self._subject_filter(table, df, subject))
+        elif isinstance(subject, BlankNode):
+            return self._empty_solution(subject, items)
+
+        for pred, o in items:
+            if pred.iri == RDF_TYPE:
+                oterm = F.lit(None)  # handled below
+                cls = class_iri(table)
+                if isinstance(o, NamedNode):
+                    if o.iri != cls:
+                        conds.append(F.lit(False))
+                    continue  # constant matches: no filter, no column
+                if isinstance(o, Variable):
+                    from ..terms import term_lit
+                    oterm = term_lit(NamedNode(cls))
+                else:
+                    conds.append(F.lit(False))
+                    continue
+            else:
+                col_name = self._pred_map[pred.iri][1]
+                ot = object_term(table, col_name, df)
+                if ot is None:
+                    return self._empty_solution(subject, items)
+                oterm = ot
+                conds.append(F.col(col_name).isNotNull())
+                if not isinstance(o, Variable):
+                    conds.append(self._object_filter(table, col_name, df, o))
+            if isinstance(o, Variable):
+                if o.name in out_vars:
+                    conds.append(out_vars[o.name] == oterm)
+                else:
+                    out_vars[o.name] = oterm
+
+        cond = F.lit(True)
+        for c in conds:
+            cond = cond & c
+        df = df.where(cond)
+        if not out_vars:
+            return df.select(F.lit(True).alias("__match__"))
+        return df.select(*[c.alias(v) for v, c in out_vars.items()])
+
+    # ------------------------------------------------------------------
+
+    def _empty_solution(self, subject, items) -> DataFrame:
+        cols = []
+        seen = set()
+        if isinstance(subject, Variable):
+            seen.add(subject.name)
+        for _, o in items:
+            if isinstance(o, Variable):
+                seen.add(o.name)
+        from ..terms import TERM_TYPE
+        for v in sorted(seen):
+            cols.append(F.lit(None).cast(TERM_TYPE).alias(v))
+        if not cols:
+            cols = [F.lit(True).alias("__match__")]
+        return self.spark.range(1).select(*cols).limit(0)
+
+    def _subject_filter(self, table: str, df: DataFrame,
+                        subject: NamedNode) -> Column:
+        """Native filter for a constant subject IRI — key equality when the
+        table's key is a single column (parquet-pushable), else equality on
+        the constructed subject id."""
+        code, key_cols, _ = TPCH_SPEC[table]
+        suffix = subject.iri[len(f"x:{code}:"):]
+        if table not in HASH_SUBJECT_TABLES and len(key_cols) == 1:
+            try:
+                return F.col(key_cols[0]) == int(suffix)
+            except ValueError:
+                return F.lit(False)
+        return subject_term(table, df)["v"] == subject.iri
+
+    def _object_filter(self, table: str, col_name: str, df: DataFrame,
+                       obj) -> Column:
+        """Native filter for a constant object where the mapping is
+        invertible; falls back to term equality on the constructed term."""
+        from pyspark.sql import types as T
+        from ..terms import XSD_STRING
+
+        fks = TPCH_SPEC[table][2]
+        if isinstance(obj, NamedNode) and col_name in fks:
+            tgt_code = TPCH_SPEC[fks[col_name]][0]
+            prefix = f"x:{tgt_code}:"
+            if obj.iri.startswith(prefix):
+                try:
+                    return F.col(col_name) == int(obj.iri[len(prefix):])
+                except ValueError:
+                    pass
+            return F.lit(False)
+        dtype = df.schema[col_name].dataType
+        if isinstance(obj, Literal) and obj.language is None:
+            # invertible lexical forms → native (parquet-pushable) equality
+            if isinstance(dtype, T.StringType) and obj.datatype == XSD_STRING:
+                return F.col(col_name) == obj.lexical
+            from ..terms import XSD_INTEGER
+            if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType,
+                                  T.LongType)) and obj.datatype == XSD_INTEGER:
+                # the mapping emits xsd:integer with canonical lexicals for
+                # integral columns; only a canonical xsd:integer can match
+                try:
+                    n = int(obj.lexical)
+                    if str(n) == obj.lexical:
+                        return F.col(col_name) == n
+                except ValueError:
+                    pass
+                return F.lit(False)
+        ot = object_term(table, col_name, df)
+        return term_matches(ot, obj) if not isinstance(obj, Variable) \
+            else F.lit(True)

@@ -1,0 +1,92 @@
+"""N-Triples I/O round-trip + SPARQL result serializers."""
+
+import json
+
+import pytest
+
+from rdf_fusion_spark import GraphStore
+from rdf_fusion_spark.results import serializers as S
+from rdf_fusion_spark.sources.ntriples import quads_to_lines, read_ntriples
+
+NT = """\
+<http://e.org/s> <http://e.org/p> <http://e.org/o> .
+# a comment line
+
+<http://e.org/s> <http://e.org/name> "Spider\\"man\\nhero" .
+<http://e.org/s> <http://e.org/name> "Человек-паук"@ru .
+<http://e.org/s> <http://e.org/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .
+_:b0 <http://e.org/p> "" .
+<http://e.org/s> <http://e.org/p> <http://e.org/o2> <http://e.org/g1> .
+"""
+
+
+@pytest.fixture(scope="module")
+def nt_file(tmp_path_factory):
+    p = tmp_path_factory.mktemp("nt") / "data.nt"
+    p.write_text(NT, encoding="utf-8")
+    return str(p)
+
+
+def test_read_ntriples(spark, nt_file):
+    df = read_ntriples(spark, nt_file)
+    rows = df.collect()
+    assert len(rows) == 6
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r["predicate"]["v"], []).append(r)
+    names = sorted(r["object"]["v"] for r in by_pred["http://e.org/name"])
+    assert names == ['Spider"man\nhero', "Человек-паук"]
+    lang = [r["object"]["lang"] for r in by_pred["http://e.org/name"]]
+    assert "ru" in lang
+    age = by_pred["http://e.org/age"][0]["object"]
+    assert age["dt"].endswith("integer") and age["v"] == "42"
+    graphs = [r["graph"]["v"] for r in rows if r["graph"] is not None]
+    assert graphs == ["http://e.org/g1"]
+    bn = [r for r in rows if r["subject"]["t"] == 1]
+    assert bn and bn[0]["object"]["v"] == ""
+
+
+def test_ntriples_roundtrip(spark, nt_file):
+    df = read_ntriples(spark, nt_file)
+    lines = quads_to_lines(df)
+    reparsed = read_ntriples(
+        spark, nt_file)  # baseline
+    df2 = lines.select(lines["line"].alias("value"))
+    # write/read through text: reuse the parser on the serialized lines
+    tmp = spark.createDataFrame([(r["line"],) for r in lines.collect()],
+                                "value string")
+    import rdf_fusion_spark.sources.ntriples as N
+    from pyspark.sql import functions as F
+    parsed = tmp.where(F.regexp_like("value", F.lit(N.LINE_RE)))
+    assert parsed.count() == reparsed.count() == 6
+
+
+def test_query_and_serialize(spark, nt_file):
+    store = GraphStore.from_ntriples(spark, nt_file)
+    res = store.query("""
+        SELECT ?p ?o WHERE { <http://e.org/s> ?p ?o } ORDER BY ?p ?o
+    """)
+    doc = json.loads(S.to_json(res))
+    assert doc["head"]["vars"] == ["p", "o"]
+    assert len(doc["results"]["bindings"]) == 4  # g1 quad not in default graph
+    kinds = {b["o"]["type"] for b in doc["results"]["bindings"]}
+    assert kinds == {"uri", "literal"}
+    lit = [b["o"] for b in doc["results"]["bindings"]
+           if b["o"].get("datatype", "").endswith("integer")]
+    assert lit and lit[0]["value"] == "42"
+
+    xml = S.to_xml(res)
+    assert xml.count("<result>") == 4 and 'xml:lang="ru"' in xml
+
+    csv = S.to_csv(res)
+    assert csv.splitlines()[0] == "p,o"
+    tsv = S.to_tsv(res)
+    assert tsv.splitlines()[0] == "?p\t?o"
+    assert '"42"^^<http://www.w3.org/2001/XMLSchema#integer>' in tsv
+
+    ask = store.query("ASK { <http://e.org/s> <http://e.org/age> ?a }")
+    assert json.loads(S.to_json(ask))["boolean"] is True
+
+    jdf = S.bindings_json_df(res)
+    lines = [json.loads(r["line"]) for r in jdf.collect()]
+    assert len(lines) == 4 and all("p" in l for l in lines)
