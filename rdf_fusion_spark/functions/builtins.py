@@ -63,7 +63,7 @@ from .typed_ops import (
     string_term,
 )
 
-TERM_DDL = "struct<t:tinyint,v:string,dt:string,lang:string>"
+from ..terms import TERM_DDL  # noqa: F811  (re-export for translator)
 
 
 def NULL_TERM() -> Column:
@@ -191,7 +191,8 @@ def compile_bool(expr, resolve: Resolver) -> Column:
                 raise SparqlCompileError("BOUND requires a variable")
             return resolve(a[0].name).isNotNull()
         if name == "SAMETERM":
-            l, r = compile_expr(a[0], resolve), compile_expr(a[1], resolve)
+            l = tv.materialize_lexical(compile_expr(a[0], resolve))
+            r = tv.materialize_lexical(compile_expr(a[1], resolve))
             return F.when(l.isNull() | r.isNull(), NULL_BOOL()).otherwise(l == r)
         if name == "ISIRI" or name == "ISURI":
             c = compile_expr(a[0], resolve)
@@ -268,7 +269,7 @@ def _preserve_lang(src: Column, new_value: Column) -> Column:
 
 def _fn_str(args, resolve):
     c = compile_expr(args[0], resolve)
-    return F.when(c["t"] != TT_BNODE, string_term(c["v"]))
+    return F.when(c["t"] != TT_BNODE, string_term(tv.lexical_of(c)))
 
 
 def _fn_lang(args, resolve):
@@ -568,12 +569,15 @@ def _cast_fn(name: str):
         return None
     target = name[len(XSD):]
 
+    from ..terms import K_DATETIME, K_DECIMAL, K_INTEGER
+
     def fn(args, resolve):
         c = compile_expr(args[0], resolve)
         if target in ("integer", "int", "long", "short", "byte"):
             val = (
-                F.when(is_numeric(c), F.coalesce(c["v"].try_cast("long"),
-                                                 c["v"].try_cast("double").cast("long")))
+                # exact path for integers; double→long truncates toward zero
+                F.when(c["k"] == K_INTEGER, c["d"].cast("long"))
+                .when(is_numeric(c), c["x"].cast("long"))
                 .when((c["dt"] == XSD_BOOLEAN),
                       F.when(as_boolean(c), 1).otherwise(0).cast("long"))
                 .when(is_plain_string(c), (c["v"]).try_cast("long"))
@@ -581,7 +585,8 @@ def _cast_fn(name: str):
             return int_term(val)
         if target == "decimal":
             val = (
-                F.when(is_numeric(c), (c["v"]).try_cast(DECIMAL_T))
+                F.when(c["k"] <= K_DECIMAL, c["d"])
+                .when(is_numeric(c), c["x"].cast(DECIMAL_T))
                 .when(c["dt"] == XSD_BOOLEAN,
                       F.when(as_boolean(c), 1).otherwise(0).cast(DECIMAL_T))
                 .when(is_plain_string(c), (c["v"]).try_cast(DECIMAL_T))
@@ -589,7 +594,7 @@ def _cast_fn(name: str):
             return decimal_term(val)
         if target in ("double", "float"):
             val = (
-                F.when(is_numeric(c), (c["v"]).try_cast("double"))
+                F.when(is_numeric(c), c["x"])
                 .when(c["dt"] == XSD_BOOLEAN,
                       F.when(as_boolean(c), 1.0).otherwise(0.0))
                 .when(is_plain_string(c), (c["v"]).try_cast("double"))
@@ -605,15 +610,18 @@ def _cast_fn(name: str):
             )
             return bool_term(val)
         if target == "string":
-            return F.when(c["t"] != TT_BNODE, string_term(c["v"]))
+            return F.when(c["t"] != TT_BNODE, string_term(tv.lexical_of(c)))
         if target == "dateTime":
-            val = F.when(
-                c["dt"].isin(XSD_DATETIME, XSD_DATE) | is_plain_string(c),
-                (c["v"]).try_cast("timestamp"),
+            val = F.coalesce(
+                F.when(c["k"] == K_DATETIME, c["ts"]),
+                F.when(is_plain_string(c), (c["v"]).try_cast("timestamp")),
             )
             lex = F.regexp_replace(val.cast("string"), " ", "T")
             return F.when(val.isNotNull(),
-                          term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_DATETIME)))
+                          term_struct(F.lit(TT_LITERAL), lex,
+                                      F.lit(XSD_DATETIME),
+                                      k=F.lit(K_DATETIME), x=tv.None_x(),
+                                      d=tv.None_d(), ts=val))
         if target == "date":
             val = F.when(
                 c["dt"].isin(XSD_DATETIME, XSD_DATE) | is_plain_string(c),

@@ -19,6 +19,14 @@ from pyspark.sql import functions as F
 
 from ..terms import (
     INTEGER_TYPES,
+    TERM_DDL,
+    K_BOOLEAN,
+    K_DATETIME,
+    K_DECIMAL,
+    K_DOUBLE,
+    K_FLOAT,
+    K_INTEGER,
+    K_STRING,
     NUMERIC_TYPES,
     RDF_LANG_STRING,
     TT_LITERAL,
@@ -36,90 +44,65 @@ from ..terms import (
 
 DECIMAL_T = "decimal(38,18)"
 
-# numeric promotion ranks (reference ladder: lib/functions/src/aggregates/sum.rs:14-100)
-RANK_INTEGER = 0
-RANK_DECIMAL = 1
-RANK_FLOAT = 2
-RANK_DOUBLE = 3
-
-_RANK_DT = [XSD_INTEGER, XSD_DECIMAL, XSD_FLOAT, XSD_DOUBLE]
+# numeric promotion ranks == the term struct's k codes for numerics
+# (reference ladder: lib/functions/src/aggregates/sum.rs:14-100)
+RANK_INTEGER = K_INTEGER
+RANK_DECIMAL = K_DECIMAL
+RANK_FLOAT = K_FLOAT
+RANK_DOUBLE = K_DOUBLE
 
 
 def is_numeric(c: Column) -> Column:
-    return (c["t"] == TT_LITERAL) & c["dt"].isin(*NUMERIC_TYPES)
+    return c["k"].isNotNull() & (c["k"] <= K_DOUBLE)
 
 
 def numeric_rank(c: Column) -> Column:
     """0=integer family, 1=decimal, 2=float, 3=double; NULL if not numeric."""
-    return (
-        F.when((c["t"] == TT_LITERAL) & c["dt"].isin(*INTEGER_TYPES), F.lit(RANK_INTEGER))
-        .when((c["t"] == TT_LITERAL) & (c["dt"] == XSD_DECIMAL), F.lit(RANK_DECIMAL))
-        .when((c["t"] == TT_LITERAL) & (c["dt"] == XSD_FLOAT), F.lit(RANK_FLOAT))
-        .when((c["t"] == TT_LITERAL) & (c["dt"] == XSD_DOUBLE), F.lit(RANK_DOUBLE))
-    )
+    return F.when(c["k"] <= K_DOUBLE, c["k"].cast("int"))
 
 
 def as_double(c: Column) -> Column:
     """Numeric value as double; NULL (error) for non-numerics / ill-typed."""
-    return F.when(is_numeric(c), (c["v"]).try_cast("double"))
+    return F.when(c["k"] <= K_DOUBLE, c["x"])
 
 
 def as_long(c: Column) -> Column:
-    return F.when(
-        (c["t"] == TT_LITERAL) & c["dt"].isin(*INTEGER_TYPES),
-        (c["v"]).try_cast("long"),
-    )
+    return F.when(c["k"] == K_INTEGER, c["d"].cast("long"))
 
 
 def as_decimal(c: Column) -> Column:
-    return F.when(
-        (c["t"] == TT_LITERAL) & c["dt"].isin(*(INTEGER_TYPES + (XSD_DECIMAL,))),
-        (c["v"]).try_cast(DECIMAL_T),
-    )
+    return F.when(c["k"] <= K_DECIMAL, c["d"])
 
 
 def as_boolean(c: Column) -> Column:
-    """xsd:boolean value; NULL for anything else."""
-    return F.when(
-        (c["t"] == TT_LITERAL) & (c["dt"] == XSD_BOOLEAN),
-        F.when(c["v"].isin("true", "1"), F.lit(True))
-        .when(c["v"].isin("false", "0"), F.lit(False)),
-    )
+    """xsd:boolean value; NULL for anything else (incl. bad lexicals)."""
+    return F.when(c["k"] == K_BOOLEAN,
+                  F.when(c["x"] == 1.0, F.lit(True))
+                  .when(c["x"] == 0.0, F.lit(False)))
 
 
 def as_timestamp(c: Column) -> Column:
-    """xsd:dateTime/date value as a session-UTC timestamp (offset applied).
-
-    Spark's string→timestamp cast accepts ISO-8601 with 'T', optional
-    fractional seconds and optional zone offsets; with
-    spark.sql.session.timeZone=UTC the instant semantics match the oracle.
-    """
-    return F.when(
-        (c["t"] == TT_LITERAL) & c["dt"].isin(XSD_DATETIME, XSD_DATE),
-        (c["v"]).try_cast("timestamp"),
-    )
+    """xsd:dateTime/date value as a session-UTC timestamp (offset applied)."""
+    return F.when(c["k"] == K_DATETIME, c["ts"])
 
 
 def as_string(c: Column) -> Column:
     """String value of simple/xsd:string/lang literals; NULL otherwise
     (argument-compatibility guard for string functions)."""
-    return F.when(
-        (c["t"] == TT_LITERAL) & ((c["dt"] == XSD_STRING) | (c["dt"] == RDF_LANG_STRING)),
-        c["v"],
-    )
+    return F.when(c["k"] == K_STRING, c["v"])
 
 
 def str_or_iri(c: Column) -> Column:
     """Value for STR(): lexical form of any literal, or the IRI string."""
-    return F.when(c["t"] != F.lit(1).cast("tinyint"), c["v"])
+    return F.when(c["t"] != F.lit(1).cast("tinyint"), lexical_of(c))
 
 
 def is_string_like(c: Column) -> Column:
-    return (c["t"] == TT_LITERAL) & ((c["dt"] == XSD_STRING) | (c["dt"] == RDF_LANG_STRING))
+    return c["k"].isNotNull() & (c["k"] == K_STRING)
 
 
 def is_plain_string(c: Column) -> Column:
-    return (c["t"] == TT_LITERAL) & (c["dt"] == XSD_STRING)
+    return (c["k"] == K_STRING) & c["lang"].isNull()
 
 
 # ---------------------------------------------------------------------------
@@ -131,16 +114,14 @@ def ebv(c: Column) -> Column:
 
     reference: lib/functions/src/builtin/native/effective_boolean_value.rs:98-130
     """
-    num = (c["v"]).try_cast("double")
     return (
         F.when(c.isNull(), F.lit(None).cast("boolean"))
-        .when((c["t"] == TT_LITERAL) & (c["dt"] == XSD_BOOLEAN),
-              F.when(c["v"].isin("true", "1"), True)
-              .when(c["v"].isin("false", "0"), False))
-        .when((c["t"] == TT_LITERAL) & c["dt"].isin(*NUMERIC_TYPES),
-              # ill-typed numeric literal → false per spec (EBV of invalid lexical = false)
-              F.coalesce((num != 0.0) & ~F.isnan(num), F.lit(False)))
-        .when(is_string_like(c), F.length(c["v"]) > 0)
+        .when(c["k"] == K_BOOLEAN,
+              # ill-typed boolean lexical (x NULL) → false per spec
+              F.coalesce(c["x"] == 1.0, F.lit(False)))
+        .when(c["k"] <= K_DOUBLE,
+              F.coalesce((c["x"] != 0.0) & ~F.isnan(c["x"]), F.lit(False)))
+        .when(c["k"] == K_STRING, F.length(c["v"]) > 0)
         .otherwise(F.lit(None).cast("boolean"))
     )
 
@@ -151,39 +132,124 @@ def bool_term(b: Column) -> Column:
     return F.when(
         b.isNotNull(),
         term_struct(F.lit(TT_LITERAL), F.when(b, "true").otherwise("false"),
-                    F.lit(XSD_BOOLEAN)),
+                    F.lit(XSD_BOOLEAN), k=F.lit(K_BOOLEAN),
+                    x=F.when(b, 1.0).otherwise(0.0), d=None_d(), ts=None_ts()),
     )
 
 
+def None_d() -> Column:
+    return F.lit(None).cast(DECIMAL_T)
+
+
+def None_ts() -> Column:
+    return F.lit(None).cast("timestamp")
+
+
+def None_x() -> Column:
+    return F.lit(None).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# lazy lexical forms — inside expression compilation, numeric terms skip
+# computing their lexical `v` (Double.toString + decimal canonicalization are
+# the single hottest per-row cost); the typed fields carry the value. Any
+# term that escapes an expression (BIND result, aggregate passthrough) is
+# re-materialized by materialize_lexical(), and lexical_of() serves STR()/
+# GROUP_CONCAT over possibly-lazy terms. Scan/constant terms are never lazy.
+# ---------------------------------------------------------------------------
+
+_LAZY_LEX: list[bool] = []
+
+
+class lazy_lexicals:
+    """Context manager: numeric term constructors emit v=NULL within."""
+
+    def __enter__(self):
+        _LAZY_LEX.append(True)
+        return self
+
+    def __exit__(self, *exc):
+        _LAZY_LEX.pop()
+        return False
+
+
+def _lazy() -> bool:
+    return bool(_LAZY_LEX)
+
+
+def canon_decimal_string(d: Column) -> Column:
+    """Canonical xsd:decimal lexical: strip trailing zeros, keep ≥1 digit."""
+    s = d.cast("string")
+    return F.when(
+        s.contains("."),
+        F.regexp_replace(F.regexp_replace(s, r"0+$", ""), r"\.$", ""),
+    ).otherwise(s)
+
+
+def _typed_lex(c: Column) -> Column:
+    """Recompute a numeric lexical from the typed fields."""
+    return (
+        F.when(c["k"] <= K_DECIMAL, canon_decimal_string(c["d"]))
+        .when(c["k"] == K_FLOAT, c["x"].cast("float").cast("string"))
+        .when(c["k"] <= K_DOUBLE, c["x"].cast("string"))
+    )
+
+
+def lexical_of(c: Column) -> Column:
+    """The lexical form of a (possibly lazy) term."""
+    return F.coalesce(c["v"], _typed_lex(c))
+
+
+def materialize_lexical(c: Column) -> Column:
+    """Fill a lazy numeric term's v before it escapes expression scope."""
+    needs = c.isNotNull() & c["v"].isNull() & (c["k"] <= K_DOUBLE)
+    return F.when(
+        needs,
+        term_struct(c["t"], _typed_lex(c), c["dt"], c["lang"],
+                    k=c["k"], x=c["x"], d=c["d"], ts=c["ts"]),
+    ).otherwise(c)
+
+
+def _null_str() -> Column:
+    return F.lit(None).cast("string")
+
+
 def int_term(n: Column) -> Column:
+    v = _null_str() if _lazy() else n.cast("string")
     return F.when(
         n.isNotNull(),
-        term_struct(F.lit(TT_LITERAL), n.cast("string"), F.lit(XSD_INTEGER)),
+        term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_INTEGER),
+                    k=F.lit(K_INTEGER), x=n.cast("double"),
+                    d=n.cast(DECIMAL_T), ts=None_ts()),
     )
 
 
 def double_term(x: Column) -> Column:
+    v = _null_str() if _lazy() else x.cast("string")
     return F.when(
         x.isNotNull(),
-        term_struct(F.lit(TT_LITERAL), x.cast("string"), F.lit(XSD_DOUBLE)),
+        term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_DOUBLE),
+                    k=F.lit(K_DOUBLE), x=x.cast("double"), d=None_d(),
+                    ts=None_ts()),
     )
 
 
 def decimal_term(x: Column) -> Column:
-    # canonical xsd:decimal lexical: strip trailing zeros but keep at least one digit
-    s = x.cast("string")
-    canon = F.when(
-        s.contains("."),
-        F.regexp_replace(F.regexp_replace(s, r"0+$", ""), r"\.$", ""),
-    ).otherwise(s)
+    x = x.cast(DECIMAL_T)
+    v = _null_str() if _lazy() else canon_decimal_string(x)
     return F.when(
         x.isNotNull(),
-        term_struct(F.lit(TT_LITERAL), canon, F.lit(XSD_DECIMAL)),
+        term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_DECIMAL),
+                    k=F.lit(K_DECIMAL), x=x.cast("double"), d=x,
+                    ts=None_ts()),
     )
 
 
 def string_term(s: Column) -> Column:
-    return F.when(s.isNotNull(), term_struct(F.lit(TT_LITERAL), s, F.lit(XSD_STRING)))
+    return F.when(s.isNotNull(),
+                  term_struct(F.lit(TT_LITERAL), s, F.lit(XSD_STRING),
+                              k=F.lit(K_STRING), x=None_x(), d=None_d(),
+                              ts=None_ts()))
 
 
 # ---------------------------------------------------------------------------
@@ -201,23 +267,21 @@ def rdf_equal(a: Column, b: Column) -> Column:
     """
     both_num = is_numeric(a) & is_numeric(b)
     both_str = is_plain_string(a) & is_plain_string(b)
-    both_lang = ((a["dt"] == RDF_LANG_STRING) & (b["dt"] == RDF_LANG_STRING)
-                 & (a["t"] == TT_LITERAL) & (b["t"] == TT_LITERAL))
-    both_bool = ((a["t"] == TT_LITERAL) & (a["dt"] == XSD_BOOLEAN)
-                 & (b["t"] == TT_LITERAL) & (b["dt"] == XSD_BOOLEAN))
-    both_dt = ((a["t"] == TT_LITERAL) & a["dt"].isin(XSD_DATETIME, XSD_DATE)
-               & (b["t"] == TT_LITERAL) & b["dt"].isin(XSD_DATETIME, XSD_DATE))
+    both_lang = ((a["k"] == K_STRING) & (b["k"] == K_STRING)
+                 & a["lang"].isNotNull() & b["lang"].isNotNull())
+    both_bool = (a["k"] == K_BOOLEAN) & (b["k"] == K_BOOLEAN)
+    both_dt = (a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
     return (
         F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
         .when(both_num,
               # exact within decimal range; doubles compared as double
-              F.when((numeric_rank(a) <= RANK_DECIMAL) & (numeric_rank(b) <= RANK_DECIMAL),
-                     as_decimal(a) == as_decimal(b))
-              .otherwise(as_double(a) == as_double(b)))
+              F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
+                     a["d"] == b["d"])
+              .otherwise(a["x"] == b["x"]))
         .when(both_str, a["v"] == b["v"])
         .when(both_lang, (a["v"] == b["v"]) & (a["lang"] == b["lang"]))
         .when(both_bool, as_boolean(a) == as_boolean(b))
-        .when(both_dt, as_timestamp(a) == as_timestamp(b))
+        .when(both_dt, a["ts"] == b["ts"])
         .when((a["t"] != TT_LITERAL) | (b["t"] != TT_LITERAL), a == b)
         # both literals, at least one of unknown/unsupported datatype:
         .when(a == b, F.lit(True))
@@ -237,10 +301,8 @@ def rdf_compare(a: Column, b: Column) -> Column:
     """
     both_num = is_numeric(a) & is_numeric(b)
     both_str = is_plain_string(a) & is_plain_string(b)
-    both_bool = ((a["t"] == TT_LITERAL) & (a["dt"] == XSD_BOOLEAN)
-                 & (b["t"] == TT_LITERAL) & (b["dt"] == XSD_BOOLEAN))
-    both_dt = ((a["t"] == TT_LITERAL) & a["dt"].isin(XSD_DATETIME, XSD_DATE)
-               & (b["t"] == TT_LITERAL) & b["dt"].isin(XSD_DATETIME, XSD_DATE))
+    both_bool = (a["k"] == K_BOOLEAN) & (b["k"] == K_BOOLEAN)
+    both_dt = (a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
 
     def cmp3(x: Column, y: Column) -> Column:
         return F.when(x < y, -1).when(x > y, 1).when(x == y, 0)
@@ -248,12 +310,12 @@ def rdf_compare(a: Column, b: Column) -> Column:
     return (
         F.when(a.isNull() | b.isNull(), F.lit(None).cast("int"))
         .when(both_num,
-              F.when((numeric_rank(a) <= RANK_DECIMAL) & (numeric_rank(b) <= RANK_DECIMAL),
-                     cmp3(as_decimal(a), as_decimal(b)))
-              .otherwise(cmp3(as_double(a), as_double(b))))
+              F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
+                     cmp3(a["d"], b["d"]))
+              .otherwise(cmp3(a["x"], b["x"])))
         .when(both_str, cmp3(a["v"], b["v"]))
         .when(both_bool, cmp3(as_boolean(a).cast("int"), as_boolean(b).cast("int")))
-        .when(both_dt, cmp3(as_timestamp(a), as_timestamp(b)))
+        .when(both_dt, cmp3(a["ts"], b["ts"]))
         .otherwise(F.lit(None).cast("int"))
     )
 
@@ -308,7 +370,7 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
 
     valid = is_numeric(a) & is_numeric(b)
     out = (
-        F.when(~valid, F.lit(None).cast("struct<t:tinyint,v:string,dt:string,lang:string>"))
+        F.when(~valid, F.lit(None).cast(TERM_DDL))
         .when(rank >= RANK_FLOAT, double_term(xres))
         .when((rank == RANK_DECIMAL) | F.lit(op == "/"), decimal_term(dres))
     )
@@ -337,7 +399,7 @@ def rdf_div(a: Column, b: Column) -> Column:
 def rdf_neg(a: Column) -> Column:
     rank = numeric_rank(a)
     return (
-        F.when(rank.isNull(), F.lit(None).cast("struct<t:tinyint,v:string,dt:string,lang:string>"))
+        F.when(rank.isNull(), F.lit(None).cast(TERM_DDL))
         .when(rank >= RANK_FLOAT, double_term(-as_double(a)))
         .when(rank == RANK_DECIMAL, decimal_term(-as_decimal(a)))
         .otherwise(int_term(-as_long(a)))
@@ -347,7 +409,7 @@ def rdf_neg(a: Column) -> Column:
 def rdf_unary_plus(a: Column) -> Column:
     rank = numeric_rank(a)
     return (
-        F.when(rank.isNull(), F.lit(None).cast("struct<t:tinyint,v:string,dt:string,lang:string>"))
+        F.when(rank.isNull(), F.lit(None).cast(TERM_DDL))
         .when(rank >= RANK_FLOAT, double_term(as_double(a)))
         .when(rank == RANK_DECIMAL, decimal_term(as_decimal(a)))
         .otherwise(int_term(as_long(a)))

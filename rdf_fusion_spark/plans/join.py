@@ -95,7 +95,8 @@ def join_solutions(
             return L[name]
         if name in right.maybe:
             return R[name]
-        return F.lit(None).cast("struct<t:tinyint,v:string,dt:string,lang:string>")
+        from ..terms import TERM_DDL
+        return F.lit(None).cast(TERM_DDL)
 
     if filter_expr is not None:
         assert compile_bool is not None

@@ -209,8 +209,9 @@ def translate(p, ctx: Ctx) -> Solution:
         if _has_exists(expr):
             expr, sol = _bind_exists_markers(expr, sol, ctx)
         it = Interner(sol.df, ctx)
-        with B.intern_scope(it):
+        with B.intern_scope(it), tv.lazy_lexicals():
             col = compile_term_expr(expr, sol, ctx)
+            col = tv.materialize_lexical(col)
         keep = [c for c in sol.df.columns if c in orig_maybe]
         df = it.df.withColumn(p.var.name, col).select(*keep, p.var.name)
         return replace(sol, df=df, maybe=orig_maybe | {p.var.name},
@@ -361,7 +362,7 @@ def _translate_filter(p: A.Filter, ctx: Ctx) -> Solution:
                 c, sol = _bind_exists_markers(c, sol, ctx)
             rewritten.append(c)
         it = Interner(sol.df, ctx)
-        with B.intern_scope(it):
+        with B.intern_scope(it), tv.lazy_lexicals():
             conds = [compile_bool_expr(c, sol, ctx) for c in rewritten]
         df = it.df
         for cond in conds:
@@ -445,7 +446,7 @@ def _apply_order(sol: Solution, ctx: Ctx) -> Solution:
         return sol
     keep = [c for c in sol.df.columns]
     it = Interner(sol.df, ctx)
-    with B.intern_scope(it):
+    with B.intern_scope(it), tv.lazy_lexicals():
         sort_cols = []
         for cond in sol.pending_order:
             key = it(sort_key(compile_term_expr(cond.expr, sol, ctx)))
@@ -484,9 +485,11 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
         return name
 
     it = Interner(sol.df, ctx)
-    with B.intern_scope(it):
+    with B.intern_scope(it), tv.lazy_lexicals():
         for out_var, call in p.aggregates:
-            aggs.append(_compile_aggregate(call, sol, ctx, tmp).alias(out_var.name))
+            agg_col = tv.materialize_lexical(
+                _compile_aggregate(call, sol, ctx, tmp))
+            aggs.append(agg_col.alias(out_var.name))
     df = it.df
 
     for name, col in tmp_cols.items():

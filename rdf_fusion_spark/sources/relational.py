@@ -92,17 +92,33 @@ def _const_iri(iri: str) -> Column:
 
 def _literal_for(col: Column, dtype: T.DataType) -> Optional[Column]:
     """Typed literal term for a relational value; lexical forms round-trip
-    exactly through Spark casts (Double.toString / ISO timestamps)."""
+    exactly through Spark casts (Double.toString / ISO timestamps). The
+    typed-value fields (k/x/d/ts) are filled from the NATIVE column — no
+    lexical parse ever happens downstream (Spark's double→decimal cast is
+    Double.toString-based, so `d` equals the parse of the lexical form)."""
+    from ..terms import K_DATETIME, K_DOUBLE, K_INTEGER, K_STRING
+
+    null_d = F.lit(None).cast("decimal(38,18)")
+    null_x = F.lit(None).cast("double")
+    null_ts = F.lit(None).cast("timestamp")
     if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
-        return term_struct(F.lit(TT_LITERAL), col.cast("string"), F.lit(XSD_INTEGER))
+        return term_struct(F.lit(TT_LITERAL), col.cast("string"),
+                           F.lit(XSD_INTEGER), k=F.lit(K_INTEGER),
+                           x=col.cast("double"),
+                           d=col.cast("decimal(38,18)"), ts=null_ts)
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
-        return term_struct(F.lit(TT_LITERAL), col.cast("double").cast("string"),
-                           F.lit(XSD_DOUBLE))
+        c = col.cast("double")
+        return term_struct(F.lit(TT_LITERAL), c.cast("string"),
+                           F.lit(XSD_DOUBLE), k=F.lit(K_DOUBLE), x=c,
+                           d=null_d, ts=null_ts)
     if isinstance(dtype, T.StringType):
-        return term_struct(F.lit(TT_LITERAL), col, F.lit(XSD_STRING))
+        return term_struct(F.lit(TT_LITERAL), col, F.lit(XSD_STRING),
+                           k=F.lit(K_STRING), x=null_x, d=null_d, ts=null_ts)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
         lex = F.regexp_replace(col.cast("string"), " ", "T")
-        return term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_DATETIME))
+        return term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_DATETIME),
+                           k=F.lit(K_DATETIME), x=null_x, d=null_d,
+                           ts=col.cast("timestamp"))
     return None  # arrays/maps/binary are not mapped into the graph
 
 

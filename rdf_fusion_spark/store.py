@@ -218,12 +218,5 @@ class GraphStore:
 
 
 def _term_row(t: Optional[Term]):
-    if t is None:
-        return None
-    if isinstance(t, NamedNode):
-        return (0, t.iri, None, None)
-    if isinstance(t, BlankNode):
-        return (1, t.id, None, None)
-    if isinstance(t, Literal):
-        return (2, t.lexical, t.datatype, t.language)
-    raise TypeError(f"not a term: {t!r}")
+    from .terms import term_py_row
+    return term_py_row(t)

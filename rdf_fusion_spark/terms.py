@@ -87,13 +87,33 @@ TT_LITERAL = 2
 # Spark schema
 # ---------------------------------------------------------------------------
 
+# The plain-term identity fields (t, v, dt, lang) are extended with DERIVED
+# typed-value fields so hot paths never re-parse lexical forms (the Spark
+# analogue of the reference's TypedValue encoding, materialized inline):
+#   k  — value-kind rank: 0=integer 1=decimal 2=float 3=double 4=string
+#        5=boolean 6=dateTime/date 7=other literal; NULL for IRI/bnode
+#   x  — double view (numerics; booleans as 1.0/0.0)
+#   d  — exact decimal(38,18) view (integer/decimal family)
+#   ts — timestamp view (dateTime/date)
+# Every field is a pure function of (t, v, dt, lang), so whole-struct
+# equality still implements sameTerm and joins/groupBy stay correct.
 TERM_FIELDS = [
     T.StructField("t", T.ByteType(), False),
     T.StructField("v", T.StringType(), False),
     T.StructField("dt", T.StringType(), True),
     T.StructField("lang", T.StringType(), True),
+    T.StructField("k", T.ByteType(), True),
+    T.StructField("x", T.DoubleType(), True),
+    T.StructField("d", T.DecimalType(38, 18), True),
+    T.StructField("ts", T.TimestampType(), True),
 ]
 TERM_TYPE = T.StructType(TERM_FIELDS)
+TERM_DDL = ("struct<t:tinyint,v:string,dt:string,lang:string,"
+            "k:tinyint,x:double,d:decimal(38,18),ts:timestamp>")
+
+# k codes
+K_INTEGER, K_DECIMAL, K_FLOAT, K_DOUBLE = 0, 1, 2, 3
+K_STRING, K_BOOLEAN, K_DATETIME, K_OTHER = 4, 5, 6, 7
 
 # the quads table schema (reference: lib/model/src/quads.rs:1-4)
 # graph is NULL for the default graph.
@@ -194,13 +214,51 @@ def _null_str() -> Column:
     return F.lit(None).cast("string")
 
 
-def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None) -> Column:
-    """Assemble a term struct column from parts."""
+def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None,
+                k: Column = None, x: Column = None, d: Column = None,
+                ts: Column = None) -> Column:
+    """Assemble a term struct column from parts.
+
+    Typed-value fields (k/x/d/ts) are derived from (t, v, dt) when not given
+    explicitly — pass them at construction sites that already hold native
+    values (scans, arithmetic) to skip the lexical parse entirely.
+    """
+    t = t.cast("tinyint")
+    dt_c = dt if dt is not None else _null_str()
+    if k is None:
+        k = F.when(
+            t == TT_LITERAL,
+            F.when(dt_c.isin(*INTEGER_TYPES), K_INTEGER)
+            .when(dt_c == XSD_DECIMAL, K_DECIMAL)
+            .when(dt_c == XSD_FLOAT, K_FLOAT)
+            .when(dt_c == XSD_DOUBLE, K_DOUBLE)
+            .when((dt_c == XSD_STRING) | (dt_c == RDF_LANG_STRING)
+                  | dt_c.isNull(), K_STRING)
+            .when(dt_c == XSD_BOOLEAN, K_BOOLEAN)
+            .when(dt_c.isin(XSD_DATETIME, XSD_DATE), K_DATETIME)
+            .otherwise(K_OTHER),
+        )
+    k = k.cast("tinyint") if isinstance(k, Column) else F.lit(k).cast("tinyint")
+    if x is None:
+        x = (
+            F.when(k <= K_DOUBLE, v.try_cast("double"))
+            .when(k == K_BOOLEAN,
+                  F.when(v.isin("true", "1"), 1.0)
+                  .when(v.isin("false", "0"), 0.0))
+        )
+    if d is None:
+        d = F.when(k <= K_DECIMAL, v.try_cast("decimal(38,18)"))
+    if ts is None:
+        ts = F.when(k == K_DATETIME, v.try_cast("timestamp"))
     return F.struct(
-        t.cast("tinyint").alias("t"),
+        t.alias("t"),
         v.alias("v"),
-        (dt if dt is not None else _null_str()).alias("dt"),
+        dt_c.alias("dt"),
         (lang if lang is not None else _null_str()).alias("lang"),
+        k.alias("k"),
+        (x.cast("double") if isinstance(x, Column) else F.lit(x).cast("double")).alias("x"),
+        (d.cast("decimal(38,18)") if isinstance(d, Column) else F.lit(d).cast("decimal(38,18)")).alias("d"),
+        (ts.cast("timestamp") if isinstance(ts, Column) else F.lit(ts).cast("timestamp")).alias("ts"),
     )
 
 
@@ -223,17 +281,25 @@ def typed_literal_col(v: Column, dt: Column) -> Column:
 
 
 def term_lit(term: Term) -> Column:
-    """A constant term as a Column literal."""
-    if isinstance(term, NamedNode):
-        return term_struct(_tt(TT_IRI), F.lit(term.iri))
-    if isinstance(term, BlankNode):
-        return term_struct(_tt(TT_BNODE), F.lit(term.id))
-    if isinstance(term, Literal):
-        if term.language:
-            return term_struct(_tt(TT_LITERAL), F.lit(term.lexical),
-                               F.lit(RDF_LANG_STRING), F.lit(term.language))
-        return term_struct(_tt(TT_LITERAL), F.lit(term.lexical), F.lit(term.datatype))
-    raise TypeError(f"not a term: {term!r}")
+    """A constant term as a Column literal.
+
+    The typed fields (k/x/d/ts) are computed in PYTHON, not as derived
+    Column CASE chains — constant terms are referenced many times inside
+    compiled expressions (numeric dispatch inspects each operand ~20×),
+    so their Column form must stay tiny or analysis blows up.
+    """
+    row = term_py_row(term)
+    t, v, dt, lang, k, x, d, ts = row
+    return F.struct(
+        F.lit(t).cast("tinyint").alias("t"),
+        F.lit(v).alias("v"),
+        F.lit(dt).cast("string").alias("dt"),
+        F.lit(lang).cast("string").alias("lang"),
+        F.lit(k).cast("tinyint").alias("k"),
+        F.lit(x).cast("double").alias("x"),
+        F.lit(d).cast("decimal(38,18)").alias("d"),
+        F.lit(ts).cast("timestamp").alias("ts"),
+    )
 
 
 def term_matches(col: Column, term: Term) -> Column:
@@ -278,6 +344,54 @@ def is_literal(c: Column) -> Column:
 
 def is_numeric_literal(c: Column) -> Column:
     return (c["t"] == TT_LITERAL) & c["dt"].isin(*NUMERIC_TYPES)
+
+
+def term_py_row(t: Optional[Term]):
+    """Python-side term → an 8-field row tuple matching TERM_TYPE (used by
+    createDataFrame boundaries: VALUES, from_python_quads, fixtures)."""
+    import datetime as _dt
+    import decimal as _decimal
+
+    if t is None:
+        return None
+    if isinstance(t, NamedNode):
+        return (TT_IRI, t.iri, None, None, None, None, None, None)
+    if isinstance(t, BlankNode):
+        return (TT_BNODE, t.id, None, None, None, None, None, None)
+    assert isinstance(t, Literal)
+    dt = t.datatype
+    lang = t.language
+    k = x = d = ts = None
+    if lang is not None or dt in (XSD_STRING, RDF_LANG_STRING) or dt is None:
+        k = K_STRING
+    elif dt in INTEGER_TYPES or dt == XSD_DECIMAL:
+        k = K_INTEGER if dt in INTEGER_TYPES else K_DECIMAL
+        try:
+            d = _decimal.Decimal(t.lexical).quantize(
+                _decimal.Decimal(1).scaleb(-18))
+            x = float(t.lexical)
+        except (ArithmeticError, ValueError):
+            d = x = None
+    elif dt in (XSD_FLOAT, XSD_DOUBLE):
+        k = K_FLOAT if dt == XSD_FLOAT else K_DOUBLE
+        try:
+            x = float(t.lexical)
+        except ValueError:
+            x = None
+    elif dt == XSD_BOOLEAN:
+        k = K_BOOLEAN
+        x = {"true": 1.0, "1": 1.0, "false": 0.0, "0": 0.0}.get(t.lexical)
+    elif dt in (XSD_DATETIME, XSD_DATE):
+        k = K_DATETIME
+        try:
+            ts = _dt.datetime.fromisoformat(t.lexical)
+            if ts.tzinfo is not None:
+                ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+        except ValueError:
+            ts = None
+    else:
+        k = K_OTHER
+    return (TT_LITERAL, t.lexical, dt, lang, k, x, d, ts)
 
 
 def term_to_python(row) -> Optional[Term]:

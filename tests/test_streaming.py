@@ -1,0 +1,82 @@
+"""Structured Streaming operators: batch-equivalence via availableNow."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_fusion_spark.streaming import events as SE
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_path(spark, tmp_path_factory):
+    # re-write the driver events as a clean TimestampType parquet dir the
+    # file stream source can read incrementally
+    from rdf_fusion_spark.sources.relational import read_table
+    df = read_table(spark, SF_DIR, "events")
+    out = str(tmp_path_factory.mktemp("stream") / "events")
+    df.withColumn("ts", F.col("ts").cast("timestamp")) \
+        .repartition(4).write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_windowed_counts_match_batch(spark, events_path, tmp_path):
+    stream = SE.read_event_stream(spark, events_path, max_files_per_trigger=2)
+    agg = SE.windowed_event_counts(stream, window="6 hours",
+                                   watermark="1 minute")
+    SE.run_to_memory(agg, "win_counts", str(tmp_path / "ck1"),
+                     output_mode="append")
+    got = spark.table("win_counts")
+
+    batch = spark.read.schema(SE.EVENT_SCHEMA).parquet(events_path)
+    want = (batch.groupBy(F.window("ts", "6 hours").alias("win"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("total_value")))
+    # append mode with availableNow emits only below-watermark windows; all
+    # but the final in-flight windows must match the batch result exactly
+    got_rows = {(r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+                for r in got.collect()}
+    want_rows = {(r["win"]["start"], r["event_type"]): (r["n"], r["total_value"])
+                 for r in want.collect()}
+    assert got_rows, "stream produced no finalized windows"
+    for k, v in got_rows.items():
+        assert want_rows[k][0] == v[0]
+        assert abs(want_rows[k][1] - v[1]) < 1e-6
+
+
+def test_dedup_stream(spark, events_path, tmp_path):
+    stream = SE.read_event_stream(spark, events_path)
+    dd = SE.dedup_stream(stream, watermark="10 seconds")
+    SE.run_to_memory(dd.groupBy().count(), "dedup_n", str(tmp_path / "ck2"),
+                     output_mode="complete")
+    n = spark.table("dedup_n").head()["count"]
+    batch_n = spark.read.schema(SE.EVENT_SCHEMA).parquet(events_path) \
+        .dropDuplicates(["event_id"]).count()
+    assert n == batch_n
+
+
+def test_running_user_totals_stateful(spark, events_path, tmp_path):
+    stream = SE.read_event_stream(spark, events_path, max_files_per_trigger=1)
+    totals = SE.running_user_totals(stream)
+    SE.run_to_memory(totals, "user_totals", str(tmp_path / "ck3"),
+                     output_mode="update")
+    # update mode re-emits per micro-batch: keep the LAST emission per user
+    got = (spark.table("user_totals")
+           .groupBy("user_id").agg(F.max("n_events").alias("n"),
+                                   F.max("total_value").alias("tv")))
+    batch = (spark.read.schema(SE.EVENT_SCHEMA).parquet(events_path)
+             .groupBy("user_id")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(F.coalesce(F.col("value"), F.lit(0.0))).alias("tv")))
+    g = {r["user_id"]: (r["n"], round(r["tv"], 6)) for r in got.collect()}
+    b = {r["user_id"]: (r["n"], round(r["tv"], 6)) for r in batch.collect()}
+    assert g == b
+
+
+def test_sessionize_runs(spark, events_path, tmp_path):
+    stream = SE.read_event_stream(spark, events_path)
+    s = SE.sessionize(stream, gap="2 hours", watermark="1 minute")
+    SE.run_to_memory(s, "sessions", str(tmp_path / "ck4"),
+                     output_mode="append")
+    rows = spark.table("sessions")
+    assert rows.where(F.col("n_events") >= 1).count() >= 0  # executed cleanly
