@@ -476,7 +476,14 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
     sol = translate(p.inner, ctx)
     keys = [v.name for v in p.keys]
 
-    aggs: list[Column] = []
+    # Raw aggregate functions (sum/count/max/min_by/collect_list over scalar
+    # or struct inputs) run inside the hash-agg; the term-struct wrapping
+    # (promotion ladder, lexical canonicalization) happens in a separate
+    # post-agg Project. Keeping the agg output projection tiny is what lets
+    # whole-stage codegen compile it (one giant method blows janino's 64 KB
+    # limit and drops the stage to interpreted mode).
+    raw_aggs: list[Column] = []
+    post_exprs: list[Column] = []
     tmp_cols: dict[str, Column] = {}
 
     def tmp(col: Column) -> str:
@@ -484,12 +491,17 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
         tmp_cols[name] = col
         return name
 
+    def raw(col: Column) -> Column:
+        name = ctx.fresh("agg_raw")
+        raw_aggs.append(col.alias(name))
+        return F.col(name)
+
     it = Interner(sol.df, ctx)
     with B.intern_scope(it), tv.lazy_lexicals():
         for out_var, call in p.aggregates:
             agg_col = tv.materialize_lexical(
-                _compile_aggregate(call, sol, ctx, tmp))
-            aggs.append(agg_col.alias(out_var.name))
+                _compile_aggregate(call, sol, ctx, tmp, raw))
+            post_exprs.append(agg_col.alias(out_var.name))
     df = it.df
 
     for name, col in tmp_cols.items():
@@ -500,7 +512,11 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
                            for k in keys])
     else:
         gdf = df.groupBy()
-    out = gdf.agg(*aggs) if aggs else gdf.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
+    if raw_aggs:
+        out = gdf.agg(*raw_aggs)
+        out = out.select(*[F.col(k) for k in keys], *post_exprs)
+    else:
+        out = gdf.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
 
     bound = {k for k in keys if k in sol.bound}
     for out_var, call in p.aggregates:
@@ -511,16 +527,17 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
 
 
 def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
-                       tmp: Callable[[Column], str]) -> Column:
+                       tmp: Callable[[Column], str],
+                       raw: Callable[[Column], Column]) -> Column:
     name = call.name
     if name == "COUNT" and call.expr is None:
         if call.distinct:
             all_cols = [sol.df[c] for c in sorted(sol.maybe)]
             if not all_cols:
-                return tv.int_term(F.count(F.lit(1)))
+                return tv.int_term(raw(F.count(F.lit(1))))
             t = tmp(F.struct(*all_cols))
-            return tv.int_term(F.count_distinct(F.col(t)))
-        return tv.int_term(F.count(F.lit(1)))
+            return tv.int_term(raw(F.count_distinct(F.col(t))))
+        return tv.int_term(raw(F.count(F.lit(1))))
 
     in_col = compile_term_expr(call.expr, sol, ctx)
     t = tmp(in_col)
@@ -528,30 +545,30 @@ def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
 
     if name == "COUNT":
         n = F.count_distinct(c) if call.distinct else F.count(c)
-        return tv.int_term(n)
+        return tv.int_term(raw(n))
 
     if name in ("SUM", "AVG"):
-        return _sum_avg(name, c, tmp, call.distinct)
+        return _sum_avg(name, c, tmp, call.distinct, raw)
 
     if name in ("MIN", "MAX"):
         k = tmp(sort_key(c))
         fn = F.min_by if name == "MIN" else F.max_by
-        return fn(c, F.col(k))
+        return raw(fn(c, F.col(k)))
 
     if name == "SAMPLE":
-        return F.first(c, ignorenulls=True)
+        return raw(F.first(c, ignorenulls=True))
 
     if name == "GROUP_CONCAT":
         sep = call.separator if call.separator is not None else " "
         s = tmp(tv.str_or_iri(c))
         vals = F.collect_set(F.col(s)) if call.distinct else F.collect_list(F.col(s))
-        return tv.string_term(F.array_join(vals, sep))
+        return tv.string_term(F.array_join(raw(vals), sep))
 
     raise NotImplementedError(f"aggregate {name}")
 
 
 def _sum_avg(name: str, c: Column, tmp: Callable[[Column], str],
-             distinct: bool) -> Column:
+             distinct: bool, raw: Callable[[Column], Column]) -> Column:
     """SUM/AVG with the numeric promotion ladder, single hash-agg pass
     (reference: lib/functions/src/aggregates/sum.rs:14-100, avg.rs).
     integer→integer(sum)/decimal(avg); any decimal→decimal; any float/double
@@ -563,18 +580,20 @@ def _sum_avg(name: str, c: Column, tmp: Callable[[Column], str],
 
     if distinct:
         # distinct over the term value; approximate with distinct lexical+dt
-        agg_dec = F.sum_distinct(dec_t)
-        agg_dbl = F.sum_distinct(dbl_t)
-        n = F.count_distinct(dec_t)
-        n_dbl = F.count_distinct(dbl_t)
+        agg_dec = raw(F.sum_distinct(dec_t))
+        agg_dbl = raw(F.sum_distinct(dbl_t))
+        if name == "AVG":
+            n = raw(F.count_distinct(dec_t))
+            n_dbl = raw(F.count_distinct(dbl_t))
     else:
-        agg_dec = F.sum(dec_t)
-        agg_dbl = F.sum(dbl_t)
-        n = F.count(dec_t)
-        n_dbl = F.count(dbl_t)
+        agg_dec = raw(F.sum(dec_t))
+        agg_dbl = raw(F.sum(dbl_t))
+        if name == "AVG":
+            n = raw(F.count(dec_t))
+            n_dbl = raw(F.count(dbl_t))
 
-    max_rank = F.max(rank_t)
-    any_bad = F.max(bad_t)
+    max_rank = raw(F.max(rank_t))
+    any_bad = raw(F.max(bad_t))
 
     if name == "SUM":
         return (
