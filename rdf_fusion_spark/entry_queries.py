@@ -609,9 +609,11 @@ def _pipeline_oracles() -> dict[str, str]:
                     for x in langs)
                 + " END")
 
+    from .pipeline.dedup import MINHASH_A, MINHASH_B, MINHASH_P
     sig_exprs = ",\n    ".join(
         "list_min(list_transform(shingles, "
-        f"s -> ('0x'||substr(md5(s||'#{k}'),1,8))::BIGINT)) AS s{k}"
+        f"s -> ((('0x'||substr(md5(s),1,8))::BIGINT * {MINHASH_A[k]}"
+        f" + {MINHASH_B[k]}) % {MINHASH_P}))) AS s{k}"
         for k in range(NUM_HASHES))
     band_case = " ".join(
         f"WHEN {i} THEN " + "||'_'||".join(

@@ -573,7 +573,21 @@ def _cast_fn(name: str):
 
     def fn(args, resolve):
         c = compile_expr(args[0], resolve)
+        sk = tv.skind(c)
         if target in ("integer", "int", "long", "short", "byte"):
+            if sk is not None:
+                # single-branch: the input's kind is statically known
+                if sk == tv.K_INTEGER:
+                    val = c["d"].cast("long")
+                elif tv._sk_numeric(sk):
+                    val = c["x"].cast("long")
+                elif sk == tv.K_BOOLEAN:
+                    val = F.when(as_boolean(c), 1).otherwise(0).cast("long")
+                elif sk == tv.SK_PLAIN:
+                    val = c["v"].try_cast("long")
+                else:
+                    val = F.lit(None).cast("long")
+                return int_term(val)
             val = (
                 # exact path for integers; double→long truncates toward zero
                 F.when(c["k"] == K_INTEGER, c["d"].cast("long"))
@@ -584,6 +598,18 @@ def _cast_fn(name: str):
             )
             return int_term(val)
         if target == "decimal":
+            if sk is not None:
+                if sk <= K_DECIMAL:
+                    val = c["d"]
+                elif tv._sk_numeric(sk):
+                    val = c["x"].cast(DECIMAL_T)
+                elif sk == tv.K_BOOLEAN:
+                    val = F.when(as_boolean(c), 1).otherwise(0).cast(DECIMAL_T)
+                elif sk == tv.SK_PLAIN:
+                    val = c["v"].try_cast(DECIMAL_T)
+                else:
+                    val = F.lit(None).cast(DECIMAL_T)
+                return decimal_term(val)
             val = (
                 F.when(c["k"] <= K_DECIMAL, c["d"])
                 .when(is_numeric(c), c["x"].cast(DECIMAL_T))
@@ -593,13 +619,23 @@ def _cast_fn(name: str):
             )
             return decimal_term(val)
         if target in ("double", "float"):
+            mk = double_term if target == "double" else _float_term
+            if sk is not None:
+                if tv._sk_numeric(sk):
+                    val = c["x"]
+                elif sk == tv.K_BOOLEAN:
+                    val = F.when(as_boolean(c), 1.0).otherwise(0.0)
+                elif sk == tv.SK_PLAIN:
+                    val = c["v"].try_cast("double")
+                else:
+                    val = F.lit(None).cast("double")
+                return mk(val)
             val = (
                 F.when(is_numeric(c), c["x"])
                 .when(c["dt"] == XSD_BOOLEAN,
                       F.when(as_boolean(c), 1.0).otherwise(0.0))
                 .when(is_plain_string(c), (c["v"]).try_cast("double"))
             )
-            mk = double_term if target == "double" else _float_term
             return mk(val)
         if target == "boolean":
             val = (
@@ -612,10 +648,17 @@ def _cast_fn(name: str):
         if target == "string":
             return F.when(c["t"] != TT_BNODE, string_term(tv.lexical_of(c)))
         if target == "dateTime":
-            val = F.coalesce(
-                F.when(c["k"] == K_DATETIME, c["ts"]),
-                F.when(is_plain_string(c), (c["v"]).try_cast("timestamp")),
-            )
+            if sk == K_DATETIME:
+                val = c["ts"]
+            elif sk == tv.SK_PLAIN:
+                val = c["v"].try_cast("timestamp")
+            elif sk is not None:
+                val = F.lit(None).cast("timestamp")
+            else:
+                val = F.coalesce(
+                    F.when(c["k"] == K_DATETIME, c["ts"]),
+                    F.when(is_plain_string(c), (c["v"]).try_cast("timestamp")),
+                )
             lex = F.regexp_replace(val.cast("string"), " ", "T")
             return F.when(val.isNotNull(),
                           term_struct(F.lit(TT_LITERAL), lex,

@@ -52,56 +52,145 @@ RANK_FLOAT = K_FLOAT
 RANK_DOUBLE = K_DOUBLE
 
 
+# ---------------------------------------------------------------------------
+# static kinds — compile-time type specialization
+#
+# A term Column can carry a *static kind* tag: a Python-side promise that
+# every NON-NULL value of the column has the given k (and, for SK_IRI /
+# SK_BNODE, term type). Sources of truth: the relational scan (column dtypes
+# are known), term constructors (the result kind is known by construction),
+# and constant terms. Tagged operands compile to single-branch expressions
+# instead of the generic CASE ladder — the Spark analogue of the reference's
+# per-variant dispatch over its dense-union encoding
+# (lib/functions/src/scalar/dispatch/binary.rs). Untagged columns fall back
+# to the generic ladder, so a lost tag is a missed optimization, never a
+# wrong answer.
+# ---------------------------------------------------------------------------
+
+SK_PLAIN = 8    # xsd:string literal, lang guaranteed NULL
+SK_IRI = 100    # named node
+SK_BNODE = 101  # blank node
+
+
+def skind(c: Column):
+    """The static kind of a column, or None if unknown.
+
+    Reads the instance __dict__ directly: Column.__getattr__ would turn a
+    plain getattr for a missing attribute into a struct-field access column.
+    """
+    try:
+        return c.__dict__.get("_rf_sk")
+    except AttributeError:  # pragma: no cover
+        return None
+
+
+def tag(c: Column, sk) -> Column:
+    """Attach a static kind tag to a Column (no-op for sk=None)."""
+    if sk is not None:
+        c._rf_sk = sk
+    return c
+
+
+def _sk_numeric(sk) -> bool:
+    return sk is not None and sk <= K_DOUBLE
+
+
+def _sk_stringish(sk) -> bool:
+    return sk in (K_STRING, SK_PLAIN)
+
+
 def is_numeric(c: Column) -> Column:
+    sk = skind(c)
+    if sk is not None:
+        return c.isNotNull() if _sk_numeric(sk) else F.lit(False)
     return c["k"].isNotNull() & (c["k"] <= K_DOUBLE)
 
 
 def numeric_rank(c: Column) -> Column:
     """0=integer family, 1=decimal, 2=float, 3=double; NULL if not numeric."""
+    sk = skind(c)
+    if sk is not None:
+        if _sk_numeric(sk):
+            return F.when(c.isNotNull(), F.lit(sk).cast("int"))
+        return F.lit(None).cast("int")
     return F.when(c["k"] <= K_DOUBLE, c["k"].cast("int"))
 
 
 def as_double(c: Column) -> Column:
     """Numeric value as double; NULL (error) for non-numerics / ill-typed."""
+    sk = skind(c)
+    if sk is not None:
+        return c["x"] if _sk_numeric(sk) else None_x()
     return F.when(c["k"] <= K_DOUBLE, c["x"])
 
 
 def as_long(c: Column) -> Column:
+    sk = skind(c)
+    if sk is not None:
+        if sk == K_INTEGER:
+            return c["d"].cast("long")
+        return F.lit(None).cast("long")
     return F.when(c["k"] == K_INTEGER, c["d"].cast("long"))
 
 
 def as_decimal(c: Column) -> Column:
+    sk = skind(c)
+    if sk is not None:
+        return c["d"] if sk <= K_DECIMAL else None_d()
     return F.when(c["k"] <= K_DECIMAL, c["d"])
 
 
 def as_boolean(c: Column) -> Column:
     """xsd:boolean value; NULL for anything else (incl. bad lexicals)."""
-    return F.when(c["k"] == K_BOOLEAN,
-                  F.when(c["x"] == 1.0, F.lit(True))
-                  .when(c["x"] == 0.0, F.lit(False)))
+    sk = skind(c)
+    if sk is not None and sk != K_BOOLEAN:
+        return F.lit(None).cast("boolean")
+    b = (F.when(c["x"] == 1.0, F.lit(True))
+         .when(c["x"] == 0.0, F.lit(False)))
+    if sk == K_BOOLEAN:
+        return b
+    return F.when(c["k"] == K_BOOLEAN, b)
 
 
 def as_timestamp(c: Column) -> Column:
     """xsd:dateTime/date value as a session-UTC timestamp (offset applied)."""
+    sk = skind(c)
+    if sk is not None:
+        return c["ts"] if sk == K_DATETIME else None_ts()
     return F.when(c["k"] == K_DATETIME, c["ts"])
 
 
 def as_string(c: Column) -> Column:
     """String value of simple/xsd:string/lang literals; NULL otherwise
     (argument-compatibility guard for string functions)."""
+    sk = skind(c)
+    if sk is not None:
+        return c["v"] if _sk_stringish(sk) else _null_str()
     return F.when(c["k"] == K_STRING, c["v"])
 
 
 def str_or_iri(c: Column) -> Column:
     """Value for STR(): lexical form of any literal, or the IRI string."""
+    sk = skind(c)
+    if sk is not None and sk != SK_BNODE:
+        return lexical_of(c)
     return F.when(c["t"] != F.lit(1).cast("tinyint"), lexical_of(c))
 
 
 def is_string_like(c: Column) -> Column:
+    sk = skind(c)
+    if sk is not None:
+        return c.isNotNull() if _sk_stringish(sk) else F.lit(False)
     return c["k"].isNotNull() & (c["k"] == K_STRING)
 
 
 def is_plain_string(c: Column) -> Column:
+    sk = skind(c)
+    if sk is not None:
+        if sk == SK_PLAIN:
+            return c.isNotNull()
+        if sk != K_STRING:
+            return F.lit(False)
     return (c["k"] == K_STRING) & c["lang"].isNull()
 
 
@@ -114,6 +203,17 @@ def ebv(c: Column) -> Column:
 
     reference: lib/functions/src/builtin/native/effective_boolean_value.rs:98-130
     """
+    sk = skind(c)
+    if sk is not None:
+        if sk == K_BOOLEAN:
+            body = F.coalesce(c["x"] == 1.0, F.lit(False))
+        elif _sk_numeric(sk):
+            body = F.coalesce((c["x"] != 0.0) & ~F.isnan(c["x"]), F.lit(False))
+        elif _sk_stringish(sk):
+            body = F.length(c["v"]) > 0
+        else:
+            return F.lit(None).cast("boolean")
+        return F.when(c.isNotNull(), body)
     return (
         F.when(c.isNull(), F.lit(None).cast("boolean"))
         .when(c["k"] == K_BOOLEAN,
@@ -129,12 +229,12 @@ def ebv(c: Column) -> Column:
 def bool_term(b: Column) -> Column:
     """Wrap a native boolean Column back into an xsd:boolean term
     (reference: NativeBooleanAsTerm, lib/functions/src/builtin/native/)."""
-    return F.when(
+    return tag(F.when(
         b.isNotNull(),
         term_struct(F.lit(TT_LITERAL), F.when(b, "true").otherwise("false"),
                     F.lit(XSD_BOOLEAN), k=F.lit(K_BOOLEAN),
                     x=F.when(b, 1.0).otherwise(0.0), d=None_d(), ts=None_ts()),
-    )
+    ), K_BOOLEAN)
 
 
 def None_d() -> Column:
@@ -188,6 +288,15 @@ def canon_decimal_string(d: Column) -> Column:
 
 def _typed_lex(c: Column) -> Column:
     """Recompute a numeric lexical from the typed fields."""
+    sk = skind(c)
+    if sk is not None:
+        if sk <= K_DECIMAL:
+            return canon_decimal_string(c["d"])
+        if sk == K_FLOAT:
+            return c["x"].cast("float").cast("string")
+        if sk == K_DOUBLE:
+            return c["x"].cast("string")
+        return _null_str()
     return (
         F.when(c["k"] <= K_DECIMAL, canon_decimal_string(c["d"]))
         .when(c["k"] == K_FLOAT, c["x"].cast("float").cast("string"))
@@ -197,17 +306,25 @@ def _typed_lex(c: Column) -> Column:
 
 def lexical_of(c: Column) -> Column:
     """The lexical form of a (possibly lazy) term."""
+    sk = skind(c)
+    if sk is not None and not _sk_numeric(sk):
+        return c["v"]
     return F.coalesce(c["v"], _typed_lex(c))
 
 
 def materialize_lexical(c: Column) -> Column:
     """Fill a lazy numeric term's v before it escapes expression scope."""
-    needs = c.isNotNull() & c["v"].isNull() & (c["k"] <= K_DOUBLE)
-    return F.when(
-        needs,
+    sk = skind(c)
+    if sk is not None and not _sk_numeric(sk):
+        return c  # only numeric constructors emit lazy lexicals
+    needs = c.isNull() | c["v"].isNotNull()
+    out = F.when(
+        ~needs if sk is not None else
+        (c.isNotNull() & c["v"].isNull() & (c["k"] <= K_DOUBLE)),
         term_struct(c["t"], _typed_lex(c), c["dt"], c["lang"],
                     k=c["k"], x=c["x"], d=c["d"], ts=c["ts"]),
     ).otherwise(c)
+    return tag(out, sk)
 
 
 def _null_str() -> Column:
@@ -216,40 +333,40 @@ def _null_str() -> Column:
 
 def int_term(n: Column) -> Column:
     v = _null_str() if _lazy() else n.cast("string")
-    return F.when(
+    return tag(F.when(
         n.isNotNull(),
         term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_INTEGER),
                     k=F.lit(K_INTEGER), x=n.cast("double"),
                     d=n.cast(DECIMAL_T), ts=None_ts()),
-    )
+    ), K_INTEGER)
 
 
 def double_term(x: Column) -> Column:
     v = _null_str() if _lazy() else x.cast("string")
-    return F.when(
+    return tag(F.when(
         x.isNotNull(),
         term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_DOUBLE),
                     k=F.lit(K_DOUBLE), x=x.cast("double"), d=None_d(),
                     ts=None_ts()),
-    )
+    ), K_DOUBLE)
 
 
 def decimal_term(x: Column) -> Column:
     x = x.cast(DECIMAL_T)
     v = _null_str() if _lazy() else canon_decimal_string(x)
-    return F.when(
+    return tag(F.when(
         x.isNotNull(),
         term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_DECIMAL),
                     k=F.lit(K_DECIMAL), x=x.cast("double"), d=x,
                     ts=None_ts()),
-    )
+    ), K_DECIMAL)
 
 
 def string_term(s: Column) -> Column:
-    return F.when(s.isNotNull(),
-                  term_struct(F.lit(TT_LITERAL), s, F.lit(XSD_STRING),
-                              k=F.lit(K_STRING), x=None_x(), d=None_d(),
-                              ts=None_ts()))
+    return tag(F.when(s.isNotNull(),
+                      term_struct(F.lit(TT_LITERAL), s, F.lit(XSD_STRING),
+                                  k=F.lit(K_STRING), x=None_x(), d=None_d(),
+                                  ts=None_ts())), SK_PLAIN)
 
 
 # ---------------------------------------------------------------------------
@@ -265,6 +382,29 @@ def rdf_equal(a: Column, b: Column) -> Column:
     error when not identical; IRI/bnode compare by identity (false, not
     error, when different node kinds).
     """
+    sa, sb = skind(a), skind(b)
+    if sa is not None and sb is not None:
+        null_guard = a.isNull() | b.isNull()
+        if _sk_numeric(sa) and _sk_numeric(sb):
+            body = (a["d"] == b["d"]) if (sa <= K_DECIMAL and sb <= K_DECIMAL) \
+                else (a["x"] == b["x"])
+        elif sa == SK_PLAIN and sb == SK_PLAIN:
+            body = a["v"] == b["v"]
+        elif sa == K_DATETIME and sb == K_DATETIME:
+            body = a["ts"] == b["ts"]
+        elif sa == K_BOOLEAN and sb == K_BOOLEAN:
+            body = as_boolean(a) == as_boolean(b)
+        elif sa in (SK_IRI, SK_BNODE) or sb in (SK_IRI, SK_BNODE):
+            # node-kind mismatch or identity comparison: plain equality
+            body = (a["v"] == b["v"]) if sa == sb else F.lit(False)
+        elif sa == K_STRING or sb == K_STRING:
+            # possibly lang-tagged strings vs anything stringish
+            body = None  # fall through to generic below
+        else:
+            # two literals of different value spaces: error unless identical
+            body = F.when(a == b, F.lit(True))
+        if body is not None:
+            return F.when(~null_guard, body)
     both_num = is_numeric(a) & is_numeric(b)
     both_str = is_plain_string(a) & is_plain_string(b)
     both_lang = ((a["k"] == K_STRING) & (b["k"] == K_STRING)
@@ -299,13 +439,31 @@ def rdf_compare(a: Column, b: Column) -> Column:
     Comparable pairs per SPARQL 1.1 operator table: numeric/numeric,
     simple-or-xsd:string pairs, boolean/boolean, dateTime/dateTime.
     """
+    def cmp3(x: Column, y: Column) -> Column:
+        return F.when(x < y, -1).when(x > y, 1).when(x == y, 0)
+
+    sa, sb = skind(a), skind(b)
+    if sa is not None and sb is not None:
+        if _sk_numeric(sa) and _sk_numeric(sb):
+            body = cmp3(a["d"], b["d"]) if (sa <= K_DECIMAL and sb <= K_DECIMAL) \
+                else cmp3(a["x"], b["x"])
+        elif sa == SK_PLAIN and sb == SK_PLAIN:
+            body = cmp3(a["v"], b["v"])
+        elif sa == K_BOOLEAN and sb == K_BOOLEAN:
+            body = cmp3(as_boolean(a).cast("int"), as_boolean(b).cast("int"))
+        elif sa == K_DATETIME and sb == K_DATETIME:
+            body = cmp3(a["ts"], b["ts"])
+        elif sa == K_STRING or sb == K_STRING:
+            body = None  # lang tags possible → generic
+        else:
+            return F.lit(None).cast("int")  # statically not comparable
+        if body is not None:
+            return F.when(a.isNotNull() & b.isNotNull(), body)
+
     both_num = is_numeric(a) & is_numeric(b)
     both_str = is_plain_string(a) & is_plain_string(b)
     both_bool = (a["k"] == K_BOOLEAN) & (b["k"] == K_BOOLEAN)
     both_dt = (a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
-
-    def cmp3(x: Column, y: Column) -> Column:
-        return F.when(x < y, -1).when(x > y, 1).when(x == y, 0)
 
     return (
         F.when(a.isNull() | b.isNull(), F.lit(None).cast("int"))
@@ -348,6 +506,26 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
     (float kept as double internally; lexical forms match either way).
     reference: lib/functions/src/scalar/numeric/add.rs et al.
     """
+    sa, sb = skind(a), skind(b)
+    if sa is not None and sb is not None:
+        if not (_sk_numeric(sa) and _sk_numeric(sb)):
+            return F.lit(None).cast(TERM_DDL)
+        rank = max(sa, sb)
+        if rank >= RANK_FLOAT:
+            xa, xb = a["x"], b["x"]
+            res = {"+": xa + xb, "-": xa - xb, "*": xa * xb,
+                   "/": xa / xb}[op]
+            return double_term(res)
+        if rank == RANK_DECIMAL or op == "/":
+            da, db = a["d"], b["d"]
+            if op == "/":
+                return decimal_term(F.when(db != 0, da / db))
+            res = {"+": da + db, "-": da - db, "*": da * db}[op]
+            return decimal_term(res)
+        la, lb = a["d"].cast("long"), b["d"].cast("long")
+        res = {"+": la + lb, "-": la - lb, "*": la * lb}[op]
+        return int_term(res)
+
     ra, rb = numeric_rank(a), numeric_rank(b)
     rank = F.greatest(ra, rb)
     la, lb = as_long(a), as_long(b)
@@ -397,6 +575,15 @@ def rdf_div(a: Column, b: Column) -> Column:
 
 
 def rdf_neg(a: Column) -> Column:
+    sk = skind(a)
+    if sk is not None:
+        if not _sk_numeric(sk):
+            return F.lit(None).cast(TERM_DDL)
+        if sk >= RANK_FLOAT:
+            return double_term(-a["x"])
+        if sk == RANK_DECIMAL:
+            return decimal_term(-a["d"])
+        return int_term(-a["d"].cast("long"))
     rank = numeric_rank(a)
     return (
         F.when(rank.isNull(), F.lit(None).cast(TERM_DDL))
@@ -407,6 +594,15 @@ def rdf_neg(a: Column) -> Column:
 
 
 def rdf_unary_plus(a: Column) -> Column:
+    sk = skind(a)
+    if sk is not None:
+        if not _sk_numeric(sk):
+            return F.lit(None).cast(TERM_DDL)
+        if sk >= RANK_FLOAT:
+            return double_term(a["x"])
+        if sk == RANK_DECIMAL:
+            return decimal_term(a["d"])
+        return int_term(a["d"].cast("long"))
     rank = numeric_rank(a)
     return (
         F.when(rank.isNull(), F.lit(None).cast(TERM_DDL))

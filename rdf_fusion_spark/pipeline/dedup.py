@@ -31,6 +31,15 @@ NUM_HASHES = 8
 ROWS_PER_BAND = 2
 NUM_BANDS = NUM_HASHES // ROWS_PER_BAND
 
+# Affine rehash family over ONE base hash per shingle: sig_k = min over
+# shingles of (A_k*h + B_k) mod P. One md5 per shingle instead of
+# NUM_HASHES — the hash is the scan's hot loop at corpus scale. P is the
+# smallest prime > 2^32; A_k*h stays far below int64 overflow.
+MINHASH_P = 4294967311
+MINHASH_A = [2971, 5419, 8923, 11633, 14867, 17881, 21269, 24749]
+MINHASH_B = [1299721, 2750159, 4256233, 5800079, 7368787, 8960453,
+             10570841, 12195257]
+
 
 def _md5i(c: Column) -> Column:
     """Portable 32-bit hash as long: first 8 hex chars of md5."""
@@ -99,10 +108,15 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     """doc → (id, shingles, sig_0..sig_{k-1}) minhash signature row."""
     s = df.select(F.col(id_col).alias("id"),
                   shingles_col(F.col(text_col)).alias("sh"))
+    s = s.withColumn("hs", F.transform(F.col("sh"), _md5i))
+
+    def rehash(k: int):
+        # closure, not default-arg: a 2-arg lambda makes F.transform pass
+        # the element index as the second argument
+        return lambda h: (h * MINHASH_A[k] + MINHASH_B[k]) % MINHASH_P
+
     sigs = [
-        F.array_min(F.transform(
-            F.col("sh"), lambda x, k=k: _md5i(F.concat(x, F.lit(f"#{k}")))
-        )).alias(f"s{k}")
+        F.array_min(F.transform(F.col("hs"), rehash(k))).alias(f"s{k}")
         for k in range(NUM_HASHES)
     ]
     return s.select("id", "sh", *sigs)
@@ -128,17 +142,28 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
         )
         for i in range(NUM_BANDS)
     ])
-    exploded = sig.select("id", "sh", F.explode(bands).alias("b")) \
-        .select("id", "sh", F.col("b.band_idx").alias("band_idx"),
+    # Bucket join carries ONLY (id, band) — never the shingle arrays. At
+    # corpus scale the shingles are the dominant payload; exploding them
+    # b× and shuffling them through the self-join would amplify the heavy
+    # column 2b×. Instead the verify step re-joins the (id → shingles) map
+    # onto the deduped candidate pairs (two cheap hash joins on id).
+    exploded = sig.select("id", F.explode(bands).alias("b")) \
+        .select("id", F.col("b.band_idx").alias("band_idx"),
                 F.col("b.band_key").alias("band_key"))
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
                & (F.col("a.band_key") == F.col("b.band_key"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                F.col("a.sh").alias("sh_a"), F.col("b.sh").alias("sh_b"))
-        .dropDuplicates(["id_a", "id_b"])
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_map = sig.select("id", "sh")
+    cand = (
+        cand.join(sh_map.select(F.col("id").alias("id_a"),
+                                F.col("sh").alias("sh_a")), "id_a")
+        .join(sh_map.select(F.col("id").alias("id_b"),
+                            F.col("sh").alias("sh_b")), "id_b")
     )
     j = _jaccard(F.col("sh_a"), F.col("sh_b"))
     return (cand.select("id_a", "id_b", j.alias("jaccard"))

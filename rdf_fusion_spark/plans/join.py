@@ -29,14 +29,32 @@ class Solution:
 
     `maybe`  — variables present in the schema (possibly NULL = unbound)
     `bound`  — variables guaranteed non-NULL in every row
+    `kinds`  — static kind per variable where known (typed_ops.skind codes):
+               a promise that every non-NULL value has that kind, letting
+               expression compilation emit single-branch code
     """
     df: DataFrame
     bound: set = field(default_factory=set)
     maybe: set = field(default_factory=set)
     pending_order: list = field(default_factory=list)  # OrderCondition list
+    kinds: dict = field(default_factory=dict)
 
     def with_df(self, df: DataFrame) -> "Solution":
         return replace(self, df=df)
+
+
+def merge_kinds(left: Solution, right: Solution) -> dict:
+    """Kinds surviving a join/union: a var present on both sides keeps its
+    kind only when BOTH sides know it and agree; a var present on one side
+    keeps that side's kind (the other side contributes only NULLs)."""
+    out = {}
+    for v, k in left.kinds.items():
+        if v not in right.maybe or right.kinds.get(v) == k:
+            out[v] = k
+    for v, k in right.kinds.items():
+        if v not in left.maybe:
+            out[v] = k
+    return out
 
 
 BoolCompiler = Callable[[object, Callable[[str], Column]], Column]
@@ -67,6 +85,7 @@ def join_solutions(
             bound=set(left.bound) | (set(right.bound) if how == "inner" else set()),
             maybe=left.maybe | right.maybe,
             pending_order=left.pending_order,
+            kinds=merge_kinds(left, right),
         )
 
     # fast path: disjoint, no filter → cross join
@@ -74,7 +93,8 @@ def join_solutions(
         df = left.df.crossJoin(right.df)
         return Solution(df=df, bound=left.bound | right.bound,
                         maybe=left.maybe | right.maybe,
-                        pending_order=left.pending_order)
+                        pending_order=left.pending_order,
+                        kinds=merge_kinds(left, right))
 
     # general path: aliased theta join + coalesce projection
     L = left.df.alias("l")
@@ -121,7 +141,8 @@ def join_solutions(
     if how == "inner":
         bound |= right.bound
     return Solution(df=df, bound=bound, maybe=left.maybe | right.maybe,
-                    pending_order=left.pending_order)
+                    pending_order=left.pending_order,
+                    kinds=merge_kinds(left, right))
 
 
 def minus_solutions(left: Solution, right: Solution) -> Solution:

@@ -62,7 +62,7 @@ class Ctx:
 def _resolver(sol: Solution) -> Callable[[str], Column]:
     def resolve(name: str) -> Column:
         if name in sol.maybe:
-            return F.col(name)
+            return tv.tag(F.col(name), sol.kinds.get(name))
         return NULL_TERM()
     return resolve
 
@@ -82,7 +82,7 @@ class Interner:
         name = self.ctx.fresh("ex")
         self.df = self.df.withColumn(name, col)
         self.names.append(name)
-        return F.col(name)
+        return tv.tag(F.col(name), tv.skind(col))
 
 
 def _inject_now(expr, ctx: Ctx):
@@ -214,8 +214,14 @@ def translate(p, ctx: Ctx) -> Solution:
             col = tv.materialize_lexical(col)
         keep = [c for c in sol.df.columns if c in orig_maybe]
         df = it.df.withColumn(p.var.name, col).select(*keep, p.var.name)
+        kinds = dict(sol.kinds)
+        sk = tv.skind(col)
+        if sk is not None:
+            kinds[p.var.name] = sk
+        else:
+            kinds.pop(p.var.name, None)
         return replace(sol, df=df, maybe=orig_maybe | {p.var.name},
-                       bound=orig_bound)
+                       bound=orig_bound, kinds=kinds)
     if isinstance(p, A.Minus):
         l = translate(p.left, ctx)
         r = translate(p.right, ctx)
@@ -258,7 +264,9 @@ def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
         # ground pattern: 1 or 0 solutions (empty mapping)
         df = df.limit(1).select()
         return Solution(df=df, bound=set(), maybe=set())
-    return Solution(df=df, bound=set(vars_), maybe=set(vars_))
+    kinds = {v: k for v, k in df.__dict__.get("_rf_kinds", {}).items()
+             if v in vars_}
+    return Solution(df=df, bound=set(vars_), maybe=set(vars_), kinds=kinds)
 
 
 def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
@@ -299,8 +307,11 @@ def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
                 remaining.extend(tps)
                 continue
             vars_ = {c for c in df.columns if c != "__match__"}
+            kinds = {v: k for v, k in df.__dict__.get("_rf_kinds", {}).items()
+                     if v in vars_}
             units.append(Solution(df=df.select(*sorted(vars_)) if vars_ else df,
-                                  bound=set(vars_), maybe=set(vars_)))
+                                  bound=set(vars_), maybe=set(vars_),
+                                  kinds=kinds))
     else:
         remaining = list(p.triples)
 
@@ -392,7 +403,9 @@ def _translate_union(p: A.Union, ctx: Ctx) -> Solution:
         df = ldf.select(*cols).unionByName(rdf.select(*cols))
     else:
         df = ldf.unionByName(rdf)
-    return Solution(df=df, bound=l.bound & r.bound, maybe=lv | rv)
+    from .join import merge_kinds
+    return Solution(df=df, bound=l.bound & r.bound, maybe=lv | rv,
+                    kinds=merge_kinds(l, r))
 
 
 def _translate_graph(p: A.GraphNode, ctx: Ctx) -> Solution:
@@ -423,7 +436,28 @@ def _translate_values(p: A.ValuesNode, ctx: Ctx) -> Solution:
     for j, v in enumerate(names):
         if any(row[j] is None for row in p.rows):
             bound.discard(v)
-    return Solution(df=df, bound=bound, maybe=set(names))
+    kinds = {}
+    for j, v in enumerate(names):
+        ks = {_static_kind_of_row(row[j]) for row in rows if row[j] is not None}
+        if len(ks) == 1 and None not in ks:
+            kinds[v] = ks.pop()
+    return Solution(df=df, bound=bound, maybe=set(names), kinds=kinds)
+
+
+def _static_kind_of_row(row) -> Optional[int]:
+    """typed_ops static kind of a term_py_row tuple."""
+    from ..terms import TT_BNODE, TT_IRI, TT_LITERAL
+    t, _v, _dt, lang, k, *_ = row
+    if t == TT_IRI:
+        return tv.SK_IRI
+    if t == TT_BNODE:
+        return tv.SK_BNODE
+    if t == TT_LITERAL and k is not None:
+        from ..terms import K_STRING
+        if k == K_STRING and lang is None:
+            return tv.SK_PLAIN
+        return k
+    return None
 
 
 def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
@@ -438,7 +472,9 @@ def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
         for n in names
     ]
     df = sol.df.select(*cols)
-    return Solution(df=df, bound=sol.bound & set(names), maybe=set(names))
+    return Solution(df=df, bound=sol.bound & set(names), maybe=set(names),
+                    kinds={v: k for v, k in sol.kinds.items() if v in names
+                           and v in sol.maybe})
 
 
 def _apply_order(sol: Solution, ctx: Ctx) -> Solution:
@@ -496,11 +532,15 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
         raw_aggs.append(col.alias(name))
         return F.col(name)
 
+    out_kinds: dict = {}
     it = Interner(sol.df, ctx)
     with B.intern_scope(it), tv.lazy_lexicals():
         for out_var, call in p.aggregates:
             agg_col = tv.materialize_lexical(
                 _compile_aggregate(call, sol, ctx, tmp, raw))
+            sk = tv.skind(agg_col)
+            if sk is not None:
+                out_kinds[out_var.name] = sk
             post_exprs.append(agg_col.alias(out_var.name))
     df = it.df
 
@@ -522,8 +562,10 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
     for out_var, call in p.aggregates:
         if call.name == "COUNT":
             bound.add(out_var.name)
+    key_kinds = {k: v for k, v in sol.kinds.items() if k in keys}
     return Solution(df=out, bound=bound,
-                    maybe=set(keys) | {v.name for v, _ in p.aggregates})
+                    maybe=set(keys) | {v.name for v, _ in p.aggregates},
+                    kinds={**key_kinds, **out_kinds})
 
 
 def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
@@ -541,7 +583,7 @@ def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
 
     in_col = compile_term_expr(call.expr, sol, ctx)
     t = tmp(in_col)
-    c = F.col(t)
+    c = tv.tag(F.col(t), tv.skind(in_col))
 
     if name == "COUNT":
         n = F.count_distinct(c) if call.distinct else F.count(c)
@@ -553,10 +595,10 @@ def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
     if name in ("MIN", "MAX"):
         k = tmp(sort_key(c))
         fn = F.min_by if name == "MIN" else F.max_by
-        return raw(fn(c, F.col(k)))
+        return tv.tag(raw(fn(c, F.col(k))), tv.skind(c))
 
     if name == "SAMPLE":
-        return raw(F.first(c, ignorenulls=True))
+        return tv.tag(raw(F.first(c, ignorenulls=True)), tv.skind(c))
 
     if name == "GROUP_CONCAT":
         sep = call.separator if call.separator is not None else " "
@@ -573,6 +615,9 @@ def _sum_avg(name: str, c: Column, tmp: Callable[[Column], str],
     (reference: lib/functions/src/aggregates/sum.rs:14-100, avg.rs).
     integer→integer(sum)/decimal(avg); any decimal→decimal; any float/double
     →double; any non-numeric bound value → error (NULL result)."""
+    sk = tv.skind(c)
+    if sk is not None:
+        return _sum_avg_static(name, c, sk, tmp, distinct, raw)
     rank_t = F.col(tmp(tv.numeric_rank(c)))
     dec_t = F.col(tmp(tv.as_decimal(c)))
     dbl_t = F.col(tmp(tv.as_double(c)))
@@ -610,6 +655,41 @@ def _sum_avg(name: str, c: Column, tmp: Callable[[Column], str],
         .when(max_rank >= tv.RANK_FLOAT, tv.double_term(agg_dbl / n_dbl))
         .otherwise(tv.decimal_term(agg_dec / n))
     )
+
+
+def _sum_avg_static(name: str, c: Column, sk: int,
+                    tmp: Callable[[Column], str], distinct: bool,
+                    raw: Callable[[Column], Column]) -> Column:
+    """SUM/AVG when the input's kind is statically known: the promotion
+    ladder collapses at compile time — one raw aggregate (plus a count for
+    AVG), no per-row rank/badness bookkeeping."""
+    if not tv._sk_numeric(sk):
+        # every bound value is a type error; empty/all-unbound group → 0
+        bad_t = F.col(tmp(c.isNotNull().cast("int")))
+        any_bad = raw(F.max(bad_t))
+        return F.when(any_bad == 1, NULL_TERM()).otherwise(tv.int_term(F.lit(0)))
+
+    if sk >= tv.RANK_FLOAT:
+        val = F.col(tmp(c["x"]))
+        agg = raw(F.sum_distinct(val) if distinct else F.sum(val))
+        if name == "SUM":
+            return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
+                .otherwise(tv.double_term(agg))
+        n = raw(F.count_distinct(val) if distinct else F.count(val))
+        return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
+            .otherwise(tv.double_term(agg / n))
+
+    val = F.col(tmp(c["d"]))
+    agg = raw(F.sum_distinct(val) if distinct else F.sum(val))
+    if name == "SUM":
+        if sk == tv.RANK_INTEGER:
+            return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
+                .otherwise(tv.int_term(agg.cast("decimal(38,0)")))
+        return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
+            .otherwise(tv.decimal_term(agg))
+    n = raw(F.count_distinct(val) if distinct else F.count(val))
+    return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
+        .otherwise(tv.decimal_term(agg / n))
 
 
 # ---------------------------------------------------------------------------

@@ -132,6 +132,30 @@ def subject_term(table: str, df: DataFrame) -> Column:
     return term_struct(F.lit(TT_IRI), F.concat(F.lit(f"x:{code}:"), row_id))
 
 
+def static_object_kind(table: str, col_name: str, df: DataFrame) -> Optional[int]:
+    """typed_ops static kind (skind) of this column's object terms, or None.
+
+    The relational mapping is statically typed: every object term produced
+    from a given column has one known kind, which expression compilation
+    exploits to emit single-branch code (see functions/typed_ops.py)."""
+    from ..functions.typed_ops import SK_IRI, SK_PLAIN
+    from ..terms import K_DATETIME, K_DOUBLE, K_INTEGER
+
+    fks = TPCH_SPEC[table][2]
+    if col_name in fks:
+        return SK_IRI
+    dtype = df.schema[col_name].dataType
+    if isinstance(dtype, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return K_INTEGER
+    if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        return K_DOUBLE
+    if isinstance(dtype, T.StringType):
+        return SK_PLAIN
+    if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
+        return K_DATETIME
+    return None
+
+
 def object_term(table: str, col_name: str, df: DataFrame) -> Optional[Column]:
     """The object term for one column of `table` (NULL row value → NULL term);
     None when the column is not mapped into the graph (arrays/maps/binary)."""

@@ -218,13 +218,18 @@ class VirtualRelationalStore(GraphStore):
         if contradictory:
             return self._empty_solution(subject, items)
 
+        from ..functions.typed_ops import SK_IRI
+        from .relational import static_object_kind
+
         df = self.table_df(table)
         subj_term = subject_term(table, df)
         out_vars: dict[str, Column] = {}
+        out_kinds: dict[str, int] = {}
         conds: list[Column] = []
 
         if isinstance(subject, Variable):
             out_vars[subject.name] = subj_term
+            out_kinds[subject.name] = SK_IRI
         elif isinstance(subject, NamedNode):
             conds.append(self._subject_filter(table, df, subject))
         elif isinstance(subject, BlankNode):
@@ -258,6 +263,13 @@ class VirtualRelationalStore(GraphStore):
                     conds.append(out_vars[o.name] == oterm)
                 else:
                     out_vars[o.name] = oterm
+                    if pred.iri == RDF_TYPE:
+                        out_kinds[o.name] = SK_IRI
+                    else:
+                        k = static_object_kind(
+                            table, self._pred_map[pred.iri][1], df)
+                        if k is not None:
+                            out_kinds[o.name] = k
 
         cond = F.lit(True)
         for c in conds:
@@ -265,7 +277,9 @@ class VirtualRelationalStore(GraphStore):
         df = df.where(cond)
         if not out_vars:
             return df.select(F.lit(True).alias("__match__"))
-        return df.select(*[c.alias(v) for v, c in out_vars.items()])
+        out = df.select(*[c.alias(v) for v, c in out_vars.items()])
+        out._rf_kinds = out_kinds
+        return out
 
     # ------------------------------------------------------------------
 

@@ -290,7 +290,7 @@ def term_lit(term: Term) -> Column:
     """
     row = term_py_row(term)
     t, v, dt, lang, k, x, d, ts = row
-    return F.struct(
+    col = F.struct(
         F.lit(t).cast("tinyint").alias("t"),
         F.lit(v).alias("v"),
         F.lit(dt).cast("string").alias("dt"),
@@ -300,6 +300,17 @@ def term_lit(term: Term) -> Column:
         F.lit(d).cast("decimal(38,18)").alias("d"),
         F.lit(ts).cast("timestamp").alias("ts"),
     )
+    # static-kind tag (see functions/typed_ops.py): constants have a fully
+    # known kind, which lets consuming operators compile single-branch
+    if t == TT_IRI:
+        col._rf_sk = 100  # SK_IRI
+    elif t == TT_BNODE:
+        col._rf_sk = 101  # SK_BNODE
+    elif k == K_STRING and lang is None:
+        col._rf_sk = 8    # SK_PLAIN
+    elif k is not None:
+        col._rf_sk = k
+    return col
 
 
 def term_matches(col: Column, term: Term) -> Column:
