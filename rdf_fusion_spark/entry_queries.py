@@ -65,6 +65,11 @@ def _u(col: Column, typ: str) -> Column:
         return v.try_cast("long")
     if typ == "double":
         return v.try_cast("double")
+    if typ == "double6":
+        # engines legitimately differ in the last ulp of a decimal division
+        # (Spark rounds the scale-18 quotient, DuckDB truncates); compare at
+        # 6 fractional digits
+        return F.round(v.try_cast("double"), 6)
     if typ == "timestamp":
         return v.try_cast("timestamp")
     if typ == "bool":
@@ -505,14 +510,26 @@ _q(
 # DuckDB oracle replicates results exactly (see pipeline/dedup.py).
 # ---------------------------------------------------------------------------
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Ensure CPU-bound per-row work (shingling, hashing, vector math) can
+    use the whole cluster. A production corpus arrives as thousands of
+    parquet splits and this is a no-op; the driver's single small test file
+    yields ONE scan partition (row-group granularity), which would serialize
+    every downstream map on one core."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.relational import read_table
-    return read_table(spark, sf_dir, "documents")
+    return _spread(read_table(spark, sf_dir, "documents"))
 
 
 def _embs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .sources.relational import read_table
-    return read_table(spark, sf_dir, "embeddings")
+    return _spread(read_table(spark, sf_dir, "embeddings"))
 
 
 def _pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -743,6 +760,370 @@ def _pipeline_oracles() -> dict[str, str]:
     }
 
 
+# ---------------------------------------------------------------------------
+# §2.4 AVG + COUNT DISTINCT aggregates
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_agg_avg_count_distinct",
+    """
+    SELECT ?nname (AVG(xsd:decimal(?ab)) AS ?avg_bal) (COUNT(DISTINCT ?seg) AS ?nsegs)
+    WHERE {
+      ?cust c:c_nationkey ?nat ; c:c_acctbal ?ab ; c:c_mktsegment ?seg .
+      ?nat n:n_name ?nname .
+    }
+    GROUP BY ?nname
+    """,
+    [("nname", "str"), ("avg_bal", "double6"), ("nsegs", "long")],
+    """
+    SELECT n_name AS nname,
+           round(CAST(CAST(SUM(CAST(CAST(c_acctbal AS VARCHAR) AS DECIMAL(38,18)))
+                 / COUNT(c_acctbal) AS VARCHAR) AS DOUBLE), 6) AS avg_bal,
+           CAST(COUNT(DISTINCT c_mktsegment) AS BIGINT) AS nsegs
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.4 GROUP_CONCAT (DISTINCT, custom separator; sorted = deterministic)
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_group_concat_segments",
+    """
+    SELECT ?nname (GROUP_CONCAT(DISTINCT ?seg; SEPARATOR=",") AS ?segs)
+    WHERE {
+      ?cust c:c_nationkey ?nat ; c:c_mktsegment ?seg .
+      ?nat n:n_name ?nname .
+    }
+    GROUP BY ?nname
+    """,
+    [("nname", "str"), ("segs", "str")],
+    """
+    SELECT n_name AS nname,
+           string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment) AS segs
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.4 SAMPLE — deterministic because each group has exactly one value
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_sample_region_name",
+    """
+    SELECT ?reg (SAMPLE(?rname) AS ?name) WHERE {
+      ?nat n:n_regionkey ?reg .
+      ?reg r:r_name ?rname .
+    }
+    GROUP BY ?reg
+    """,
+    [("name", "str")],
+    """
+    SELECT DISTINCT r_name AS name
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 string function suite
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_string_functions",
+    """
+    SELECT ?nname ?sub ?before ?after ?lower ?joined ?enc WHERE {
+      ?cust c:c_name ?nname ; c:c_mktsegment ?cmt .
+      BIND(SUBSTR(?nname, 2, 3) AS ?sub)
+      BIND(STRBEFORE(?nname, "1") AS ?before)
+      BIND(STRAFTER(?nname, "1") AS ?after)
+      BIND(LCASE(?nname) AS ?lower)
+      BIND(CONCAT(?nname, "/", STR(STRLEN(?cmt))) AS ?joined)
+      BIND(ENCODE_FOR_URI(CONCAT(SUBSTR(?cmt, 1, 4), " ", ?nname)) AS ?enc)
+    }
+    """,
+    [("nname", "str"), ("sub", "str"), ("before", "str"), ("after", "str"),
+     ("lower", "str"), ("joined", "str"), ("enc", "str")],
+    """
+    SELECT c_name AS nname,
+           substring(c_name, 2, 3) AS sub,
+           CASE WHEN contains(c_name, '1')
+                THEN split_part(c_name, '1', 1) ELSE '' END AS before,
+           CASE WHEN contains(c_name, '1')
+                THEN substring(c_name, instr(c_name, '1') + 1) ELSE '' END AS after,
+           lower(c_name) AS lower,
+           c_name || '/' || CAST(length(c_mktsegment) AS VARCHAR) AS joined,
+           replace(replace(substring(c_mktsegment, 1, 4) || ' ' || c_name,
+                   ' ', '%20'), '#', '%23') AS enc
+    FROM customer
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 REGEX filter + REPLACE bind
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_regex_replace",
+    """
+    SELECT ?nname ?anon WHERE {
+      ?nat n:n_name ?nname .
+      FILTER(REGEX(?nname, "^[A-Z]+$"))
+      BIND(REPLACE(?nname, "[AEIOU]", "_") AS ?anon)
+    }
+    """,
+    [("nname", "str"), ("anon", "str")],
+    """
+    SELECT n_name AS nname, regexp_replace(n_name, '[AEIOU]', '_', 'g') AS anon
+    FROM nation WHERE regexp_matches(n_name, '^[A-Z]+$')
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 hash functions
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_hash_functions",
+    """
+    SELECT ?rname ?h_md5 ?h_sha256 WHERE {
+      ?reg r:r_name ?rname .
+      BIND(MD5(?rname) AS ?h_md5)
+      BIND(SHA256(?rname) AS ?h_sha256)
+    }
+    """,
+    [("rname", "str"), ("h_md5", "str"), ("h_sha256", "str")],
+    """
+    SELECT r_name AS rname, md5(r_name) AS h_md5, sha256(r_name) AS h_sha256
+    FROM region
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 numeric functions (ABS/CEIL/FLOOR/ROUND, SPARQL round-half-to-+inf)
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_numeric_functions",
+    """
+    SELECT ?ckey ?absdev ?c ?f ?r WHERE {
+      ?cust c:c_custkey ?ckey ; c:c_acctbal ?ab .
+      BIND(ABS(?ab - 1000.5) AS ?absdev)
+      BIND(CEIL(?ab) AS ?c)
+      BIND(FLOOR(?ab) AS ?f)
+      BIND(ROUND(?ab) AS ?r)
+    }
+    """,
+    [("ckey", "long"), ("absdev", "double"), ("c", "double"), ("f", "double"),
+     ("r", "double")],
+    """
+    SELECT c_custkey AS ckey, abs(c_acctbal - 1000.5) AS absdev,
+           ceil(c_acctbal) AS c, floor(c_acctbal) AS f,
+           floor(c_acctbal + 0.5) AS r
+    FROM customer
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 dateTime accessor suite over the events stream table
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_datetime_accessors",
+    """
+    SELECT ?ev ?y ?mo ?d ?h ?mi WHERE {
+      ?ev e:event_id ?eid ; e:ts ?ts .
+      BIND(YEAR(?ts) AS ?y) BIND(MONTH(?ts) AS ?mo) BIND(DAY(?ts) AS ?d)
+      BIND(HOURS(?ts) AS ?h) BIND(MINUTES(?ts) AS ?mi)
+      FILTER(?eid < 100)
+    }
+    """,
+    [("y", "long"), ("mo", "long"), ("d", "long"), ("h", "long"),
+     ("mi", "long")],
+    """
+    SELECT CAST(YEAR(ts) AS BIGINT) AS y, CAST(MONTH(ts) AS BIGINT) AS mo,
+           CAST(DAY(ts) AS BIGINT) AS d, CAST(HOUR(ts) AS BIGINT) AS h,
+           CAST(MINUTE(ts) AS BIGINT) AS mi
+    FROM events WHERE event_id < 100
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 functional forms: IF / COALESCE / IN over optional bindings
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_if_coalesce_in",
+    """
+    SELECT ?ckey ?cls ?seg2 WHERE {
+      ?cust c:c_custkey ?ckey ; c:c_acctbal ?ab ; c:c_mktsegment ?seg .
+      BIND(IF(?ab >= 5000.0, "high", IF(?ab >= 0.0, "mid", "neg")) AS ?cls)
+      BIND(COALESCE(?missing, ?seg, "none") AS ?seg2)
+      FILTER(?seg IN ("BUILDING", "MACHINERY", "FURNITURE"))
+    }
+    """,
+    [("ckey", "long"), ("cls", "str"), ("seg2", "str")],
+    """
+    SELECT c_custkey AS ckey,
+           CASE WHEN c_acctbal >= 5000.0 THEN 'high'
+                WHEN c_acctbal >= 0.0 THEN 'mid' ELSE 'neg' END AS cls,
+           c_mktsegment AS seg2
+    FROM customer
+    WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'FURNITURE')
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.7 inverse path + zero-or-one path
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_path_inverse",
+    """
+    SELECT ?nname ?ckey WHERE {
+      ?nat ^c:c_nationkey ?cust ; n:n_name ?nname .
+      ?cust c:c_custkey ?ckey .
+    }
+    """,
+    [("nname", "str"), ("ckey", "long")],
+    """
+    SELECT n_name AS nname, c_custkey AS ckey
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+
+_q(
+    "q_path_zero_or_one",
+    """
+    SELECT ?ckey ?mid WHERE {
+      ?cust c:c_custkey ?ckey .
+      ?cust (c:c_nationkey?) ?mid .
+      FILTER(?ckey <= 20)
+    }
+    """,
+    [("ckey", "long"), ("mid", "str")],
+    """
+    SELECT c_custkey AS ckey, 'x:c:' || CAST(c_custkey AS VARCHAR) AS mid
+    FROM customer WHERE c_custkey <= 20
+    UNION ALL
+    SELECT c_custkey AS ckey, 'x:n:' || CAST(c_nationkey AS VARCHAR) AS mid
+    FROM customer WHERE c_custkey <= 20
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.7 negated property set over nation subjects
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_path_negated_set",
+    """
+    SELECT ?nkey ?o WHERE {
+      ?nat !(n:n_comment|n:n_name|<http://www.w3.org/1999/02/22-rdf-syntax-ns#type>) ?o .
+      ?nat n:n_nationkey ?nkey .
+    }
+    """,
+    [("nkey", "long"), ("o", "str")],
+    """
+    SELECT n_nationkey AS nkey, 'x:r:' || CAST(n_regionkey AS VARCHAR) AS o
+    FROM nation
+    UNION ALL
+    SELECT n_nationkey AS nkey, CAST(n_nationkey AS VARCHAR) AS o FROM nation
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.6 ORDER BY multi-key with OFFSET pagination
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_order_offset",
+    """
+    SELECT ?seg ?ckey WHERE {
+      ?cust c:c_custkey ?ckey ; c:c_mktsegment ?seg .
+    }
+    ORDER BY ?seg DESC(?ckey)
+    OFFSET 5 LIMIT 10
+    """,
+    [("seg", "str"), ("ckey", "long")],
+    """
+    SELECT c_mktsegment AS seg, c_custkey AS ckey FROM customer
+    ORDER BY seg, ckey DESC LIMIT 10 OFFSET 5
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.8 lang-tagged literal construction + STRLANG/LANG/DATATYPE/term tests
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_term_inspection",
+    """
+    SELECT ?rname ?lang ?dt ?isiri ?islit ?isnum WHERE {
+      ?reg r:r_name ?rname .
+      BIND(STRLANG(?rname, "en") AS ?tagged)
+      BIND(LANG(?tagged) AS ?lang)
+      BIND(STR(DATATYPE(?rname)) AS ?dt)
+      BIND(ISIRI(?reg) AS ?isiri)
+      BIND(ISLITERAL(?rname) AS ?islit)
+      BIND(ISNUMERIC(?rname) AS ?isnum)
+    }
+    """,
+    [("rname", "str"), ("lang", "str"), ("dt", "str"), ("isiri", "bool"),
+     ("islit", "bool"), ("isnum", "bool")],
+    """
+    SELECT r_name AS rname, 'en' AS lang,
+           'http://www.w3.org/2001/XMLSchema#string' AS dt,
+           true AS isiri, true AS islit, false AS isnum
+    FROM region
+    """,
+)
+
+
+# ---------------------------------------------------------------------------
+# §2.10 ASK + DESCRIBE query forms
+# ---------------------------------------------------------------------------
+
+def _run_ask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = get_graph(spark, sf_dir)
+    res = store.query(PROLOGUE + """
+      ASK { ?cust c:c_acctbal ?ab . FILTER(?ab > 9000.0) }
+    """)
+    return spark.createDataFrame([(bool(res.value),)], "answer boolean")
+
+
+ASK_ORACLE = """
+SELECT EXISTS(SELECT 1 FROM customer WHERE c_acctbal > 9000.0) AS answer
+"""
+
+
+def _run_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = get_graph(spark, sf_dir)
+    res = store.query(PROLOGUE + "DESCRIBE <x:n:7>")
+    return res.df.select(
+        F.col("subject")["v"].alias("s"),
+        F.col("predicate")["v"].alias("p"),
+        F.col("object")["v"].alias("o"),
+    )
+
+
+DESCRIBE_ORACLE = """
+SELECT 'x:n:7' AS s, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+       'x:class:nation' AS o
+UNION ALL
+SELECT 'x:n:7', 'x:n#n_nationkey', CAST(n_nationkey AS VARCHAR)
+FROM nation WHERE n_nationkey = 7
+UNION ALL
+SELECT 'x:n:7', 'x:n#n_name', n_name FROM nation WHERE n_nationkey = 7
+UNION ALL
+SELECT 'x:n:7', 'x:n#n_regionkey', 'x:r:' || CAST(n_regionkey AS VARCHAR)
+FROM nation WHERE n_nationkey = 7
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": _pipe_text_stats,
     "q_text_language_id": _pipe_language_id,
@@ -761,6 +1142,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     for name, spec in SPECS.items():
         out[name] = (lambda sp: (lambda spark, sf: sp.run(spark, sf)))(spec)
     out["q_construct_triples"] = _run_construct
+    out["q_ask_high_balance"] = _run_ask
+    out["q_describe_nation"] = _run_describe
     out.update(PIPELINE_QUERIES)
     return out
 
@@ -769,5 +1152,7 @@ def oracle_sql() -> dict[str, str]:
     out = {name: spec.oracle for name, spec in SPECS.items()
            if spec.oracle is not None}
     out["q_construct_triples"] = CONSTRUCT_ORACLE
+    out["q_ask_high_balance"] = ASK_ORACLE
+    out["q_describe_nation"] = DESCRIBE_ORACLE
     out.update(_pipeline_oracles())
     return out

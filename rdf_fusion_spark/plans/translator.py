@@ -604,7 +604,9 @@ def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
         sep = call.separator if call.separator is not None else " "
         s = tmp(tv.str_or_iri(c))
         vals = F.collect_set(F.col(s)) if call.distinct else F.collect_list(F.col(s))
-        return tv.string_term(F.array_join(raw(vals), sep))
+        # concatenation order is implementation-defined per spec; sort for
+        # determinism (collect_list order depends on partitioning)
+        return tv.string_term(F.array_join(F.array_sort(raw(vals)), sep))
 
     raise NotImplementedError(f"aggregate {name}")
 
