@@ -602,8 +602,68 @@ def _pipe_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "neighbor_id", "cosine")
 
 
+def _pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.similarity import ivf_topk
+    embs = _embs(spark, sf_dir)
+    out = ivf_topk(embs, embs.where(F.col("vec_id") < ANN_NUM_QUERIES), ANN_K)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cosine")
+
+
+EMB_NEARDUP_THRESHOLD = 0.35
+
+
+def _pipe_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.similarity import embedding_near_dup_pairs
+    return embedding_near_dup_pairs(_embs(spark, sf_dir), EMB_NEARDUP_THRESHOLD)
+
+
+def _pipe_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import with_quality_score
+    return with_quality_score(_docs(spark, sf_dir)).select(
+        "doc_id", "punct_ratio", "alpha_ratio", "digit_ratio",
+        "stopword_ratio", "mean_word_len", "quality_score")
+
+
+_COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
+            " * sqrt(list_dot_product({b}, {b})))")
+
+
+def _quality_oracle() -> str:
+    """Mirror pipeline.text.with_quality_score term-by-term (same operation
+    order so IEEE doubles agree bit-for-bit with the Spark plan)."""
+    from .pipeline.text import STOPWORDS
+    stop_list = ",".join(f"'{w}'" for w in STOPWORDS)
+    words = "string_split(text,' ')"
+    base = f"""
+      SELECT doc_id,
+             len(regexp_extract_all(text, '[^\\w\\s]'))::DOUBLE
+               / length(text)::DOUBLE AS punct_ratio,
+             len(regexp_extract_all(text, '[A-Za-z]'))::DOUBLE
+               / length(text)::DOUBLE AS alpha_ratio,
+             len(regexp_extract_all(text, '[0-9]'))::DOUBLE
+               / length(text)::DOUBLE AS digit_ratio,
+             len(list_filter({words}, w -> lower(w) IN ({stop_list})))::DOUBLE
+               / len({words})::DOUBLE AS stopword_ratio,
+             length(replace(text,' ',''))::DOUBLE / len({words})::DOUBLE
+               AS mean_word_len
+      FROM documents"""
+    clip = "greatest(0.0, least(1.0, {}))"
+    score = clip.format(
+        "0.4 * " + clip.format("alpha_ratio * 1.25")
+        + " + 0.3 * " + clip.format("stopword_ratio * 4.0")
+        + " + 0.2 * " + clip.format("1.0 - digit_ratio * 5.0")
+        + " + 0.1 * " + clip.format("1.0 - abs(mean_word_len - 6.0) / 6.0"))
+    return f"""
+    SELECT doc_id, punct_ratio, alpha_ratio, digit_ratio, stopword_ratio,
+           mean_word_len, {score} AS quality_score
+    FROM ({base})
+    """
+
+
 def _pipeline_oracles() -> dict[str, str]:
     from .pipeline.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
+    from .pipeline.similarity import IVF_NLIST
     from .pipeline.text import LID_FLOOR, LID_MARKERS, TOKEN_RE
 
     md5i = "('0x'||substr(md5({}),1,8))::BIGINT"
@@ -757,6 +817,40 @@ def _pipeline_oracles() -> dict[str, str]:
             qwhere=f" WHERE vec_id < {ANN_NUM_QUERIES}",
             cfilter=f", {bucket_expr} AS bucket",
             bucket_join=" AND q.bucket = c.bucket", k=ANN_K),
+        "q_ann_ivf": f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                   FROM embeddings),
+        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_NLIST}),
+        assign AS (
+          SELECT vec_id, e, cid AS cluster FROM (
+            SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     {_COS_SQL.format(a='v.e', b='c.ce')} DESC, c.cid) AS rn
+            FROM v CROSS JOIN cent c) WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, e AS qe, cluster FROM assign
+              WHERE vec_id < {ANN_NUM_QUERIES}),
+        c AS (SELECT vec_id AS neighbor_id, e AS ne, cluster FROM assign),
+        s AS (SELECT query_id, neighbor_id,
+                     {_COS_SQL.format(a='qe', b='ne')} AS cosine
+              FROM c JOIN q USING (cluster) WHERE query_id <> neighbor_id)
+        SELECT query_id, rnk::BIGINT AS rank, neighbor_id, cosine
+        FROM (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id) AS rnk
+              FROM s)
+        WHERE rnk <= {ANN_K}
+        """,
+        "q_dedup_embedding_cosine": f"""
+        WITH v AS (SELECT vec_id AS id,
+                          list_transform(embedding, x -> x::DOUBLE) AS e,
+                          {bucket_expr} AS bucket
+                   FROM embeddings)
+        SELECT a.id AS id_a, b.id AS id_b,
+               {_COS_SQL.format(a='a.e', b='b.e')} AS cosine
+        FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
+        WHERE {_COS_SQL.format(a='a.e', b='b.e')} >= {EMB_NEARDUP_THRESHOLD}
+        """,
+        "q_text_quality": _quality_oracle(),
     }
 
 
@@ -1134,6 +1228,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_simhash": _pipe_simhash,
     "q_ann_cosine_topk": _pipe_ann_cosine,
     "q_ann_lsh_bucket": _pipe_ann_lsh,
+    "q_ann_ivf": _pipe_ann_ivf,
+    "q_dedup_embedding_cosine": _pipe_dedup_embedding,
+    "q_text_quality": _pipe_text_quality,
 }
 
 

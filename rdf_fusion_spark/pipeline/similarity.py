@@ -73,6 +73,84 @@ def sign_bucket(vec: Column, bits: int = SIGN_BITS) -> Column:
     return F.concat(*parts)
 
 
+def embedding_near_dup_pairs(df: DataFrame, threshold: float,
+                             id_col: str = "vec_id",
+                             vec_col: str = "embedding",
+                             bits: int = SIGN_BITS) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (id_a, id_b, cosine) for
+    same-sign-LSH-bucket pairs with cosine >= threshold.
+
+    Scale shape: one shuffle on the bucket key; candidate pairs are
+    bucket-local (|corpus|/2^bits expected per bucket), never all-pairs.
+    High-cosine pairs agree on most hyperplane signs, so recall at
+    threshold≈0.9 is high; multi-probe (flip one bit) composes as a
+    union of joins when more recall is needed.
+    """
+    v = df.select(F.col(id_col).alias("id"),
+                  _as_double(F.col(vec_col)).alias("v"),
+                  sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    a = v.select(F.col("id").alias("id_a"), F.col("v").alias("va"), "bucket")
+    b = v.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), "bucket")
+    return (
+        a.join(b, on="bucket")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cosine"))
+        .where(F.col("cosine") >= threshold)
+    )
+
+
+# IVF: number of coarse-quantizer centroids. Centroid choice is
+# deterministic (lowest ids) so cross-engine oracles can replicate;
+# production would k-means on a sample instead — the query plan shape
+# (broadcast centroids → argmin assign → cluster-local search) is the same.
+IVF_NLIST = 16
+
+
+def ivf_assign(df: DataFrame, centroids: DataFrame,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine, ties →
+    lowest centroid id). Centroids are broadcast — the corpus scan is
+    embarrassingly parallel with no shuffle."""
+    v = df.select(F.col(id_col).alias("id"),
+                  _as_double(F.col(vec_col)).alias("v"))
+    c = centroids.select(F.col(id_col).alias("cid"),
+                         _as_double(F.col(vec_col)).alias("cv"))
+    scored = v.join(F.broadcast(c)).select(
+        "id", "v", "cid", cosine(F.col("v"), F.col("cv")).alias("sim"))
+    w = Window.partitionBy("id").orderBy(F.desc("sim"), F.asc("cid"))
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1).select("id", "v", F.col("cid").alias("cluster")))
+
+
+def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             nlist: int = IVF_NLIST) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: coarse-quantize the corpus
+    into nlist clusters, then search only the query's cluster (nprobe=1).
+
+    Scale shape: centroid assignment is a broadcast map over the corpus
+    scan; the search join shuffles on the cluster id only, so each
+    query scores ~|corpus|/nlist candidates instead of |corpus|.
+    """
+    centroids = corpus.where(F.col(id_col) < nlist)
+    c_assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    q_assigned = ivf_assign(queries, centroids, id_col, vec_col)
+    q = q_assigned.select(F.col("id").alias("query_id"),
+                          F.col("v").alias("qv"), "cluster")
+    c = c_assigned.select(F.col("id").alias("neighbor_id"),
+                          F.col("v").alias("cv"), "cluster")
+    scored = (
+        c.join(q, on="cluster")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id",
+                cosine(F.col("qv"), F.col("cv")).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cosine"))
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
                     bits: int = SIGN_BITS) -> DataFrame:

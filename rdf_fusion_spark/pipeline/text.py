@@ -47,6 +47,54 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# stopword list for the quality score (English function words — the
+# "does this read like prose" signal; extend per corpus language mix)
+STOPWORDS = ["the", "a", "an", "of", "and", "or", "is", "are", "to", "in",
+             "that", "it", "for", "on", "with", "as", "was", "at", "by"]
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality scoring per document: punctuation / alphabetic /
+    stopword / digit character ratios plus mean word length, combined
+    into a [0,1] prose-likeness score.
+
+    All pure Column math over one scan — no shuffle, no UDF; at corpus
+    scale this is a map over the document files.
+    """
+    t = F.col(text_col)
+    n_chars = F.length(t).cast("double")
+    words = words_col(t)
+    n_words = F.size(words).cast("double")
+    punct = F.regexp_count(t, F.lit(r"[^\w\s]")).cast("double")
+    alpha = F.regexp_count(t, F.lit(r"[A-Za-z]")).cast("double")
+    digit = F.regexp_count(t, F.lit(r"[0-9]")).cast("double")
+    stop_hits = F.size(
+        F.filter(words, lambda w: F.lower(w).isin(*STOPWORDS))).cast("double")
+    punct_ratio = punct / n_chars
+    alpha_ratio = alpha / n_chars
+    digit_ratio = digit / n_chars
+    stopword_ratio = stop_hits / n_words
+    mean_word_len = (F.length(F.regexp_replace(t, " ", "")).cast("double")
+                     / n_words)
+    # prose-likeness: mostly alphabetic, some stopwords, few digits,
+    # plausible word length (3-10 chars); each term clipped to [0,1]
+    clip = lambda c: F.greatest(F.lit(0.0), F.least(F.lit(1.0), c))  # noqa: E731
+    score = clip(
+        0.4 * clip(alpha_ratio * 1.25)
+        + 0.3 * clip(stopword_ratio * 4.0)
+        + 0.2 * clip(1.0 - digit_ratio * 5.0)
+        + 0.1 * clip(1.0 - F.abs(mean_word_len - 6.0) / 6.0))
+    return df.select(
+        "*",
+        punct_ratio.alias("punct_ratio"),
+        alpha_ratio.alias("alpha_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        stopword_ratio.alias("stopword_ratio"),
+        mean_word_len.alias("mean_word_len"),
+        score.alias("quality_score"),
+    )
+
+
 LID_FLOOR = 0.02
 
 
