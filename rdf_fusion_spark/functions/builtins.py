@@ -67,11 +67,13 @@ from ..terms import TERM_DDL  # noqa: F811  (re-export for translator)
 
 
 def NULL_TERM() -> Column:
-    return F.lit(None).cast(TERM_DDL)
+    from ..terms import memo_col
+    return memo_col("NULL_TERM", lambda: F.lit(None).cast(TERM_DDL))
 
 
 def NULL_BOOL() -> Column:
-    return F.lit(None).cast("boolean")
+    from ..terms import memo_col
+    return memo_col("NULL_BOOL", lambda: F.lit(None).cast("boolean"))
 
 Resolver = Callable[[str], Column]
 

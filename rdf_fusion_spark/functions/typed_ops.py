@@ -39,6 +39,8 @@ from ..terms import (
     XSD_INTEGER,
     XSD_STRING,
     XSD_TIME,
+    _tt,
+    lit_str,
     term_struct,
 )
 
@@ -231,22 +233,25 @@ def bool_term(b: Column) -> Column:
     (reference: NativeBooleanAsTerm, lib/functions/src/builtin/native/)."""
     return tag(F.when(
         b.isNotNull(),
-        term_struct(F.lit(TT_LITERAL), F.when(b, "true").otherwise("false"),
-                    F.lit(XSD_BOOLEAN), k=F.lit(K_BOOLEAN),
+        term_struct(_tt(TT_LITERAL), F.when(b, "true").otherwise("false"),
+                    lit_str(XSD_BOOLEAN), k=F.lit(K_BOOLEAN),
                     x=F.when(b, 1.0).otherwise(0.0), d=None_d(), ts=None_ts()),
     ), K_BOOLEAN)
 
 
 def None_d() -> Column:
-    return F.lit(None).cast(DECIMAL_T)
+    from ..terms import memo_col
+    return memo_col("None_d", lambda: F.lit(None).cast(DECIMAL_T))
 
 
 def None_ts() -> Column:
-    return F.lit(None).cast("timestamp")
+    from ..terms import memo_col
+    return memo_col("None_ts", lambda: F.lit(None).cast("timestamp"))
 
 
 def None_x() -> Column:
-    return F.lit(None).cast("double")
+    from ..terms import memo_col
+    return memo_col("None_x", lambda: F.lit(None).cast("double"))
 
 
 # ---------------------------------------------------------------------------
@@ -335,7 +340,7 @@ def int_term(n: Column) -> Column:
     v = _null_str() if _lazy() else n.cast("string")
     return tag(F.when(
         n.isNotNull(),
-        term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_INTEGER),
+        term_struct(_tt(TT_LITERAL), v, lit_str(XSD_INTEGER),
                     k=F.lit(K_INTEGER), x=n.cast("double"),
                     d=n.cast(DECIMAL_T), ts=None_ts()),
     ), K_INTEGER)
@@ -345,7 +350,7 @@ def double_term(x: Column) -> Column:
     v = _null_str() if _lazy() else x.cast("string")
     return tag(F.when(
         x.isNotNull(),
-        term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_DOUBLE),
+        term_struct(_tt(TT_LITERAL), v, lit_str(XSD_DOUBLE),
                     k=F.lit(K_DOUBLE), x=x.cast("double"), d=None_d(),
                     ts=None_ts()),
     ), K_DOUBLE)
@@ -356,7 +361,7 @@ def decimal_term(x: Column) -> Column:
     v = _null_str() if _lazy() else canon_decimal_string(x)
     return tag(F.when(
         x.isNotNull(),
-        term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_DECIMAL),
+        term_struct(_tt(TT_LITERAL), v, lit_str(XSD_DECIMAL),
                     k=F.lit(K_DECIMAL), x=x.cast("double"), d=x,
                     ts=None_ts()),
     ), K_DECIMAL)
@@ -364,7 +369,7 @@ def decimal_term(x: Column) -> Column:
 
 def string_term(s: Column) -> Column:
     return tag(F.when(s.isNotNull(),
-                      term_struct(F.lit(TT_LITERAL), s, F.lit(XSD_STRING),
+                      term_struct(_tt(TT_LITERAL), s, lit_str(XSD_STRING),
                                   k=F.lit(K_STRING), x=None_x(), d=None_d(),
                                   ts=None_ts())), SK_PLAIN)
 

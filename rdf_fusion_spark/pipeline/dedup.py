@@ -131,7 +131,21 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     quadratic blow-up is confined to individual buckets (skew-bounded by
     band width). No all-pairs join ever materializes.
     """
-    sig = minhash_signature(df, text_col, id_col)
+    # Materialize the signature table ONCE: it feeds both sides of the
+    # band self-join and both shingle-map joins, and without a persist
+    # Spark recomputes the md5+rehash scan (the hot loop) for each — up to
+    # 4x the work, serialized through broadcast builds. Persisting the
+    # (id, shingles, sig) table is the standard LSH-pipeline shape at any
+    # scale (at 100 TB this is an intermediate table on disk; here
+    # MEMORY_AND_DISK). Blocks are dropped by the ContextCleaner when the
+    # frame goes out of scope.
+    from pyspark import StorageLevel
+    sig = minhash_signature(df, text_col, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    # eager: compute the cache in ONE job before the join fans out —
+    # otherwise the band self-join's two inputs (and their broadcast-build
+    # jobs) race to compute the same blocks and serialize on block locks
+    sig.count()
     bands = F.array(*[
         F.struct(
             F.lit(i).alias("band_idx"),

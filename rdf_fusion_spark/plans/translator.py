@@ -211,11 +211,16 @@ def translate(p, ctx: Ctx) -> Solution:
         it = Interner(sol.df, ctx)
         with B.intern_scope(it), tv.lazy_lexicals():
             col = compile_term_expr(expr, sol, ctx)
-            col = tv.materialize_lexical(col)
-        keep = [c for c in sol.df.columns if c in orig_maybe]
-        df = it.df.withColumn(p.var.name, col).select(*keep, p.var.name)
-        kinds = dict(sol.kinds)
         sk = tv.skind(col)
+        keep = [c for c in sol.df.columns if c in orig_maybe]
+        # materialize the lazy lexical through a NAMED column: applying it
+        # to the expression tree directly re-expands the tree ~12x (struct
+        # fields + condition), which blows up codegen compile time
+        df = (it.df.withColumn(p.var.name, col)
+              .withColumn(p.var.name, tv.materialize_lexical(
+                  tv.tag(F.col(p.var.name), sk)))
+              .select(*keep, p.var.name))
+        kinds = dict(sol.kinds)
         if sk is not None:
             kinds[p.var.name] = sk
         else:
@@ -536,8 +541,7 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
     it = Interner(sol.df, ctx)
     with B.intern_scope(it), tv.lazy_lexicals():
         for out_var, call in p.aggregates:
-            agg_col = tv.materialize_lexical(
-                _compile_aggregate(call, sol, ctx, tmp, raw))
+            agg_col = _compile_aggregate(call, sol, ctx, tmp, raw)
             sk = tv.skind(agg_col)
             if sk is not None:
                 out_kinds[out_var.name] = sk
@@ -555,6 +559,15 @@ def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
     if raw_aggs:
         out = gdf.agg(*raw_aggs)
         out = out.select(*[F.col(k) for k in keys], *post_exprs)
+        # materialize lazy lexicals through NAMED columns in a second
+        # projection — inlining materialize_lexical into the agg expression
+        # tree re-expands it ~12x and blows up codegen compile time
+        fix = [
+            tv.materialize_lexical(
+                tv.tag(F.col(v.name), out_kinds.get(v.name))).alias(v.name)
+            for v, _ in p.aggregates
+        ]
+        out = out.select(*[F.col(k) for k in keys], *fix)
     else:
         out = gdf.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
 

@@ -71,6 +71,17 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # PySpark 4.x captures the Python call site on EVERY DataFrame-API call
+    # (several extra py4j round trips each); the expression compiler makes
+    # tens of thousands of such calls per query, so disabling the capture
+    # cuts plan-construction time roughly in half. The conf itself is
+    # static (settable only at session build), but the wrapper gates on
+    # this process-local cache, so overriding it has the same effect.
+    try:
+        from pyspark.errors import utils as _eu
+        _eu._enable_debugging_cache = False
+    except Exception:
+        pass
     return spark
 
 

@@ -206,12 +206,40 @@ def string(s: str) -> Literal:
 # Column builders
 # ---------------------------------------------------------------------------
 
+# Constant-Column memo: every F.lit()/cast() is a py4j round trip (~0.2 ms),
+# and the expression compiler builds tens of thousands of them per query —
+# constant reuse cuts plan-build time several-fold. Columns are immutable
+# expression wrappers, so sharing one object across call sites is safe; the
+# cache is keyed on the live SparkContext so a JVM restart invalidates it.
+_CCACHE: dict = {}
+
+
+def memo_col(key, build) -> Column:
+    from pyspark import SparkContext
+    sc = SparkContext._active_spark_context
+    full = (id(sc), key)
+    col = _CCACHE.get(full)
+    if col is None:
+        col = build()
+        if len(_CCACHE) > 4096:
+            _CCACHE.clear()
+        _CCACHE[full] = col
+    return col
+
+
+def lit_str(s: Optional[str]) -> Column:
+    """Memoized string literal (datatype IRIs, constant lexicals)."""
+    if s is None:
+        return _null_str()
+    return memo_col(("s", s), lambda: F.lit(s))
+
+
 def _tt(code: int) -> Column:
-    return F.lit(code).cast("tinyint")
+    return memo_col(("tt", code), lambda: F.lit(code).cast("tinyint"))
 
 
 def _null_str() -> Column:
-    return F.lit(None).cast("string")
+    return memo_col("nullstr", lambda: F.lit(None).cast("string"))
 
 
 def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None,
@@ -288,6 +316,10 @@ def term_lit(term: Term) -> Column:
     compiled expressions (numeric dispatch inspects each operand ~20×),
     so their Column form must stay tiny or analysis blows up.
     """
+    return memo_col(("term", term), lambda: _build_term_lit(term))
+
+
+def _build_term_lit(term: Term) -> Column:
     row = term_py_row(term)
     t, v, dt, lang, k, x, d, ts = row
     col = F.struct(
