@@ -181,7 +181,8 @@ def compile_bool(expr, resolve: Resolver) -> Column:
             l = compile_expr(a[0], resolve)
             conds = [tv.rdf_equal(l, compile_expr(x, resolve)) for x in a[1:]]
             if not conds:
-                res = F.lit(False)
+                # even `?x IN ()` propagates an errored left operand
+                res = F.when(l.isNotNull(), F.lit(False))
             else:
                 res = conds[0]
                 for c in conds[1:]:
@@ -685,7 +686,10 @@ def _cast_fn(name: str):
 
 
 def _float_term(x: Column) -> Column:
+    # canonical float lexical: integral values print without ".0"
+    # (matches Rust/oxigraph f32 Display; W3C canonical allows both)
+    lex = F.regexp_replace(x.cast("float").cast("string"), r"\.0$", "")
     return F.when(
         x.isNotNull(),
-        term_struct(F.lit(TT_LITERAL), x.cast("float").cast("string"), F.lit(XSD_FLOAT)),
+        term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_FLOAT)),
     )

@@ -298,13 +298,16 @@ def _typed_lex(c: Column) -> Column:
         if sk <= K_DECIMAL:
             return canon_decimal_string(c["d"])
         if sk == K_FLOAT:
-            return c["x"].cast("float").cast("string")
+            return F.regexp_replace(c["x"].cast("float").cast("string"),
+                                    r"\.0$", "")
         if sk == K_DOUBLE:
             return c["x"].cast("string")
         return _null_str()
     return (
         F.when(c["k"] <= K_DECIMAL, canon_decimal_string(c["d"]))
-        .when(c["k"] == K_FLOAT, c["x"].cast("float").cast("string"))
+        .when(c["k"] == K_FLOAT,
+              F.regexp_replace(c["x"].cast("float").cast("string"),
+                               r"\.0$", ""))
         .when(c["k"] <= K_DOUBLE, c["x"].cast("string"))
     )
 
@@ -469,6 +472,10 @@ def rdf_compare(a: Column, b: Column) -> Column:
     both_str = is_plain_string(a) & is_plain_string(b)
     both_bool = (a["k"] == K_BOOLEAN) & (b["k"] == K_BOOLEAN)
     both_dt = (a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
+    # rdf:langString with the SAME language tag compares by codepoints
+    # (oxigraph-tests cmp_langString; different tags stay an error)
+    same_lang = ((a["k"] == K_STRING) & (b["k"] == K_STRING)
+                 & a["lang"].isNotNull() & (a["lang"] == b["lang"]))
 
     return (
         F.when(a.isNull() | b.isNull(), F.lit(None).cast("int"))
@@ -477,6 +484,7 @@ def rdf_compare(a: Column, b: Column) -> Column:
                      cmp3(a["d"], b["d"]))
               .otherwise(cmp3(a["x"], b["x"])))
         .when(both_str, cmp3(a["v"], b["v"]))
+        .when(same_lang, cmp3(a["v"], b["v"]))
         .when(both_bool, cmp3(as_boolean(a).cast("int"), as_boolean(b).cast("int")))
         .when(both_dt, cmp3(a["ts"], b["ts"]))
         .otherwise(F.lit(None).cast("int"))

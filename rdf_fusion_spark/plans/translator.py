@@ -807,7 +807,22 @@ def evaluate_query(store: GraphStore, q):
             out = t2 if out is None else out.unionByName(t2)
         if out is None:
             out = triples.limit(0)
-        return GraphResult(df=out.dropDuplicates())
+        out = out.dropDuplicates()
+        # Concise Bounded Description: pull in the triples of blank nodes
+        # reachable as objects, transitively (semi-naive frontier loop —
+        # bnode chains are shallow, so few iterations; each round is two
+        # hash joins, no driver-side data transfer beyond the empty check)
+        described = out.select("subject").distinct()
+        for _ in range(50):
+            frontier = (out.where(F.col("object.t") == 1)  # TT_BNODE
+                        .select(F.col("object").alias("subject")).distinct()
+                        .join(described, "subject", "left_anti"))
+            new = triples.join(frontier, "subject", "left_semi")
+            if not new.head(1):
+                break
+            out = out.unionByName(new).dropDuplicates()
+            described = out.select("subject").distinct()
+        return GraphResult(df=out)
 
     raise NotImplementedError(f"query form {type(q).__name__}")
 

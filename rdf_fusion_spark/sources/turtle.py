@@ -1,0 +1,350 @@
+"""Turtle reader (RDF 1.1 Turtle, the subset the W3C/oxigraph test
+suites and typical datasets use).
+
+Parsing happens DRIVER-SIDE: Turtle is a hand-authored interchange format
+(manifests, fixtures, small ontologies), never the bulk format — large
+graphs arrive as N-Triples (line-parallel, sources/ntriples.py) or
+parquet. A recursive-descent parser into Python terms keeps the grammar
+complete (nested bnode property lists, collections, multi-line strings)
+where a regex line-parser cannot be.
+
+reference: lib/rdf-fusion/src/store.rs:477-558 (load_from_reader accepts
+Turtle via oxttl); the grammar here is from the public Turtle 1.1 spec.
+
+Supported: @prefix/@base (+ SPARQL-style PREFIX/BASE), IRIs, prefixed
+names, `a`, blank nodes (labelled and [...]), collections, numeric /
+boolean / string literals (all four quote forms, escapes), @lang, ^^dt,
+predicate-object and object lists.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..terms import (
+    RDF_NS,
+    XSD_BOOLEAN,
+    XSD_DECIMAL,
+    XSD_DOUBLE,
+    XSD_INTEGER,
+    BlankNode,
+    Literal,
+    NamedNode,
+    Term,
+)
+
+RDF_FIRST = RDF_NS + "first"
+RDF_REST = RDF_NS + "rest"
+RDF_NIL = RDF_NS + "nil"
+
+_STRING_ESCAPES = {
+    "t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+    '"': '"', "'": "'", "\\": "\\",
+}
+
+# longest-match token alternatives, tried in order
+_TOKEN_RE = re.compile(r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iri><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<string>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"
+       |'''(?:[^'\\]|\\.|'(?!''))*'''
+       |"(?:[^"\\\n]|\\.)*"
+       |'(?:[^'\\\n]|\\.)*')
+  | (?P<directive>@prefix\b|@base\b)
+  | (?P<langtag>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
+  | (?P<double>[+-]?(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
+  | (?P<decimal>[+-]?\d*\.\d+)
+  | (?P<integer>[+-]?\d+)
+  | (?P<punct>\^\^|;|,|\.|\[|\]|\(|\))
+  | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
+  | (?P<pname>[A-Za-z0-9_][A-Za-z0-9_.-]*?:[A-Za-z0-9_:%\\.-]*
+       |:[A-Za-z0-9_:%\\.-]*)
+  | (?P<kw>@prefix|@base|(?i:PREFIX|BASE)\b|a\b|true\b|false\b)
+  | (?P<word>[A-Za-z][A-Za-z0-9_-]*)
+""", re.VERBOSE)
+
+
+def _unescape_string(body: str) -> str:
+    out = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch != "\\":
+            out.append(ch)
+            i += 1
+            continue
+        nxt = body[i + 1]
+        if nxt == "u":
+            out.append(chr(int(body[i + 2:i + 6], 16)))
+            i += 6
+        elif nxt == "U":
+            out.append(chr(int(body[i + 2:i + 10], 16)))
+            i += 10
+        else:
+            out.append(_STRING_ESCAPES.get(nxt, nxt))
+            i += 2
+    return "".join(out)
+
+
+def _unescape_iri(s: str) -> str:
+    if "\\" not in s:
+        return s
+    return re.sub(
+        r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})",
+        lambda m: chr(int(m.group(1) or m.group(2), 16)), s)
+
+
+class TurtleParseError(ValueError):
+    pass
+
+
+class _Parser:
+    def __init__(self, text: str, base: Optional[str] = None):
+        self.text = text
+        self.pos = 0
+        self.base = base or ""
+        self.prefixes: dict[str, str] = {}
+        self.triples: list[tuple[Term, Term, Term]] = []
+        self._bnode_n = 0
+        self._tok: Optional[tuple[str, str]] = None  # (kind, value) lookahead
+
+    # -- tokenizer --------------------------------------------------------
+
+    def _next_token(self) -> Optional[tuple[str, str]]:
+        while self.pos < len(self.text):
+            m = _TOKEN_RE.match(self.text, self.pos)
+            if m is None:
+                raise TurtleParseError(
+                    f"bad syntax at {self.text[self.pos:self.pos + 40]!r}")
+            self.pos = m.end()
+            kind = m.lastgroup
+            if kind == "ws":
+                continue
+            return kind, m.group()
+        return None
+
+    def peek(self) -> Optional[tuple[str, str]]:
+        if self._tok is None:
+            self._tok = self._next_token()
+        return self._tok
+
+    def take(self) -> Optional[tuple[str, str]]:
+        t = self.peek()
+        self._tok = None
+        return t
+
+    def expect(self, value: str) -> None:
+        t = self.take()
+        if t is None or t[1] != value:
+            raise TurtleParseError(f"expected {value!r}, got {t!r}")
+
+    # -- grammar ----------------------------------------------------------
+
+    def parse(self) -> list[tuple[Term, Term, Term]]:
+        while self.peek() is not None:
+            self._statement()
+        return self.triples
+
+    def _statement(self) -> None:
+        kind, val = self.peek()
+        if kind == "directive" or \
+           (kind in ("kw", "word") and val.upper() in ("PREFIX", "BASE")):
+            self.take()
+            directive = val.lstrip("@").upper()
+            if directive == "PREFIX":
+                pk, pv = self.take()
+                if pk != "pname" or not pv.endswith(":"):
+                    raise TurtleParseError(f"bad prefix name {pv!r}")
+                ik, iv = self.take()
+                if ik != "iri":
+                    raise TurtleParseError(f"bad prefix IRI {iv!r}")
+                self.prefixes[pv[:-1]] = self._resolve(iv[1:-1])
+            else:
+                ik, iv = self.take()
+                if ik != "iri":
+                    raise TurtleParseError(f"bad base IRI {iv!r}")
+                self.base = self._resolve(iv[1:-1])
+            if val.startswith("@"):
+                self.expect(".")
+            return
+        t = self.peek()
+        was_bnode_list = t is not None and t[1] == "["
+        subj = self._subject()
+        t = self.peek()
+        if was_bnode_list and t is not None and t[1] == ".":
+            self.take()  # '[ ... ] .' — property list IS the statement
+            return
+        self._predicate_object_list(subj)
+        self.expect(".")
+
+    def _resolve(self, iri: str) -> str:
+        iri = _unescape_iri(iri)
+        if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
+            return iri  # absolute
+        base = self.base
+        if iri == "":
+            return base
+        if iri.startswith("#"):
+            return re.sub(r"#.*$", "", base) + iri
+        if iri.startswith("/"):
+            m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", base)
+            return (m.group(1) if m else base) + iri
+        # relative path: replace everything after the last '/'
+        if "/" in base:
+            return base.rsplit("/", 1)[0] + "/" + iri
+        return base + iri
+
+    def _fresh_bnode(self) -> BlankNode:
+        self._bnode_n += 1
+        return BlankNode(f"tb{self._bnode_n}")
+
+    def _subject(self) -> Term:
+        kind, val = self.peek()
+        if kind == "iri" or kind == "pname":
+            return self._iri_like()
+        if kind == "bnode":
+            self.take()
+            return BlankNode(val[2:])
+        if val == "[":
+            return self._bnode_property_list()
+        if val == "(":
+            return self._collection()
+        raise TurtleParseError(f"bad subject {val!r}")
+
+    def _iri_like(self) -> NamedNode:
+        kind, val = self.take()
+        if kind == "iri":
+            return NamedNode(self._resolve(val[1:-1]))
+        pfx, _, local = val.partition(":")
+        if pfx not in self.prefixes:
+            raise TurtleParseError(f"undefined prefix {pfx!r}:")
+        local = re.sub(r"\\(.)", r"\1", local)  # PN_LOCAL_ESC
+        return NamedNode(self.prefixes[pfx] + local)
+
+    def _predicate(self) -> NamedNode:
+        kind, val = self.peek()
+        if kind == "kw" and val == "a":
+            self.take()
+            return NamedNode(RDF_NS + "type")
+        if kind in ("iri", "pname"):
+            return self._iri_like()
+        raise TurtleParseError(f"bad predicate {val!r}")
+
+    def _predicate_object_list(self, subj: Term) -> None:
+        while True:
+            pred = self._predicate()
+            while True:
+                obj = self._object()
+                self.triples.append((subj, pred, obj))
+                t = self.peek()
+                if t is not None and t[1] == ",":
+                    self.take()
+                    continue
+                break
+            t = self.peek()
+            if t is not None and t[1] == ";":
+                self.take()
+                # allow trailing ';' before '.' / ']'
+                t = self.peek()
+                if t is not None and t[1] in (".", "]"):
+                    return
+                continue
+            return
+
+    def _object(self) -> Term:
+        kind, val = self.peek()
+        if kind in ("iri", "pname"):
+            return self._iri_like()
+        if kind == "bnode":
+            self.take()
+            return BlankNode(val[2:])
+        if kind == "string":
+            return self._literal()
+        if kind == "integer":
+            self.take()
+            return Literal(val, XSD_INTEGER)
+        if kind == "decimal":
+            self.take()
+            return Literal(val, XSD_DECIMAL)
+        if kind == "double":
+            self.take()
+            return Literal(val, XSD_DOUBLE)
+        if kind == "kw" and val in ("true", "false"):
+            self.take()
+            return Literal(val, XSD_BOOLEAN)
+        if val == "[":
+            return self._bnode_property_list()
+        if val == "(":
+            return self._collection()
+        raise TurtleParseError(f"bad object {val!r}")
+
+    def _literal(self) -> Literal:
+        _, val = self.take()
+        for q in ('"""', "'''", '"', "'"):
+            if val.startswith(q):
+                body = val[len(q):-len(q)]
+                break
+        lex = _unescape_string(body)
+        t = self.peek()
+        if t is not None and t[0] == "langtag":
+            self.take()
+            return Literal(lex, language=t[1][1:])
+        if t is not None and t[1] == "^^":
+            self.take()
+            return Literal(lex, self._iri_like().iri)
+        return Literal(lex)
+
+    def _bnode_property_list(self) -> BlankNode:
+        self.expect("[")
+        node = self._fresh_bnode()
+        t = self.peek()
+        if t is not None and t[1] != "]":
+            self._predicate_object_list(node)
+        self.expect("]")
+        return node
+
+    def _collection(self) -> Term:
+        self.expect("(")
+        items = []
+        while True:
+            t = self.peek()
+            if t is None:
+                raise TurtleParseError("unterminated collection")
+            if t[1] == ")":
+                self.take()
+                break
+            items.append(self._object())
+        if not items:
+            return NamedNode(RDF_NIL)
+        head = self._fresh_bnode()
+        first = NamedNode(RDF_FIRST)
+        rest = NamedNode(RDF_REST)
+        node = head
+        for i, item in enumerate(items):
+            self.triples.append((node, first, item))
+            if i + 1 < len(items):
+                nxt = self._fresh_bnode()
+                self.triples.append((node, rest, nxt))
+                node = nxt
+            else:
+                self.triples.append((node, rest, NamedNode(RDF_NIL)))
+        return head
+
+
+def parse_turtle(text: str, base: Optional[str] = None
+                 ) -> list[tuple[Term, Term, Term]]:
+    """Turtle document → list of (subject, predicate, object) triples."""
+    return _Parser(text, base).parse()
+
+
+def read_turtle(spark: SparkSession, path: str,
+                base: Optional[str] = None) -> DataFrame:
+    """Turtle file → quads DataFrame (default graph)."""
+    from ..store import GraphStore
+    with open(path, encoding="utf-8") as f:
+        triples = parse_turtle(f.read(), base or f"file://{path}")
+    return GraphStore.from_python_quads(
+        spark, [(None, s, p, o) for s, p, o in triples]).quads

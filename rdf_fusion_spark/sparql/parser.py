@@ -428,6 +428,9 @@ class Parser:
                 elif (self.peek().kind == "KEYWORD_OR_NAME"
                       and self.peek().value.upper() in (_BUILTIN_FNS | _AGGREGATES)):
                     order_conds.append(A.OrderCondition(self.parse_primary_expression(), True))
+                elif self.peek().kind in ("IRIREF", "PNAME"):
+                    # Constraint ::= ... | FunctionCall (e.g. xsd:float(?v))
+                    order_conds.append(A.OrderCondition(self.parse_primary_expression(), True))
                 else:
                     break
             if not order_conds:

@@ -1,0 +1,41 @@
+"""Manifest-driven conformance tests over the suites bundled with the
+reference (mirrors the reference's own test strategy:
+testsuite/tests/rdf_fusion.rs + sparql.rs). Out-of-scope entries
+(SERVICE / Update / SPARQL-star / LATERAL) skip with the same reasons
+the reference's #[ignore] attributes give."""
+
+import os
+
+import pytest
+
+from rdf_fusion_spark.testsuite.runner import (
+    load_manifest,
+    run_case,
+    skip_reason,
+)
+
+MANIFESTS = [
+    "/root/reference/testsuite/rdf-fusion-tests/sparql/manifest.ttl",
+    "/root/reference/testsuite/oxigraph-tests/sparql/manifest.ttl",
+]
+
+
+def _cases():
+    out = []
+    for m in MANIFESTS:
+        if os.path.exists(m):
+            out.extend(load_manifest(m))
+    return out
+
+
+CASES = _cases()
+
+
+@pytest.mark.parametrize(
+    "case", CASES, ids=[c.id.rsplit("#", 1)[-1] or c.name for c in CASES])
+def test_w3c_case(spark, case):
+    reason = skip_reason(case)
+    if reason is not None:
+        pytest.skip(reason)
+    ok, detail = run_case(spark, case)
+    assert ok, f"{case.name}: {detail}"
