@@ -36,6 +36,9 @@ BENCH_QUERIES = [
     "q_dedup_minhash_lsh",
     "q_ann_cosine_topk",
     "q_text_stats",
+    "q_text_top_words",
+    "q_events_sessionize",
+    "q_ann_ivf",
 ]
 
 

@@ -851,6 +851,67 @@ def _pipeline_oracles() -> dict[str, str]:
         WHERE {_COS_SQL.format(a='a.e', b='b.e')} >= {EMB_NEARDUP_THRESHOLD}
         """,
         "q_text_quality": _quality_oracle(),
+        "q_text_top_words": f"""
+        SELECT word, n_occurrences::BIGINT AS n_occurrences,
+               n_docs::BIGINT AS n_docs
+        FROM (SELECT w AS word, COUNT(*) AS n_occurrences,
+                     COUNT(DISTINCT doc_id) AS n_docs
+              FROM (SELECT doc_id, unnest({words}) AS w FROM documents)
+              WHERE length(w) > 0 GROUP BY w)
+        ORDER BY n_occurrences DESC, word
+        LIMIT 20
+        """,
+        "q_text_quality_by_lang": f"""
+        WITH q AS ({_quality_oracle()})
+        SELECT d.lang AS lang, COUNT(*)::BIGINT AS n_docs,
+               CAST(CAST(SUM(CAST(q.quality_score AS DECIMAL(20,10)))
+                    AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_quality
+        FROM q JOIN documents d USING (doc_id)
+        GROUP BY d.lang
+        """,
+        "q_dedup_simhash_pairs": f"""
+        WITH tok AS (
+          SELECT doc_id AS id, {md5i.format('w')} AS h
+          FROM (SELECT doc_id, unnest({words}) AS w FROM documents)
+        ),
+        charges AS (
+          SELECT id, {charge_exprs} FROM tok GROUP BY id
+        ),
+        sh AS (SELECT id, ({value_expr})::BIGINT AS simhash FROM charges)
+        SELECT a.id AS id_a, b.id AS id_b,
+               bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+        FROM sh a JOIN sh b ON a.id < b.id
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DISTANCE}
+        """,
+        "q_events_sessionize": f"""
+        WITH s AS (
+          SELECT user_id, ts,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (SELECT user_id, ts,
+                       -- floor(epoch()) matches Spark unix_timestamp's
+                       -- whole-second truncation exactly
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts) IS NULL
+                            OR floor(epoch(ts))::BIGINT
+                               - floor(epoch(lag(ts) OVER (
+                                   PARTITION BY user_id ORDER BY ts)))::BIGINT
+                               > {SESSION_GAP_MINUTES} * 60
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events)
+        ),
+        per_session AS (
+          SELECT user_id, session_id, COUNT(*) AS n_events,
+                 floor(epoch(MAX(ts)))::BIGINT
+                   - floor(epoch(MIN(ts)))::BIGINT AS span_s
+          FROM s GROUP BY user_id, session_id
+        )
+        SELECT user_id, COUNT(*)::BIGINT AS n_sessions,
+               SUM(n_events)::BIGINT AS n_events,
+               MAX(n_events)::BIGINT AS max_session_events,
+               SUM(span_s)::BIGINT AS active_seconds
+        FROM per_session GROUP BY user_id
+        """,
     }
 
 
@@ -1218,6 +1279,148 @@ FROM nation WHERE n_nationkey = 7
 """
 
 
+# ---------------------------------------------------------------------------
+# §2.7 alternative path over two FK predicates
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_path_alternative",
+    """
+    SELECT ?nname (COUNT(?ent) AS ?n) WHERE {
+      ?ent (c:c_nationkey|s:s_nationkey) ?nat .
+      ?nat n:n_name ?nname .
+    }
+    GROUP BY ?nname
+    """,
+    [("nname", "str"), ("n", "long")],
+    """
+    SELECT n_name AS nname, COUNT(*)::BIGINT AS n
+    FROM (SELECT c_nationkey AS k FROM customer
+          UNION ALL SELECT s_nationkey FROM supplier) e
+    JOIN nation ON e.k = n_nationkey
+    GROUP BY n_name
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.3 nested OPTIONAL (left join whose right side is itself a left join)
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_nested_optional",
+    """
+    SELECT ?ckey ?okey ?qty WHERE {
+      ?cust c:c_custkey ?ckey .
+      OPTIONAL {
+        ?ord o:o_custkey ?cust ; o:o_orderkey ?okey .
+        OPTIONAL {
+          ?li l:l_orderkey ?ord ; l:l_quantity ?qty .
+          FILTER(?qty >= 49.0)
+        }
+      }
+    }
+    """,
+    [("ckey", "long"), ("okey", "long"), ("qty", "double")],
+    """
+    SELECT c_custkey AS ckey, ord.okey AS okey, ord.qty AS qty
+    FROM customer
+    LEFT JOIN (
+      SELECT o_custkey, o_orderkey AS okey, l.l_quantity AS qty
+      FROM orders
+      LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49.0) l
+        ON l.l_orderkey = o_orderkey
+    ) ord ON ord.o_custkey = c_custkey
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.1 VALUES with multiple variables and UNDEF (join semantics)
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_values_undef",
+    """
+    SELECT ?rkey ?rname ?tag WHERE {
+      ?reg r:r_regionkey ?rkey ; r:r_name ?rname .
+      VALUES (?rname ?tag) { ("ASIA" "east") ("EUROPE" "west") (UNDEF "any") }
+    }
+    """,
+    [("rkey", "long"), ("rname", "str"), ("tag", "str")],
+    """
+    SELECT r_regionkey AS rkey, r_name AS rname, v.tag AS tag
+    FROM region
+    JOIN (VALUES ('ASIA','east'), ('EUROPE','west'), (NULL,'any'))
+         v(vname, tag)
+      ON v.vname IS NULL OR v.vname = r_name
+    """,
+)
+
+# ---------------------------------------------------------------------------
+# §2.4 SUM(DISTINCT) with the decimal promotion ladder
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_sum_distinct",
+    """
+    SELECT ?seg (xsd:double(SUM(DISTINCT xsd:decimal(?ab))) AS ?s)
+           (COUNT(?cust) AS ?n)
+    WHERE { ?cust c:c_mktsegment ?seg ; c:c_acctbal ?ab . }
+    GROUP BY ?seg
+    """,
+    [("seg", "str"), ("s", "double"), ("n", "long")],
+    f"""
+    SELECT c_mktsegment AS seg,
+           CAST(CAST(SUM(DISTINCT {_dec('c_acctbal')}) AS VARCHAR) AS DOUBLE)
+             AS s,
+           COUNT(*)::BIGINT AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+
+
+def _pipe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import top_words
+    return top_words(_docs(spark, sf_dir), 20).select(
+        "word", F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"))
+
+
+def _pipe_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import with_quality_score
+    q = with_quality_score(_docs(spark, sf_dir))
+    dec = F.col("quality_score").cast("decimal(20,10)")
+    return (q.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 (F.sum(dec).cast("string").cast("double")
+                  / F.count("*")).alias("avg_quality")))
+
+
+SIMHASH_MAX_DISTANCE = 3
+
+
+def _pipe_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import simhash_near_dup_pairs
+    out = simhash_near_dup_pairs(_docs(spark, sf_dir), SIMHASH_MAX_DISTANCE)
+    return out.select("id_a", "id_b",
+                      F.col("hamming").cast("long").alias("hamming"))
+
+
+SESSION_GAP_MINUTES = 30
+
+
+def _pipe_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.sessions import session_stats
+    from .sources.relational import read_table
+    ev = read_table(spark, sf_dir, "events")
+    out = session_stats(ev, SESSION_GAP_MINUTES)
+    return out.select("user_id", F.col("n_sessions").cast("long").alias("n_sessions"),
+                      F.col("n_events").cast("long").alias("n_events"),
+                      F.col("max_session_events").cast("long")
+                      .alias("max_session_events"),
+                      F.col("active_seconds").cast("long")
+                      .alias("active_seconds"))
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": _pipe_text_stats,
     "q_text_language_id": _pipe_language_id,
@@ -1231,6 +1434,10 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf": _pipe_ann_ivf,
     "q_dedup_embedding_cosine": _pipe_dedup_embedding,
     "q_text_quality": _pipe_text_quality,
+    "q_text_top_words": _pipe_top_words,
+    "q_text_quality_by_lang": _pipe_quality_by_lang,
+    "q_dedup_simhash_pairs": _pipe_simhash_pairs,
+    "q_events_sessionize": _pipe_sessions,
 }
 
 

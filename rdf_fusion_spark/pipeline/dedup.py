@@ -185,6 +185,50 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
 
 
 SIMHASH_BITS = 16
+SIMHASH_BANDS = 4  # nibbles; pigeonhole guarantees recall for distance < 4
+
+
+def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """SimHash near-duplicate pairs: (id_a, id_b, hamming) with hamming
+    distance <= max_distance.
+
+    Candidate generation by banding (pigeonhole): split the 16-bit
+    fingerprint into SIMHASH_BANDS nibbles; any pair within distance
+    < SIMHASH_BANDS agrees on at least one nibble, so candidates come
+    from equi-joins on (band_idx, nibble) — one shuffle, never all-pairs.
+    The exact popcount check then filters candidates.
+    """
+    assert max_distance < SIMHASH_BANDS, "banding guarantees recall only " \
+        "for distance < number of bands"
+    sig = simhash(df, text_col, id_col)
+    width = SIMHASH_BITS // SIMHASH_BANDS
+    bands = F.array(*[
+        F.struct(
+            F.lit(i).alias("band_idx"),
+            F.shiftright(F.col("simhash"), i * width)
+            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
+        )
+        for i in range(SIMHASH_BANDS)
+    ])
+    exploded = (sig.select("id", "simhash", F.explode(bands).alias("b"))
+                .select("id", "simhash",
+                        F.col("b.band_idx").alias("band_idx"),
+                        F.col("b.band_val").alias("band_val")))
+    a, b = exploded.alias("a"), exploded.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
+               & (F.col("a.band_val") == F.col("b.band_val"))
+               & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                F.col("a.simhash").alias("sh_a"),
+                F.col("b.simhash").alias("sh_b"))
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_distance))
 
 
 def simhash(df: DataFrame, text_col: str = "text",

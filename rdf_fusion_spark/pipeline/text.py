@@ -95,6 +95,24 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def top_words(df: DataFrame, k: int = 20, text_col: str = "text"
+              ) -> DataFrame:
+    """Corpus-wide top-k word frequencies: (word, n_occurrences, n_docs).
+
+    explode → hash-aggregate (map-side combined) → TakeOrdered(k).
+    One shuffle on the word; the top-k never sorts the full vocabulary
+    (Spark plans orderBy+limit as TakeOrderedAndProject).
+    """
+    words = (df.select(F.explode(words_col(F.col(text_col))).alias("word"),
+                       F.col("doc_id"))
+             .where(F.length("word") > 0))
+    return (words.groupBy("word")
+            .agg(F.count("*").alias("n_occurrences"),
+                 F.countDistinct("doc_id").alias("n_docs"))
+            .orderBy(F.desc("n_occurrences"), F.asc("word"))
+            .limit(k))
+
+
 LID_FLOOR = 0.02
 
 
