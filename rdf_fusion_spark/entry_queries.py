@@ -1378,6 +1378,53 @@ _q(
 )
 
 
+# ---------------------------------------------------------------------------
+# §2.8 xsd:duration value model — dateTime +/- duration, dateTime
+# subtraction, and the duration partial order
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_duration_shift",
+    """
+    SELECT ?eid ?later ?span WHERE {
+      ?ev e:event_id ?eid ; e:ts ?ts .
+      BIND(?ts + "P1MT2H30M"^^xsd:duration AS ?later)
+      BIND(STR(?later - ?ts) AS ?span)
+    }
+    """,
+    [("eid", "long"), ("later", "timestamp"), ("span", "str")],
+    """
+    WITH s AS (
+      SELECT event_id AS eid, ts,
+             ts + INTERVAL 1 MONTH + INTERVAL 150 MINUTE AS later
+      FROM events
+    )
+    SELECT eid, later,
+           'P' || ((floor(epoch(later))::BIGINT - floor(epoch(ts))::BIGINT)
+                   // 86400)::VARCHAR || 'DT2H30M' AS span
+    FROM s
+    """,
+)
+
+_q(
+    "q_duration_compare",
+    """
+    SELECT ?dstr ?gt11m ?eq1y WHERE {
+      VALUES ?d { "P1Y"^^xsd:yearMonthDuration "P11M"^^xsd:yearMonthDuration
+                  "P2Y"^^xsd:yearMonthDuration }
+      BIND(STR(?d) AS ?dstr)
+      BIND(?d > "P11M"^^xsd:yearMonthDuration AS ?gt11m)
+      BIND(?d = "P12M"^^xsd:yearMonthDuration AS ?eq1y)
+    }
+    """,
+    [("dstr", "str"), ("gt11m", "bool"), ("eq1y", "bool")],
+    """
+    SELECT * FROM (VALUES ('P1Y', true, true), ('P11M', false, false),
+                          ('P2Y', true, false)) t(dstr, gt11m, eq1y)
+    """,
+)
+
+
 def _pipe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import top_words
     return top_words(_docs(spark, sf_dir), 20).select(

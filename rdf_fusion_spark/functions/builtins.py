@@ -676,11 +676,29 @@ def _cast_fn(name: str):
             return F.when(val.isNotNull(),
                           term_struct(F.lit(TT_LITERAL), val.cast("string"),
                                       F.lit(XSD_DATE)))
+        if target in ("duration", "yearMonthDuration", "dayTimeDuration"):
+            from ..terms import (
+                K_DURATION,
+                duration_months_col,
+                duration_seconds_col,
+            )
+            zero_d = F.lit(0).cast(DECIMAL_T)
+            m = (F.when(c["k"] == K_DURATION, c["x"])
+                 .when(is_plain_string(c), duration_months_col(c["v"])))
+            s = (F.when(c["k"] == K_DURATION, c["d"])
+                 .when(is_plain_string(c), duration_seconds_col(c["v"])))
+            if target == "yearMonthDuration":
+                # XPath cast keeps only the month part
+                s = F.when(m.isNotNull(), zero_d)
+            elif target == "dayTimeDuration":
+                m = F.when(s.isNotNull(), F.lit(0.0))
+            return tv.duration_term(m, s, XSD + target)
         return None
 
     # probe: unsupported targets return None
     if target not in ("integer", "int", "long", "short", "byte", "decimal",
-                      "double", "float", "boolean", "string", "dateTime", "date"):
+                      "double", "float", "boolean", "string", "dateTime", "date",
+                      "duration", "yearMonthDuration", "dayTimeDuration"):
         return None
     return fn
 

@@ -24,6 +24,7 @@ from ..terms import (
     K_DATETIME,
     K_DECIMAL,
     K_DOUBLE,
+    K_DURATION,
     K_FLOAT,
     K_INTEGER,
     K_STRING,
@@ -370,6 +371,74 @@ def decimal_term(x: Column) -> Column:
     ), K_DECIMAL)
 
 
+def duration_lex(months: Column, secs: Column) -> Column:
+    """Canonical xsd:duration lexical from (months, seconds) Columns
+    (mirror of terms.format_duration)."""
+    zero = (months == 0) & (secs == 0)
+    neg = (months < 0) | (secs < 0)
+    m = F.abs(months).cast("long")
+    s = F.abs(secs)
+    y, mo = (m / 12).cast("long"), m % 12
+    # F.floor, not a decimal cast: casting decimal 2.5 to integer ROUNDS
+    days = F.floor(s / 86400).cast("long")
+    rem = s - days * 86400
+    hours = F.floor(rem / 3600).cast("long")
+    rem = rem - hours * 3600
+    mins = F.floor(rem / 60).cast("long")
+    sec = rem - mins * 60
+    sec_lex = canon_decimal_string(sec)
+    e = F.lit("")
+    body = F.concat(
+        F.when(neg, F.lit("-")).otherwise(e), F.lit("P"),
+        F.when(y > 0, F.concat(y.cast("string"), F.lit("Y"))).otherwise(e),
+        F.when(mo > 0, F.concat(mo.cast("string"), F.lit("M"))).otherwise(e),
+        F.when(days > 0, F.concat(days.cast("string"), F.lit("D"))).otherwise(e),
+        F.when((hours > 0) | (mins > 0) | (sec != 0), F.lit("T")).otherwise(e),
+        F.when(hours > 0, F.concat(hours.cast("string"), F.lit("H"))).otherwise(e),
+        F.when(mins > 0, F.concat(mins.cast("string"), F.lit("M"))).otherwise(e),
+        F.when(sec != 0, F.concat(sec_lex, F.lit("S"))).otherwise(e),
+    )
+    return F.when(zero, F.lit("PT0S")).otherwise(body)
+
+
+def duration_term(months: Column, secs: Column, dt: str = None) -> Column:
+    """Build a duration term from (months, seconds); canonical lexical.
+
+    reference: lib/model/src/xsd/duration.rs (months+seconds value model).
+    """
+    from ..terms import XSD_DURATION
+    months = months.cast("double")
+    secs = secs.cast(DECIMAL_T)
+    return tag(F.when(
+        months.isNotNull() & secs.isNotNull(),
+        term_struct(_tt(TT_LITERAL), duration_lex(months, secs),
+                    lit_str(dt or XSD_DURATION), k=F.lit(K_DURATION),
+                    x=months, d=secs, ts=None_ts()),
+    ), K_DURATION)
+
+
+# duration ordering (XSD 1.1 partial order): when the month parts are
+# equal, order by seconds; otherwise bound the month difference by its
+# minimum (28-day) and maximum (31-day) possible spans — outside the
+# bounds the order is determinate, inside it is an error (NULL). This is
+# slightly more conservative than the spec's four-reference-dates rule,
+# so it can return "indeterminate" where the spec decides, but never the
+# opposite order. reference: lib/model/src/xsd/duration.rs partial_cmp.
+def _duration_cmp3(a: Column, b: Column) -> Column:
+    dm = (b["x"] - a["x"]).cast("double")            # months: b - a
+    ds = (a["d"] - b["d"]).cast("double")            # seconds: a - b
+    by_secs = (F.when(a["d"] < b["d"], -1).when(a["d"] > b["d"], 1)
+               .otherwise(0))
+    return (
+        F.when(dm == 0, by_secs)
+        .when((dm > 0) & (ds < dm * 28 * 86400), F.lit(-1))
+        .when((dm > 0) & (ds > dm * 31 * 86400), F.lit(1))
+        .when((dm < 0) & (-ds < -dm * 28 * 86400), F.lit(1))
+        .when((dm < 0) & (-ds > -dm * 31 * 86400), F.lit(-1))
+        .otherwise(F.lit(None).cast("int"))
+    )
+
+
 def string_term(s: Column) -> Column:
     return tag(F.when(s.isNotNull(),
                       term_struct(_tt(TT_LITERAL), s, lit_str(XSD_STRING),
@@ -402,6 +471,8 @@ def rdf_equal(a: Column, b: Column) -> Column:
             body = a["ts"] == b["ts"]
         elif sa == K_BOOLEAN and sb == K_BOOLEAN:
             body = as_boolean(a) == as_boolean(b)
+        elif sa == K_DURATION and sb == K_DURATION:
+            body = (a["x"] == b["x"]) & (a["d"] == b["d"])
         elif sa in (SK_IRI, SK_BNODE) or sb in (SK_IRI, SK_BNODE):
             # node-kind mismatch or identity comparison: plain equality
             body = (a["v"] == b["v"]) if sa == sb else F.lit(False)
@@ -419,6 +490,7 @@ def rdf_equal(a: Column, b: Column) -> Column:
                  & a["lang"].isNotNull() & b["lang"].isNotNull())
     both_bool = (a["k"] == K_BOOLEAN) & (b["k"] == K_BOOLEAN)
     both_dt = (a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
+    both_dur = (a["k"] == K_DURATION) & (b["k"] == K_DURATION)
     return (
         F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
         .when(both_num,
@@ -430,6 +502,7 @@ def rdf_equal(a: Column, b: Column) -> Column:
         .when(both_lang, (a["v"] == b["v"]) & (a["lang"] == b["lang"]))
         .when(both_bool, as_boolean(a) == as_boolean(b))
         .when(both_dt, a["ts"] == b["ts"])
+        .when(both_dur, (a["x"] == b["x"]) & (a["d"] == b["d"]))
         .when((a["t"] != TT_LITERAL) | (b["t"] != TT_LITERAL), a == b)
         # both literals, at least one of unknown/unsupported datatype:
         .when(a == b, F.lit(True))
@@ -461,6 +534,8 @@ def rdf_compare(a: Column, b: Column) -> Column:
             body = cmp3(as_boolean(a).cast("int"), as_boolean(b).cast("int"))
         elif sa == K_DATETIME and sb == K_DATETIME:
             body = cmp3(a["ts"], b["ts"])
+        elif sa == K_DURATION and sb == K_DURATION:
+            body = _duration_cmp3(a, b)
         elif sa == K_STRING or sb == K_STRING:
             body = None  # lang tags possible → generic
         else:
@@ -472,6 +547,7 @@ def rdf_compare(a: Column, b: Column) -> Column:
     both_str = is_plain_string(a) & is_plain_string(b)
     both_bool = (a["k"] == K_BOOLEAN) & (b["k"] == K_BOOLEAN)
     both_dt = (a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
+    both_dur = (a["k"] == K_DURATION) & (b["k"] == K_DURATION)
     # rdf:langString with the SAME language tag compares by codepoints
     # (oxigraph-tests cmp_langString; different tags stay an error)
     same_lang = ((a["k"] == K_STRING) & (b["k"] == K_STRING)
@@ -487,6 +563,7 @@ def rdf_compare(a: Column, b: Column) -> Column:
         .when(same_lang, cmp3(a["v"], b["v"]))
         .when(both_bool, cmp3(as_boolean(a).cast("int"), as_boolean(b).cast("int")))
         .when(both_dt, cmp3(a["ts"], b["ts"]))
+        .when(both_dur, _duration_cmp3(a, b))
         .otherwise(F.lit(None).cast("int"))
     )
 
@@ -571,12 +648,71 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
     return out
 
 
+def _datetime_shift(dtc: Column, dur: Column, sign: int) -> Column:
+    """dateTime ± duration: add the month part calendar-aware first, then
+    the seconds part (XPath op:add-yearMonthDuration-to-dateTime followed
+    by op:add-dayTimeDuration-to-dateTime; reference:
+    lib/functions/src/scalar/dates_and_times/)."""
+    months = (dur["x"] * sign).cast("int")
+    secs = (dur["d"] * sign).cast("decimal(18,6)")
+    shifted = (dtc["ts"]
+               + F.make_ym_interval(F.lit(0), months)
+               + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0), secs))
+    lex = F.regexp_replace(shifted.cast("string"), " ", "T")
+    return F.when(
+        shifted.isNotNull(),
+        term_struct(_tt(TT_LITERAL), lex, lit_str(XSD_DATETIME),
+                    k=F.lit(K_DATETIME), x=None_x(), d=None_d(), ts=shifted))
+
+
+def _datetime_diff(a: Column, b: Column) -> Column:
+    """dateTime - dateTime → xsd:dayTimeDuration (op:subtract-dateTimes)."""
+    from ..terms import XSD_DAY_TIME_DURATION
+    micros = F.unix_micros(a["ts"]) - F.unix_micros(b["ts"])
+    secs = (micros.cast(DECIMAL_T) / 1000000).cast(DECIMAL_T)
+    return duration_term(F.lit(0.0), secs, XSD_DAY_TIME_DURATION)
+
+
+def _temporal_arith(a: Column, b: Column, op: str) -> Column:
+    """'+'/'-' over dateTime/duration operand combinations; falls through
+    to numeric promotion for everything else."""
+    sa, sb = skind(a), skind(b)
+    if sa is not None and sb is not None:
+        if sa == K_DATETIME and sb == K_DURATION:
+            return tag(_datetime_shift(a, b, +1 if op == "+" else -1),
+                       K_DATETIME)
+        if sa == K_DURATION and sb == K_DURATION:
+            if op == "+":
+                return duration_term(a["x"] + b["x"], a["d"] + b["d"])
+            return duration_term(a["x"] - b["x"], a["d"] - b["d"])
+        if sa == K_DURATION and sb == K_DATETIME and op == "+":
+            return tag(_datetime_shift(b, a, +1), K_DATETIME)
+        if sa == K_DATETIME and sb == K_DATETIME and op == "-":
+            return _datetime_diff(a, b)
+        return _binary_numeric(a, b, op)
+    num = _binary_numeric(a, b, op)
+    sign = +1 if op == "+" else -1
+    out = (
+        F.when((a["k"] == K_DATETIME) & (b["k"] == K_DURATION),
+               _datetime_shift(a, b, sign))
+        .when((a["k"] == K_DURATION) & (b["k"] == K_DURATION),
+              duration_term(a["x"] + sign * b["x"], a["d"] + sign * b["d"]))
+    )
+    if op == "+":
+        out = out.when((a["k"] == K_DURATION) & (b["k"] == K_DATETIME),
+                       _datetime_shift(b, a, +1))
+    else:
+        out = out.when((a["k"] == K_DATETIME) & (b["k"] == K_DATETIME),
+                       _datetime_diff(a, b))
+    return out.otherwise(num)
+
+
 def rdf_add(a: Column, b: Column) -> Column:
-    return _binary_numeric(a, b, "+")
+    return _temporal_arith(a, b, "+")
 
 
 def rdf_sub(a: Column, b: Column) -> Column:
-    return _binary_numeric(a, b, "-")
+    return _temporal_arith(a, b, "-")
 
 
 def rdf_mul(a: Column, b: Column) -> Column:

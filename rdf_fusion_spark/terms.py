@@ -114,6 +114,72 @@ TERM_DDL = ("struct<t:tinyint,v:string,dt:string,lang:string,"
 # k codes
 K_INTEGER, K_DECIMAL, K_FLOAT, K_DOUBLE = 0, 1, 2, 3
 K_STRING, K_BOOLEAN, K_DATETIME, K_OTHER = 4, 5, 6, 7
+# durations reuse the numeric slots of the struct: x = total months
+# (year-month part), d = total seconds (day-time part). 8 is reserved
+# (static kind SK_PLAIN); 9 keeps data k codes and static kinds aligned.
+K_DURATION = 9
+
+DURATION_TYPES = (XSD_DURATION, XSD_YEAR_MONTH_DURATION,
+                  XSD_DAY_TIME_DURATION)
+
+# value-space regex for all three duration types (XSD 1.1 §3.3.6)
+DURATION_RE = (r"^-?P(?=\d|T\d)(\d+Y)?(\d+M)?(\d+D)?"
+               r"(T(?=\d)(\d+H)?(\d+M)?(\d+(\.\d+)?S)?)?$")
+
+
+def parse_duration(lexical: str):
+    """xsd:duration lexical → (months, seconds) or None if invalid."""
+    import re as _re
+    if not _re.match(DURATION_RE, lexical):
+        return None
+    sign = -1 if lexical.startswith("-") else 1
+    date_part, _, time_part = lexical.partition("T")
+
+    def grab(pat, src):
+        m = _re.search(pat, src)
+        return m.group(1) if m else "0"
+
+    months = 12 * int(grab(r"(\d+)Y", date_part)) \
+        + int(grab(r"(\d+)M", date_part))
+    from decimal import Decimal
+    seconds = (Decimal(86400) * int(grab(r"(\d+)D", date_part))
+               + Decimal(3600) * int(grab(r"(\d+)H", time_part))
+               + Decimal(60) * int(grab(r"(\d+)M", time_part))
+               + Decimal(grab(r"(\d+(?:\.\d+)?)S", time_part)))
+    return (sign * months, sign * seconds)
+
+
+def format_duration(months: int, seconds) -> str:
+    """Canonical duration lexical from (months, seconds)."""
+    from decimal import Decimal
+    seconds = Decimal(seconds)
+    if months == 0 and seconds == 0:
+        return "PT0S"
+    neg = months < 0 or seconds < 0
+    months, seconds = abs(months), abs(seconds)
+    out = ["-P" if neg else "P"]
+    y, mo = divmod(months, 12)
+    if y:
+        out.append(f"{y}Y")
+    if mo:
+        out.append(f"{mo}M")
+    days, rem = divmod(seconds, 86400)
+    hours, rem = divmod(rem, 3600)
+    mins, secs = divmod(rem, 60)
+    if days:
+        out.append(f"{int(days)}D")
+    if hours or mins or secs:
+        out.append("T")
+        if hours:
+            out.append(f"{int(hours)}H")
+        if mins:
+            out.append(f"{int(mins)}M")
+        if secs:
+            s = str(secs.normalize())
+            if "E" in s:  # Decimal normalize can produce 6E+1
+                s = str(int(secs))
+            out.append(f"{s}S")
+    return "".join(out)
 
 # the quads table schema (reference: lib/model/src/quads.rs:1-4)
 # graph is NULL for the default graph.
@@ -242,6 +308,37 @@ def _null_str() -> Column:
     return memo_col("nullstr", lambda: F.lit(None).cast("string"))
 
 
+def duration_months_col(v: Column) -> Column:
+    """Year-month part of a duration lexical, in months (NULL if invalid)."""
+    valid = v.rlike(DURATION_RE)
+    sign = F.when(v.startswith("-"), -1.0).otherwise(1.0)
+    date_part = F.split(v, "T")[0]
+    y = F.coalesce(F.regexp_extract(date_part, r"(\d+)Y", 1).try_cast("double"),
+                   F.lit(0.0))
+    mo = F.coalesce(F.regexp_extract(date_part, r"(\d+)M", 1).try_cast("double"),
+                    F.lit(0.0))
+    return F.when(valid, sign * (y * 12 + mo))
+
+
+def duration_seconds_col(v: Column) -> Column:
+    """Day-time part of a duration lexical, in seconds (NULL if invalid)."""
+    valid = v.rlike(DURATION_RE)
+    sign = F.when(v.startswith("-"), F.lit(-1).cast("decimal(38,18)")) \
+        .otherwise(F.lit(1).cast("decimal(38,18)"))
+    parts = F.split(v, "T")
+    date_part, time_part = parts[0], F.coalesce(parts[1], F.lit(""))
+    dd = F.coalesce(F.regexp_extract(date_part, r"(\d+)D", 1)
+                    .try_cast("decimal(38,18)"), F.lit(0).cast("decimal(38,18)"))
+    h = F.coalesce(F.regexp_extract(time_part, r"(\d+)H", 1)
+                   .try_cast("decimal(38,18)"), F.lit(0).cast("decimal(38,18)"))
+    mi = F.coalesce(F.regexp_extract(time_part, r"(\d+)M", 1)
+                    .try_cast("decimal(38,18)"), F.lit(0).cast("decimal(38,18)"))
+    s = F.coalesce(F.regexp_extract(time_part, r"(\d+(?:\.\d+)?)S", 1)
+                   .try_cast("decimal(38,18)"), F.lit(0).cast("decimal(38,18)"))
+    total = (dd * 86400 + h * 3600 + mi * 60 + s).cast("decimal(38,18)")
+    return F.when(valid, (sign * total).cast("decimal(38,18)"))
+
+
 def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None,
                 k: Column = None, x: Column = None, d: Column = None,
                 ts: Column = None) -> Column:
@@ -264,6 +361,7 @@ def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None,
                   | dt_c.isNull(), K_STRING)
             .when(dt_c == XSD_BOOLEAN, K_BOOLEAN)
             .when(dt_c.isin(XSD_DATETIME, XSD_DATE), K_DATETIME)
+            .when(dt_c.isin(*DURATION_TYPES), K_DURATION)
             .otherwise(K_OTHER),
         )
     k = k.cast("tinyint") if isinstance(k, Column) else F.lit(k).cast("tinyint")
@@ -273,9 +371,13 @@ def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None,
             .when(k == K_BOOLEAN,
                   F.when(v.isin("true", "1"), 1.0)
                   .when(v.isin("false", "0"), 0.0))
+            .when(k == K_DURATION, duration_months_col(v))
         )
     if d is None:
-        d = F.when(k <= K_DECIMAL, v.try_cast("decimal(38,18)"))
+        d = (
+            F.when(k <= K_DECIMAL, v.try_cast("decimal(38,18)"))
+            .when(k == K_DURATION, duration_seconds_col(v))
+        )
     if ts is None:
         ts = F.when(k == K_DATETIME, v.try_cast("timestamp"))
     return F.struct(
@@ -432,6 +534,14 @@ def term_py_row(t: Optional[Term]):
                 ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         except ValueError:
             ts = None
+    elif dt in DURATION_TYPES:
+        k = K_DURATION
+        parsed = parse_duration(t.lexical)
+        if parsed is not None:
+            x = float(parsed[0])        # months
+            import decimal as _decimal
+            d = _decimal.Decimal(parsed[1]).quantize(
+                _decimal.Decimal(1).scaleb(-18))  # seconds
     else:
         k = K_OTHER
     return (TT_LITERAL, t.lexical, dt, lang, k, x, d, ts)

@@ -48,8 +48,10 @@ def test_query_matches_oracle(spark, ddb, name):
                                            check_exact=True)
         elif "datetime" in str(ov.dtype) or "datetime" in str(sv.dtype):
             pd.testing.assert_series_equal(
-                pd.to_datetime(sv).dt.tz_localize(None),
-                pd.to_datetime(ov).dt.tz_localize(None),
+                pd.to_datetime(sv).dt.tz_localize(None)
+                .astype("datetime64[ns]"),
+                pd.to_datetime(ov).dt.tz_localize(None)
+                .astype("datetime64[ns]"),
                 check_names=False)
         else:
             assert sv.astype(str).tolist() == ov.astype(str).tolist(), \
