@@ -883,6 +883,15 @@ def _pipeline_oracles() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DISTANCE}
         """,
+        "q_stream_event_counts": """
+        SELECT date_trunc('hour', ts) AS window_start,
+               date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+               event_type, COUNT(*)::BIGINT AS n,
+               CAST(CAST(SUM(CAST(CAST(value AS VARCHAR) AS DECIMAL(38,18)))
+                    AS VARCHAR) AS DOUBLE) AS total_value
+        FROM events
+        GROUP BY 1, 2, 3
+        """,
         "q_events_sessionize": f"""
         WITH s AS (
           SELECT user_id, ts,
@@ -1468,6 +1477,51 @@ def _pipe_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("active_seconds"))
 
 
+def _pipe_stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming end-to-end: readStream(parquet) → watermarked
+    1-hour windowed counts per event type → availableNow drain into a
+    memory sink; on the driver's static input this is deterministic, so
+    the SAME DuckDB oracle that checks batch queries checks the stream.
+    """
+    import tempfile
+    import uuid
+
+    from .sources.relational import _nanos_ts_columns, configure_session
+    from .streaming.events import (
+        EVENT_SCHEMA,
+        run_to_memory,
+        windowed_event_counts,
+    )
+
+    configure_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    nanos = set(_nanos_ts_columns(path))
+    from pyspark.sql import types as T
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name in nanos else f.dataType)
+        for f in EVENT_SCHEMA.fields
+    ]
+    # the file stream source requires a directory: stream the sf dir with
+    # a glob filter selecting only the events file
+    stream = (spark.readStream.schema(T.StructType(fields))
+              .option("pathGlobFilter", "events.parquet")
+              .option("recursiveFileLookup", "false")
+              .parquet(sf_dir))
+    for c in nanos:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    # exact decimal sum (string round-trip, same as the batch queries)
+    stream = stream.withColumn(
+        "value", F.col("value").cast("string").cast("decimal(38,18)"))
+    out = windowed_event_counts(stream, "1 hour")
+    name = f"stream_counts_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, tempfile.mkdtemp(prefix="rfs_ckpt_"))
+    return spark.table(name).select(
+        "window_start", "window_end", "event_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("total_value").cast("string").cast("double")
+        .alias("total_value"))
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": _pipe_text_stats,
     "q_text_language_id": _pipe_language_id,
@@ -1485,6 +1539,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_quality_by_lang": _pipe_quality_by_lang,
     "q_dedup_simhash_pairs": _pipe_simhash_pairs,
     "q_events_sessionize": _pipe_sessions,
+    "q_stream_event_counts": _pipe_stream_event_counts,
 }
 
 
