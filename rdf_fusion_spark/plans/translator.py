@@ -24,6 +24,7 @@ from ..store import ActiveGraph, GraphStore
 from ..terms import (
     TERM_TYPE,
     TT_LITERAL,
+    XSD_BOOLEAN,
     XSD_DATETIME,
     Literal,
     NamedNode,
@@ -203,30 +204,7 @@ def translate(p, ctx: Ctx) -> Solution:
     if isinstance(p, A.GraphNode):
         return _translate_graph(p, ctx)
     if isinstance(p, A.Extend):
-        sol = translate(p.inner, ctx)
-        orig_maybe, orig_bound = sol.maybe, sol.bound
-        expr = p.expr
-        if _has_exists(expr):
-            expr, sol = _bind_exists_markers(expr, sol, ctx)
-        it = Interner(sol.df, ctx)
-        with B.intern_scope(it), tv.lazy_lexicals():
-            col = compile_term_expr(expr, sol, ctx)
-        sk = tv.skind(col)
-        keep = [c for c in sol.df.columns if c in orig_maybe]
-        # materialize the lazy lexical through a NAMED column: applying it
-        # to the expression tree directly re-expands the tree ~12x (struct
-        # fields + condition), which blows up codegen compile time
-        df = (it.df.withColumn(p.var.name, col)
-              .withColumn(p.var.name, tv.materialize_lexical(
-                  tv.tag(F.col(p.var.name), sk)))
-              .select(*keep, p.var.name))
-        kinds = dict(sol.kinds)
-        if sk is not None:
-            kinds[p.var.name] = sk
-        else:
-            kinds.pop(p.var.name, None)
-        return replace(sol, df=df, maybe=orig_maybe | {p.var.name},
-                       bound=orig_bound, kinds=kinds)
+        return _apply_extend(p, translate(p.inner, ctx), ctx)
     if isinstance(p, A.Minus):
         l = translate(p.left, ctx)
         r = translate(p.right, ctx)
@@ -251,7 +229,167 @@ def translate(p, ctx: Ctx) -> Solution:
         return _translate_slice(p, ctx)
     if isinstance(p, A.Group):
         return _translate_group(p, ctx)
+    if isinstance(p, A.Lateral):
+        return _translate_lateral(p, ctx)
     raise NotImplementedError(f"pattern not supported: {type(p).__name__}")
+
+
+# ---------------------------------------------------------------------------
+# LATERAL (SEP-0006 dependent join; oxigraph extension)
+#
+# `A LATERAL B` evaluates B once per solution of A with A's bindings
+# substituted. Distributed implementation: materialize A once with a
+# unique per-row key (LAT_ID, itself an integer term so the whole join
+# machinery treats it as an ordinary bound variable), then thread that
+# SEEDED solution through B's translation — every leaf joins against the
+# seed, so outer bindings are visible to FILTER/BOUND/OPTIONAL, and
+# subselect ORDER/LIMIT/GROUP become per-seed-row window operations.
+# ---------------------------------------------------------------------------
+
+def _translate_lateral(p: A.Lateral, ctx: Ctx) -> Solution:
+    return _lateral_of(translate(p.left, ctx), p.right, ctx)
+
+
+def _lateral_of(l: Solution, right, ctx: Ctx) -> Solution:
+    key = ctx.fresh("lat_id")
+    # unique row key + one materialization: the dependent join references
+    # the outer relation from several subplans; monotonically_increasing_id
+    # is only stable if the plan is not recomputed, hence the checkpoint
+    df = l.df.withColumn(key, tv.int_term(F.monotonically_increasing_id()))
+    df = df.localCheckpoint(eager=True)
+    seed = replace(l, df=df, bound=l.bound | {key}, maybe=l.maybe | {key},
+                   kinds={**l.kinds, key: tv.K_INTEGER})
+    out = _lat(right, seed, key, ctx)
+    return replace(out, df=out.df.drop(key),
+                   bound=out.bound - {key}, maybe=out.maybe - {key},
+                   kinds={k: v for k, v in out.kinds.items() if k != key})
+
+
+def _lat(p, seed: Solution, key: str, ctx: Ctx) -> Solution:
+    if isinstance(p, A.Filter):
+        return _translate_filter(p, ctx, sol=_lat(p.inner, seed, key, ctx))
+    if isinstance(p, A.Join):
+        return join_solutions(_lat(p.left, seed, key, ctx),
+                              _fresh_ids(_lat(p.right, seed, key, ctx)),
+                              "inner")
+    if isinstance(p, A.LeftJoin):
+        cb = None
+        if p.expr is not None:
+            def cb(e, resolve):  # noqa: E306
+                return B.compile_bool(_inject_now(e, ctx), resolve)
+        return join_solutions(_lat(p.left, seed, key, ctx),
+                              _fresh_ids(_lat(p.right, seed, key, ctx)),
+                              "left", p.expr, cb)
+    if isinstance(p, A.Union):
+        l, r = _lat(p.left, seed, key, ctx), _lat(p.right, seed, key, ctx)
+        ldf, rdf = l.df, r.df
+        for v in sorted(r.maybe - l.maybe):
+            ldf = ldf.withColumn(v, NULL_TERM())
+        for v in sorted(l.maybe - r.maybe):
+            rdf = rdf.withColumn(v, NULL_TERM())
+        cols = sorted(l.maybe | r.maybe)
+        from .join import merge_kinds
+        return Solution(df=ldf.select(*cols).unionByName(rdf.select(*cols)),
+                        bound=l.bound & r.bound, maybe=l.maybe | r.maybe,
+                        kinds=merge_kinds(l, r))
+    if isinstance(p, A.Extend):
+        return _apply_extend(p, _lat(p.inner, seed, key, ctx), ctx)
+    if isinstance(p, A.Minus):
+        return minus_solutions(_lat(p.left, seed, key, ctx),
+                               translate(p.right, ctx))
+    if isinstance(p, A.GraphNode) and isinstance(p.name, NamedNode):
+        inner_ctx = replace(ctx, active_graph=ActiveGraph.union([p.name]),
+                            graph_var=None)
+        return _lat(p.inner, seed, key, inner_ctx)
+    if isinstance(p, A.Group):
+        return _translate_group(
+            p, ctx, sol=_lat(p.inner, seed, key, ctx),
+            extra_keys=(key, *sorted(seed.maybe - {key})))
+    if isinstance(p, A.OrderBy):
+        sol = _lat(p.inner, seed, key, ctx)
+        return replace(sol, pending_order=list(p.conditions))
+    if isinstance(p, A.Project):
+        # subselect projection: the outer scope still sees the seed vars
+        sol = _lat(p.inner, seed, key, ctx)
+        names = [v.name for v in p.variables]
+        keep = sorted({key, *(seed.maybe & sol.maybe),
+                       *(n for n in names if n in sol.maybe)})
+        missing = [n for n in names if n not in sol.maybe]
+        df = sol.df.select(*[sol.df[n].alias(n) for n in keep],
+                           *[NULL_TERM().alias(n) for n in missing])
+        vis = set(keep) | set(missing)
+        return Solution(df=df, bound=sol.bound & vis, maybe=vis,
+                        pending_order=sol.pending_order,
+                        kinds={k: v for k, v in sol.kinds.items() if k in vis})
+    if isinstance(p, (A.Distinct, A.Reduced)):
+        sol = _lat(p.inner, seed, key, ctx)
+        return replace(sol, df=sol.df.dropDuplicates(sorted(sol.maybe)))
+    if isinstance(p, A.Slice):
+        return _lat_slice(p, seed, key, ctx)
+    if isinstance(p, A.Lateral):
+        return _lateral_of(_lat(p.left, seed, key, ctx), p.right, ctx)
+    # leaves (BGP, paths, VALUES, ...): independent evaluation, then a
+    # plain join with the seed — equivalent to substitution for patterns
+    # (shared variables unify), which is exactly the SEP-0006 rewrite
+    return join_solutions(seed, translate(p, ctx), "inner")
+
+
+def _fresh_ids(sol: Solution) -> Solution:
+    """Re-alias every column (new expression ids) so joining two subplans
+    that share the seed's checkpointed lineage is not flagged as an
+    ambiguous self-join."""
+    return replace(sol, df=sol.df.toDF(*sol.df.columns))
+
+
+def _lat_slice(p: A.Slice, seed: Solution, key: str, ctx: Ctx) -> Solution:
+    """LIMIT/OFFSET inside a LATERAL subselect: a per-seed-row window
+    (row_number over the seed key) instead of a global limit."""
+    from pyspark.sql import Window
+
+    sol = _lat(p.inner, seed, key, ctx)
+    keep = [c for c in sol.df.columns]
+    it = Interner(sol.df, ctx)
+    with B.intern_scope(it), tv.lazy_lexicals():
+        keys = []
+        for cond in sol.pending_order:
+            k = it(sort_key(compile_term_expr(cond.expr, sol, ctx)))
+            keys.append(k.asc_nulls_first() if cond.ascending
+                        else k.desc_nulls_last())
+    if not keys:
+        keys = [F.lit(1)]
+    rn = F.row_number().over(Window.partitionBy(F.col(key)).orderBy(*keys))
+    lo = p.start or 0
+    cond = F.col("__lat_rn") > lo
+    if p.length is not None:
+        cond = cond & (F.col("__lat_rn") <= lo + p.length)
+    df = it.df.withColumn("__lat_rn", rn).where(cond).select(*keep)
+    return replace(sol, df=df, pending_order=[])
+
+
+def _apply_extend(p: A.Extend, sol: Solution, ctx: Ctx) -> Solution:
+    orig_maybe, orig_bound = sol.maybe, sol.bound
+    expr = p.expr
+    if _has_exists(expr):
+        expr, sol = _bind_exists_markers(expr, sol, ctx)
+    it = Interner(sol.df, ctx)
+    with B.intern_scope(it), tv.lazy_lexicals():
+        col = compile_term_expr(expr, sol, ctx)
+    sk = tv.skind(col)
+    keep = [c for c in sol.df.columns if c in orig_maybe]
+    # materialize the lazy lexical through a NAMED column: applying it
+    # to the expression tree directly re-expands the tree ~12x (struct
+    # fields + condition), which blows up codegen compile time
+    df = (it.df.withColumn(p.var.name, col)
+          .withColumn(p.var.name, tv.materialize_lexical(
+              tv.tag(F.col(p.var.name), sk)))
+          .select(*keep, p.var.name))
+    kinds = dict(sol.kinds)
+    if sk is not None:
+        kinds[p.var.name] = sk
+    else:
+        kinds.pop(p.var.name, None)
+    return replace(sol, df=df, maybe=orig_maybe | {p.var.name},
+                   bound=orig_bound, kinds=kinds)
 
 
 def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
@@ -352,10 +490,49 @@ def _unit_solution(ctx: Ctx) -> Solution:
     return Solution(df=ctx.store.spark.range(1).select(), bound=set(), maybe=set())
 
 
-def _translate_filter(p: A.Filter, ctx: Ctx) -> Solution:
-    sol = translate(p.inner, ctx)
+def _expression_only(pattern) -> Optional[list]:
+    """If a pattern binds nothing (FILTERs over the unit table), return its
+    filter expressions; else None. EXISTS over such a pattern is just the
+    conjunction of those expressions evaluated in the enclosing scope —
+    the substitution-semantics case a join-based EXISTS gets wrong."""
+    if isinstance(pattern, A.BGP) and not pattern.triples:
+        return []
+    if isinstance(pattern, A.Filter):
+        inner = _expression_only(pattern.inner)
+        if inner is not None:
+            return inner + [pattern.expr]
+    if isinstance(pattern, A.Join):
+        l = _expression_only(pattern.left)
+        r = _expression_only(pattern.right)
+        if l is not None and r is not None:
+            return l + r
+    return None
+
+
+def _rewrite_trivial_exists(expr):
+    """Replace EXISTS{FILTER(e)} (expression-only patterns) with e itself."""
+    if isinstance(expr, A.EExists):
+        exprs = _expression_only(expr.pattern)
+        if exprs is not None:
+            out = None
+            for e in exprs:
+                out = e if out is None else A.ECall("&&", [out, e])
+            if out is None:
+                out = A.ETerm(Literal("true", XSD_BOOLEAN))
+            return A.ECall("!", [out]) if expr.negated else out
+        return expr
+    if isinstance(expr, A.ECall):
+        return A.ECall(expr.name,
+                       [_rewrite_trivial_exists(a) for a in expr.args])
+    return expr
+
+
+def _translate_filter(p: A.Filter, ctx: Ctx,
+                      sol: Optional[Solution] = None) -> Solution:
+    if sol is None:
+        sol = translate(p.inner, ctx)
     # decompose conjunction; EXISTS conjuncts become semi/anti joins
-    conjuncts = _split_and(p.expr)
+    conjuncts = [_rewrite_trivial_exists(c) for c in _split_and(p.expr)]
     plain = []
     for c in conjuncts:
         if isinstance(c, A.EExists):
@@ -513,9 +690,12 @@ def _translate_slice(p: A.Slice, ctx: Ctx) -> Solution:
 # lib/functions/src/aggregates/)
 # ---------------------------------------------------------------------------
 
-def _translate_group(p: A.Group, ctx: Ctx) -> Solution:
-    sol = translate(p.inner, ctx)
+def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
+                     extra_keys: tuple = ()) -> Solution:
+    if sol is None:
+        sol = translate(p.inner, ctx)
     keys = [v.name for v in p.keys]
+    keys += [k for k in extra_keys if k not in keys and k in sol.df.columns]
 
     # Raw aggregate functions (sum/count/max/min_by/collect_list over scalar
     # or struct inputs) run inside the hash-agg; the term-struct wrapping

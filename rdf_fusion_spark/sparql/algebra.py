@@ -180,6 +180,14 @@ class Minus:
 
 
 @dataclass
+class Lateral:
+    """A LATERAL B (SEP-0006): evaluate B once per solution of A with
+    A's bindings substituted — a dependent join."""
+    left: "GraphPattern"
+    right: "GraphPattern"
+
+
+@dataclass
 class ValuesNode:
     variables: list[Variable]
     rows: list[list[Optional[Term]]]  # None = UNDEF

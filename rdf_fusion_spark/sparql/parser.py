@@ -126,7 +126,7 @@ _KEYWORDS = {
     "MINUS", "GRAPH", "SERVICE", "BIND", "AS", "VALUES", "UNDEF", "GROUP",
     "BY", "HAVING", "ORDER", "ASC", "DESC", "LIMIT", "OFFSET", "ASK",
     "CONSTRUCT", "DESCRIBE", "FROM", "NAMED", "PREFIX", "BASE", "IN", "NOT",
-    "EXISTS", "TRUE", "FALSE", "A", "SILENT",
+    "EXISTS", "TRUE", "FALSE", "A", "SILENT", "LATERAL",
 }
 
 _BUILTIN_FNS = {
@@ -610,6 +610,12 @@ class Parser:
                 self.next()
                 right = self.parse_group_graph_pattern()
                 acc = A.Minus(acc if acc is not None else A.BGP([]), right)
+                self.eat_op(".")
+                continue
+            if self.at_kw("LATERAL"):
+                self.next()
+                right = self.parse_group_graph_pattern()
+                acc = A.Lateral(acc if acc is not None else A.BGP([]), right)
                 self.eat_op(".")
                 continue
             if self.at_kw("GRAPH"):

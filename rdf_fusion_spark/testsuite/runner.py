@@ -284,7 +284,6 @@ def seq_equal(got: list[dict], exp: list[dict]) -> bool:
 # to the implementation; ours is the consistent total order in
 # functions/sortkeys.py.
 SKIP_SUBSTRINGS = {
-    "LATERAL": "oxigraph extension beyond reference grammar",
     "SERVICE": "SPARQL Federation — reference ignores (sparql.rs)",
     "SPARQL-star": "reference ignores SPARQL-star (sparql.rs)",
     "Update": "SPARQL Update — reference ignores (sparql.rs)",
