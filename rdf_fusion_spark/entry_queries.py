@@ -883,6 +883,14 @@ def _pipeline_oracles() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DISTANCE}
         """,
+        "q_multimodal_features": """
+        SELECT doc_id AS media_id, 'image' AS kind,
+               length(text)::BIGINT AS n_bytes,
+               length(text)::DOUBLE AS f_len,
+               ascii(substring(text, 1, 1))::DOUBLE AS f_first,
+               ascii(substring(text, length(text), 1))::DOUBLE AS f_last
+        FROM documents WHERE length(text) > 0
+        """,
         "q_stream_event_counts": """
         SELECT date_trunc('hour', ts) AS window_start,
                date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
@@ -1477,6 +1485,35 @@ def _pipe_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("active_seconds"))
 
 
+def _pipe_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: documents re-cast as binary media
+    rows (payload = encoded text), byte-budget repartition, Arrow-batched
+    mapInPandas feature extraction with the deterministic fake decoder.
+    The exact-integer features (length, first byte, last byte) are
+    oracle-checkable; real decoders drop in via register_decoder."""
+    from .pipeline.multimodal import (
+        deterministic_fake_decoder,
+        extract_features,
+        repartition_by_bytes,
+    )
+    media = _docs(spark, sf_dir).where(
+        F.col("text").isNotNull() & (F.length("text") > 0)).select(
+        F.col("doc_id").alias("media_id"), F.lit("image").alias("kind"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.lit("image/x-fake").alias("mime"),
+        F.lit(None).cast("int").alias("width"),
+        F.lit(None).cast("int").alias("height"),
+        F.lit(None).cast("int").alias("sample_rate"),
+        F.lit(None).cast("long").alias("duration_ms"))
+    media = repartition_by_bytes(media, target_bytes=1 << 20)
+    feats = extract_features(media, deterministic_fake_decoder)
+    return feats.select(
+        "media_id", "kind", F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.element_at("feature", 1).cast("double").alias("f_len"),
+        F.element_at("feature", 3).cast("double").alias("f_first"),
+        F.element_at("feature", 4).cast("double").alias("f_last"))
+
+
 def _pipe_stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Structured Streaming end-to-end: readStream(parquet) → watermarked
     1-hour windowed counts per event type → availableNow drain into a
@@ -1540,6 +1577,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_simhash_pairs": _pipe_simhash_pairs,
     "q_events_sessionize": _pipe_sessions,
     "q_stream_event_counts": _pipe_stream_event_counts,
+    "q_multimodal_features": _pipe_multimodal_features,
 }
 
 

@@ -82,6 +82,29 @@ def configure_session(spark: SparkSession) -> SparkSession:
         _eu._enable_debugging_cache = False
     except Exception:
         pass
+    # Python-side operators (mapInPandas decoders, stateful streaming)
+    # cloudpickle module-level functions BY REFERENCE, so executor workers
+    # must be able to import this package — which they cannot when the
+    # driver loaded it from a path outside the workers' sys.path. Ship the
+    # package once per SparkContext as a zip.
+    try:
+        sc = spark.sparkContext
+        if not getattr(sc, "_rfs_pyfile_added", False):
+            import os
+            import shutil
+            import tempfile
+
+            import rdf_fusion_spark as _pkg
+            pkg_dir = os.path.dirname(os.path.abspath(_pkg.__file__))
+            base = tempfile.mkdtemp(prefix="rfs_pkg_")
+            zip_path = shutil.make_archive(
+                os.path.join(base, "rdf_fusion_spark_pkg"), "zip",
+                root_dir=os.path.dirname(pkg_dir),
+                base_dir="rdf_fusion_spark")
+            sc.addPyFile(zip_path)
+            sc._rfs_pyfile_added = True
+    except Exception:
+        pass
     return spark
 
 
