@@ -1396,6 +1396,66 @@ _q(
 
 
 # ---------------------------------------------------------------------------
+# §2.1/§2.10 GRAPH — per-table named graphs (union-default-graph mapping)
+# ---------------------------------------------------------------------------
+
+_q(
+    "q_graph_named",
+    """
+    SELECT ?cname ?nname WHERE {
+      GRAPH <x:graph:c> { ?cust c:c_name ?cname ; c:c_nationkey ?nat . }
+      GRAPH <x:graph:n> { ?nat n:n_name ?nname . }
+    }
+    """,
+    [("cname", "str"), ("nname", "str")],
+    """
+    SELECT c_name AS cname, n_name AS nname
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+
+_q(
+    "q_graph_var",
+    """
+    SELECT ?g (COUNT(DISTINCT ?s) AS ?n) WHERE {
+      GRAPH ?g { ?s e:event_id ?i }
+    }
+    GROUP BY ?g
+    ORDER BY ?g
+    """,
+    [("g", "str"), ("n", "long")],
+    """
+    SELECT 'x:graph:e' AS g, COUNT(*)::BIGINT AS n FROM events
+    """,
+)
+
+_q(
+    "q_graph_enumerate",
+    """
+    SELECT ?g (COUNT(DISTINCT ?ent) AS ?n) WHERE {
+      GRAPH ?g { ?ent a ?cls }
+    }
+    GROUP BY ?g
+    ORDER BY ?g
+    """,
+    [("g", "str"), ("n", "long")],
+    """
+    WITH counts AS (
+      SELECT 'x:graph:r' AS g, COUNT(*) AS n FROM region
+      UNION ALL SELECT 'x:graph:n', COUNT(*) FROM nation
+      UNION ALL SELECT 'x:graph:c', COUNT(*) FROM customer
+      UNION ALL SELECT 'x:graph:s', COUNT(*) FROM supplier
+      UNION ALL SELECT 'x:graph:p', COUNT(*) FROM part
+      UNION ALL SELECT 'x:graph:o', COUNT(*) FROM orders
+      UNION ALL SELECT 'x:graph:l', COUNT(*) FROM lineitem
+      UNION ALL SELECT 'x:graph:e', COUNT(*) FROM events
+      UNION ALL SELECT 'x:graph:d', COUNT(*) FROM documents
+    )
+    SELECT g, n::BIGINT AS n FROM counts ORDER BY g
+    """,
+)
+
+# ---------------------------------------------------------------------------
 # §2.8 xsd:duration value model — dateTime +/- duration, dateTime
 # subtraction, and the duration partial order
 # ---------------------------------------------------------------------------

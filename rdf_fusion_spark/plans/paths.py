@@ -51,7 +51,8 @@ def _edges_for_predicate(ctx, iris: list[NamedNode], negated: bool,
     g = F.col("graph")
     ag = ctx.active_graph
     if ag.kind == ActiveGraph.DEFAULT:
-        df = df.where(g.isNull())
+        if not getattr(store, "union_default_graph", False):
+            df = df.where(g.isNull())
     elif ag.kind == ActiveGraph.ANY_NAMED:
         df = df.where(g.isNotNull())
     elif ag.kind == "union":
@@ -138,7 +139,8 @@ def _zero_length(ctx) -> DataFrame:
     ag = ctx.active_graph
     g = F.col("graph")
     if ag.kind == ActiveGraph.DEFAULT:
-        df = df.where(g.isNull())
+        if not getattr(store, "union_default_graph", False):
+            df = df.where(g.isNull())
     elif ag.kind == ActiveGraph.ANY_NAMED:
         df = df.where(g.isNotNull())
     elif ag.kind == "union":

@@ -430,7 +430,7 @@ def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
 
     star_scan = getattr(ctx.store, "star_scan", None)
     resolves = getattr(ctx.store, "resolves", None)
-    if star_scan is not None and ctx.graph_var is None:
+    if star_scan is not None:
         groups: dict[str, list[A.TriplePattern]] = {}
         for tp in p.triples:
             if (isinstance(tp.subject, Variable) and resolves(tp.predicate)
@@ -445,7 +445,8 @@ def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
                 continue
             items = [(tp.predicate, tp.object) for tp in tps]
             df = star_scan(Variable(subj_name), items,
-                           active_graph=ctx.active_graph)
+                           active_graph=ctx.active_graph,
+                           graph_var=ctx.graph_var)
             if df is None:
                 remaining.extend(tps)
                 continue
@@ -976,7 +977,9 @@ def evaluate_query(store: GraphStore, q):
         else:
             subjects = None
         consts = [t for t in q.terms if isinstance(t, NamedNode)]
-        quads = store.quads.where(F.col("graph").isNull())
+        quads = store.quads
+        if not getattr(store, "union_default_graph", False):
+            quads = quads.where(F.col("graph").isNull())
         triples = quads.select("subject", "predicate", "object")
         out = None
         if subjects is not None:

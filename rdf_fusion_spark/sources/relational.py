@@ -112,6 +112,15 @@ def entity_iri_prefix(table: str) -> str:
     return f"x:{TPCH_SPEC[table][0]}:"
 
 
+def graph_iri(table: str) -> str:
+    """Named graph holding one table's triples. The mapping uses
+    union-default-graph semantics (like oxigraph's UnionDefaultGraph):
+    every triple lives in its table's named graph, and the default graph
+    is the union of all of them — so plain BGPs see the whole warehouse
+    while GRAPH <x:graph:t>/GRAPH ?g address and enumerate tables."""
+    return f"x:graph:{TPCH_SPEC[table][0]}"
+
+
 def predicate_iri(table: str, col: str) -> str:
     return f"x:{TPCH_SPEC[table][0]}#{col}"
 
@@ -226,7 +235,7 @@ def table_to_quads(df: DataFrame, table: str) -> DataFrame:
         subj.alias("subject"), F.explode(F.array(*pairs)).alias("po")
     ).where(F.col("po.o").isNotNull())
     return exploded.select(
-        F.lit(None).cast(TERM_TYPE).alias("graph"),
+        _const_iri(graph_iri(table)).alias("graph"),
         F.col("subject"),
         F.col("po.p").alias("predicate"),
         F.col("po.o").alias("object"),

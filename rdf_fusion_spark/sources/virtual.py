@@ -45,6 +45,7 @@ from .relational import (
     HASH_SUBJECT_TABLES,
     TPCH_SPEC,
     class_iri,
+    graph_iri,
     load_relational_graph,
     object_term,
     predicate_iri,
@@ -54,7 +55,14 @@ from .relational import (
 
 
 class VirtualRelationalStore(GraphStore):
-    """GraphStore over a relational warehouse with virtual quad scans."""
+    """GraphStore over a relational warehouse with virtual quad scans.
+
+    Graph model: union-default-graph — each table's triples live in the
+    named graph `x:graph:{table}`; the default graph is their union, so
+    plain BGPs span the warehouse while GRAPH addresses one table.
+    """
+
+    union_default_graph = True
 
     def __init__(self, spark: SparkSession, sf_dir: str,
                  tables: Optional[Sequence[str]] = None):
@@ -66,8 +74,10 @@ class VirtualRelationalStore(GraphStore):
         # predicate IRI → (table, column); class IRI → table
         self._pred_map: dict[str, tuple[str, str]] = {}
         self._class_map: dict[str, str] = {}
+        self._graph_map: dict[str, str] = {}
         for t in self.tables:
             self._class_map[class_iri(t)] = t
+            self._graph_map[graph_iri(t)] = t
             for f in self.table_df(t).schema.fields:
                 self._pred_map[predicate_iri(t, f.name)] = (t, f.name)
 
@@ -97,9 +107,24 @@ class VirtualRelationalStore(GraphStore):
     # ------------------------------------------------------------------
 
     def _graph_ok(self, active_graph: Optional[ActiveGraph]) -> bool:
-        """The warehouse mapping populates only the default graph."""
+        """Whole-warehouse fast paths (property-path edges) only apply
+        when the active graph does not restrict tables."""
         ag = active_graph or ActiveGraph.default()
         return ag.kind in (ActiveGraph.DEFAULT, ActiveGraph.ALL)
+
+    def _graph_tables(self, active_graph: Optional[ActiveGraph]):
+        """Tables visible under the active graph: None = all, else a set
+        (possibly empty) for GRAPH <iri> restrictions."""
+        ag = active_graph or ActiveGraph.default()
+        if ag.kind in (ActiveGraph.DEFAULT, ActiveGraph.ALL,
+                       ActiveGraph.ANY_NAMED):
+            return None
+        allowed = set()
+        for g in ag.graphs:
+            t = self._graph_map.get(getattr(g, "iri", None))
+            if t is not None:
+                allowed.add(t)
+        return allowed
 
     def resolves(self, predicate) -> bool:
         """Can this constant predicate be virtualized?"""
@@ -110,9 +135,10 @@ class VirtualRelationalStore(GraphStore):
 
     def scan_pattern(self, subject, predicate, obj, active_graph=None,
                      graph_var=None) -> DataFrame:
-        if self._graph_ok(active_graph) and self.resolves(predicate):
+        if self.resolves(predicate):
             df = self.star_scan(subject, [(predicate, obj)],
-                                active_graph=active_graph)
+                                active_graph=active_graph,
+                                graph_var=graph_var)
             if df is not None:
                 return df
         return super().scan_pattern(subject, predicate, obj,
@@ -169,8 +195,8 @@ class VirtualRelationalStore(GraphStore):
 
     def star_scan(self, subject: TermOrVar,
                   items: list[tuple[NamedNode, TermOrVar]],
-                  active_graph: Optional[ActiveGraph] = None
-                  ) -> Optional[DataFrame]:
+                  active_graph: Optional[ActiveGraph] = None,
+                  graph_var=None) -> Optional[DataFrame]:
         """One table scan for a same-subject group of constant-predicate
         patterns. Returns a solution DataFrame (one column per variable,
         `__match__` if none) or None when not virtualizable here.
@@ -178,10 +204,9 @@ class VirtualRelationalStore(GraphStore):
         Different-table predicates in one group are contradictory (subject
         IRI spaces are disjoint) → empty result, correct by construction.
         """
-        if not self._graph_ok(active_graph):
-            return None
+        allowed = self._graph_tables(active_graph)
         if isinstance(subject, (Literal,)):
-            return self._empty_solution(subject, items)
+            return self._empty_solution(subject, items, graph_var)
 
         # determine the single table the star can live in
         table: Optional[str] = None
@@ -215,8 +240,10 @@ class VirtualRelationalStore(GraphStore):
         if isinstance(subject, NamedNode) and not subject.iri.startswith(
                 f"x:{TPCH_SPEC[table][0]}:"):
             contradictory = True
+        if allowed is not None and table not in allowed:
+            contradictory = True
         if contradictory:
-            return self._empty_solution(subject, items)
+            return self._empty_solution(subject, items, graph_var)
 
         from ..functions.typed_ops import SK_IRI
         from .relational import static_object_kind
@@ -233,7 +260,7 @@ class VirtualRelationalStore(GraphStore):
         elif isinstance(subject, NamedNode):
             conds.append(self._subject_filter(table, df, subject))
         elif isinstance(subject, BlankNode):
-            return self._empty_solution(subject, items)
+            return self._empty_solution(subject, items, graph_var)
 
         for pred, o in items:
             if pred.iri == RDF_TYPE:
@@ -253,7 +280,7 @@ class VirtualRelationalStore(GraphStore):
                 col_name = self._pred_map[pred.iri][1]
                 ot = object_term(table, col_name, df)
                 if ot is None:
-                    return self._empty_solution(subject, items)
+                    return self._empty_solution(subject, items, graph_var)
                 oterm = ot
                 conds.append(F.col(col_name).isNotNull())
                 if not isinstance(o, Variable):
@@ -271,6 +298,11 @@ class VirtualRelationalStore(GraphStore):
                         if k is not None:
                             out_kinds[o.name] = k
 
+        if graph_var is not None:
+            from ..terms import term_lit
+            out_vars[graph_var.name] = term_lit(NamedNode(graph_iri(table)))
+            out_kinds[graph_var.name] = SK_IRI
+
         cond = F.lit(True)
         for c in conds:
             cond = cond & c
@@ -283,11 +315,13 @@ class VirtualRelationalStore(GraphStore):
 
     # ------------------------------------------------------------------
 
-    def _empty_solution(self, subject, items) -> DataFrame:
+    def _empty_solution(self, subject, items, graph_var=None) -> DataFrame:
         cols = []
         seen = set()
         if isinstance(subject, Variable):
             seen.add(subject.name)
+        if graph_var is not None:
+            seen.add(graph_var.name)
         for _, o in items:
             if isinstance(o, Variable):
                 seen.add(o.name)

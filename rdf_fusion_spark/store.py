@@ -62,6 +62,11 @@ class ActiveGraph:
 
 
 class GraphStore:
+    # union-default-graph semantics: when True, a DEFAULT active graph
+    # matches every quad (the default graph is DEFINED as the union of the
+    # named graphs) instead of only graph-NULL quads. Set by stores whose
+    # mapping places all data in named graphs (sources/virtual.py).
+    union_default_graph = False
     def __init__(self, spark: SparkSession, quads: DataFrame):
         self.spark = spark
         self.quads = quads
@@ -140,7 +145,8 @@ class GraphStore:
         gcol = F.col(COL_GRAPH)
 
         if ag.kind == ActiveGraph.DEFAULT:
-            df = df.where(gcol.isNull())
+            if not self.union_default_graph:
+                df = df.where(gcol.isNull())
         elif ag.kind == ActiveGraph.ANY_NAMED:
             df = df.where(gcol.isNotNull())
         elif ag.kind == "union":
@@ -186,7 +192,8 @@ class GraphStore:
         (reference: Store::quads_for_pattern, lib/rdf-fusion/src/store.rs:272-382)."""
         df = self.quads
         if graph is None:
-            df = df.where(F.col(COL_GRAPH).isNull())
+            if not self.union_default_graph:
+                df = df.where(F.col(COL_GRAPH).isNull())
         elif isinstance(graph, (NamedNode, BlankNode)):
             df = df.where(term_matches(F.col(COL_GRAPH), graph))
         for colname, t in ((COL_SUBJECT, subject), (COL_PREDICATE, predicate),
