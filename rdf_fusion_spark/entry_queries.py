@@ -665,6 +665,8 @@ def _pipeline_oracles() -> dict[str, str]:
     from .pipeline.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
     from .pipeline.similarity import IVF_NLIST
     from .pipeline.text import LID_FLOOR, LID_MARKERS, TOKEN_RE
+    from .pipeline.text import ROLL_B as ROLL_B_SQL
+    from .pipeline.text import ROLL_P as ROLL_P_SQL
 
     md5i = "('0x'||substr(md5({}),1,8))::BIGINT"
     words = "string_split(text,' ')"
@@ -882,6 +884,17 @@ def _pipeline_oracles() -> dict[str, str]:
                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
         FROM sh a JOIN sh b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DISTANCE}
+        """,
+        "q_text_rolling_fp": f"""
+        SELECT list_reduce(
+                 list_prepend(0::BIGINT,
+                   list_transform(list_filter(string_split(text, ''),
+                                              c -> c <> ''),
+                                  c -> ascii(c)::BIGINT)),
+                 (acc, x) -> (acc * {ROLL_B_SQL} + x) % {ROLL_P_SQL})
+               AS rolling_fp,
+               COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1
         """,
         "q_multimodal_features": """
         SELECT doc_id AS media_id, 'image' AS kind,
@@ -1484,6 +1497,27 @@ _q(
 )
 
 _q(
+    "q_time_values",
+    """
+    SELECT ?eid ?t ?h ?m ?cmp WHERE {
+      ?ev e:event_id ?eid ; e:ts ?ts .
+      BIND(xsd:time(?ts) AS ?t)
+      BIND(HOURS(?t) AS ?h)
+      BIND(MINUTES(?t) AS ?m)
+      BIND(?t < "12:00:00"^^xsd:time AS ?cmp)
+    }
+    """,
+    [("eid", "long"), ("t", "str"), ("h", "long"), ("m", "long"),
+     ("cmp", "bool")],
+    """
+    SELECT event_id AS eid, strftime(ts, '%H:%M:%S') AS t,
+           hour(ts)::BIGINT AS h, minute(ts)::BIGINT AS m,
+           (strftime(ts, '%H:%M:%S') < '12:00:00') AS cmp
+    FROM events
+    """,
+)
+
+_q(
     "q_duration_compare",
     """
     SELECT ?dstr ?gt11m ?eq1y WHERE {
@@ -1543,6 +1577,14 @@ def _pipe_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("max_session_events"),
                       F.col("active_seconds").cast("long")
                       .alias("active_seconds"))
+
+
+def _pipe_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import with_rolling_fingerprint
+    out = with_rolling_fingerprint(_docs(spark, sf_dir))
+    return (out.groupBy("rolling_fp")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.min("doc_id").alias("canonical_id")))
 
 
 def _pipe_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1638,6 +1680,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_sessionize": _pipe_sessions,
     "q_stream_event_counts": _pipe_stream_event_counts,
     "q_multimodal_features": _pipe_multimodal_features,
+    "q_text_rolling_fp": _pipe_rolling_fingerprint,
 }
 
 

@@ -676,6 +676,22 @@ def _cast_fn(name: str):
             return F.when(val.isNotNull(),
                           term_struct(F.lit(TT_LITERAL), val.cast("string"),
                                       F.lit(XSD_DATE)))
+        if target == "time":
+            from ..terms import XSD_TIME
+            src_ts = (
+                F.when(c["k"] == K_DATETIME, c["ts"])
+                .when(is_plain_string(c),
+                      F.concat(F.lit("1970-01-01 "), c["v"])
+                      .try_cast("timestamp"))
+            )
+            lex = F.date_format(src_ts, "HH:mm:ss")
+            anchored = F.to_timestamp(
+                F.concat(F.lit("1970-01-01 "), lex))
+            return F.when(
+                src_ts.isNotNull(),
+                term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_TIME),
+                            k=F.lit(K_DATETIME), x=tv.None_x(),
+                            d=tv.None_d(), ts=anchored))
         if target in ("duration", "yearMonthDuration", "dayTimeDuration"):
             from ..terms import (
                 K_DURATION,
@@ -698,7 +714,8 @@ def _cast_fn(name: str):
     # probe: unsupported targets return None
     if target not in ("integer", "int", "long", "short", "byte", "decimal",
                       "double", "float", "boolean", "string", "dateTime", "date",
-                      "duration", "yearMonthDuration", "dayTimeDuration"):
+                      "time", "duration", "yearMonthDuration",
+                      "dayTimeDuration"):
         return None
     return fn
 

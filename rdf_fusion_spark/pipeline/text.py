@@ -95,6 +95,25 @@ def with_quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Rabin-Karp polynomial rolling hash: base/modulus chosen so the
+# accumulator stays far below 2^63 (1e9+7 * 257 ≈ 2.6e11)
+ROLL_B = 257
+ROLL_P = 1_000_000_007
+
+
+def with_rolling_fingerprint(df: DataFrame, text_col: str = "text"
+                             ) -> DataFrame:
+    """Order-SENSITIVE content fingerprint: polynomial rolling hash over
+    the character stream (the complement of the order-insensitive
+    bag-of-words fingerprint). Pure Column fold — one scan, no shuffle."""
+    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    codes = F.transform(chars, F.ascii)
+    h = F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, x: (acc * ROLL_B + x.cast("long")) % ROLL_P)
+    return df.select("*", h.alias("rolling_fp"))
+
+
 def top_words(df: DataFrame, k: int = 20, text_col: str = "text"
               ) -> DataFrame:
     """Corpus-wide top-k word frequencies: (word, n_occurrences, n_docs).

@@ -360,7 +360,7 @@ def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None,
             .when((dt_c == XSD_STRING) | (dt_c == RDF_LANG_STRING)
                   | dt_c.isNull(), K_STRING)
             .when(dt_c == XSD_BOOLEAN, K_BOOLEAN)
-            .when(dt_c.isin(XSD_DATETIME, XSD_DATE), K_DATETIME)
+            .when(dt_c.isin(XSD_DATETIME, XSD_DATE, XSD_TIME), K_DATETIME)
             .when(dt_c.isin(*DURATION_TYPES), K_DURATION)
             .otherwise(K_OTHER),
         )
@@ -379,7 +379,13 @@ def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None,
             .when(k == K_DURATION, duration_seconds_col(v))
         )
     if ts is None:
-        ts = F.when(k == K_DATETIME, v.try_cast("timestamp"))
+        # xsd:time anchors on the epoch date so the timestamp accessors
+        # (HOURS/MINUTES/SECONDS) and time-vs-time comparison just work
+        ts = F.when(
+            k == K_DATETIME,
+            F.when(dt_c == XSD_TIME,
+                   F.concat(F.lit("1970-01-01 "), v).try_cast("timestamp"))
+            .otherwise(v.try_cast("timestamp")))
     return F.struct(
         t.alias("t"),
         v.alias("v"),
@@ -526,10 +532,11 @@ def term_py_row(t: Optional[Term]):
     elif dt == XSD_BOOLEAN:
         k = K_BOOLEAN
         x = {"true": 1.0, "1": 1.0, "false": 0.0, "0": 0.0}.get(t.lexical)
-    elif dt in (XSD_DATETIME, XSD_DATE):
+    elif dt in (XSD_DATETIME, XSD_DATE, XSD_TIME):
         k = K_DATETIME
+        lex = t.lexical if dt != XSD_TIME else f"1970-01-01T{t.lexical}"
         try:
-            ts = _dt.datetime.fromisoformat(t.lexical)
+            ts = _dt.datetime.fromisoformat(lex)
             if ts.tzinfo is not None:
                 ts = ts.astimezone(_dt.timezone.utc).replace(tzinfo=None)
         except ValueError:
