@@ -67,6 +67,9 @@ class GraphStore:
     # named graphs) instead of only graph-NULL quads. Set by stores whose
     # mapping places all data in named graphs (sources/virtual.py).
     union_default_graph = False
+    # quads carry a `pk` predicate partition column (from_parquet over a
+    # predicate-partitioned layout): constant-predicate scans prune on it
+    _pred_partitioned = False
     def __init__(self, spark: SparkSession, quads: DataFrame):
         self.spark = spark
         self.quads = quads
@@ -89,8 +92,15 @@ class GraphStore:
     def from_parquet(cls, spark: SparkSession, path: str) -> "GraphStore":
         """Quads persisted by save_parquet (reference:
         lib/storage/src/memory/persistence/parquet.rs — whole store ⇄ Parquet
-        in PlainTerm encoding; here it's the native table format)."""
-        return cls(spark, spark.read.parquet(path))
+        in PlainTerm encoding; here it's the native table format).
+
+        A predicate-partitioned layout (save_parquet(partition_by_predicate
+        =True)) is detected via its `pk` partition column; constant-
+        predicate scans then prune whole directories."""
+        df = spark.read.parquet(path)
+        store = cls(spark, df)
+        store._pred_partitioned = "pk" in df.columns
+        return store
 
     @classmethod
     def from_ntriples(cls, spark: SparkSession, path: str) -> "GraphStore":
@@ -105,8 +115,23 @@ class GraphStore:
             rows.append((_term_row(g), _term_row(s), _term_row(p), _term_row(o)))
         return cls(spark, spark.createDataFrame(rows, QUADS_SCHEMA))
 
-    def save_parquet(self, path: str, mode: str = "overwrite") -> None:
-        self.quads.write.mode(mode).parquet(path)
+    def save_parquet(self, path: str, mode: str = "overwrite",
+                     partition_by_predicate: bool = False) -> None:
+        """Persist the store.
+
+        partition_by_predicate writes the classic vertically-partitioned
+        triple-store layout (one directory per predicate IRI): constant-
+        predicate patterns — the overwhelmingly common case — read only
+        their predicate's files on scan (partition pruning), the parquet
+        analogue of the reference's predicate-major index permutations.
+        Predicate cardinality is schema-bounded, so the directory count
+        stays small at any data size."""
+        df = self.quads
+        w = df.write.mode(mode)
+        if partition_by_predicate:
+            df = df.withColumn("pk", F.col(f"{COL_PREDICATE}.v"))
+            w = df.write.mode(mode).partitionBy("pk")
+        w.parquet(path)
 
     # ------------------------------------------------------------------
     # tuning
@@ -159,6 +184,10 @@ class GraphStore:
                     c = c | extra
                 df = df.where(c)
         # ALL: no graph filter
+
+        if self._pred_partitioned and isinstance(predicate, NamedNode):
+            # directory-level pruning on the predicate partition column
+            df = df.where(F.col("pk") == predicate.iri)
 
         positions = [(COL_SUBJECT, subject), (COL_PREDICATE, predicate), (COL_OBJECT, obj)]
         var_first_col: dict[str, str] = {}

@@ -90,3 +90,25 @@ def test_query_and_serialize(spark, nt_file):
     jdf = S.bindings_json_df(res)
     lines = [json.loads(r["line"]) for r in jdf.collect()]
     assert len(lines) == 4 and all("p" in l for l in lines)
+
+
+def test_predicate_partitioned_parquet(spark, spiderman, tmp_path):
+    """save_parquet(partition_by_predicate=True) round-trips and constant-
+    predicate scans prune partitions (PartitionFilters in the plan)."""
+    from rdf_fusion_spark import GraphStore
+
+    path = str(tmp_path / "pred_part")
+    spiderman.save_parquet(path, partition_by_predicate=True)
+    store = GraphStore.from_parquet(spark, path)
+    assert store._pred_partitioned
+
+    res = store.query(
+        "SELECT ?n WHERE { ?s <http://xmlns.com/foaf/0.1/name> ?n }")
+    vals = sorted(r["n"]["v"] for r in res.df.collect())
+    assert vals == ["Green Goblin", "Spiderman", "Человек-паук"]
+
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    import re
+    assert re.search(
+        r"PartitionFilters: \[[^\]]*pk#\d+ = http://xmlns.com/foaf/0.1/name",
+        plan), plan
