@@ -49,6 +49,9 @@ class Ctx:
     active_graph: ActiveGraph
     graph_var: Optional[Variable] = None
     now: Optional[Literal] = None
+    # FROM NAMED restriction: None = all named graphs are in scope,
+    # else GRAPH may only address/enumerate these
+    named_graphs: Optional[list] = None
     counter: list = field(default_factory=lambda: [0])
 
     def fresh(self, tag: str) -> str:
@@ -593,17 +596,34 @@ def _translate_union(p: A.Union, ctx: Ctx) -> Solution:
 
 def _translate_graph(p: A.GraphNode, ctx: Ctx) -> Solution:
     if isinstance(p.name, NamedNode):
+        if ctx.named_graphs is not None and p.name not in ctx.named_graphs:
+            # FROM NAMED dataset excludes this graph → statically empty
+            return Solution(
+                df=ctx.store.spark.range(1).select(
+                    F.lit(True).alias("__match__")).limit(0),
+                bound=set(), maybe=set())
         inner_ctx = replace(ctx, active_graph=ActiveGraph.union([p.name]),
                             graph_var=None)
         return translate(p.inner, inner_ctx)
     # GRAPH ?g — every scan binds the graph column to ?g; BGP joins then
-    # naturally require same-graph (shared var)
-    inner_ctx = replace(ctx, active_graph=ActiveGraph.any_named(), graph_var=p.name)
+    # naturally require same-graph (shared var). FROM NAMED narrows the
+    # graphs ?g ranges over.
+    if ctx.named_graphs is not None:
+        ag = ActiveGraph.union(list(ctx.named_graphs))
+    else:
+        ag = ActiveGraph.any_named()
+    inner_ctx = replace(ctx, active_graph=ag, graph_var=p.name)
     sol = translate(p.inner, inner_ctx)
     if p.name.name not in sol.maybe:
         # pattern had no scans (e.g. VALUES only) — bind ?g from graph list
-        graphs = (ctx.store.quads.where(F.col("graph").isNotNull())
-                  .select(F.col("graph").alias(p.name.name)).distinct())
+        graphs = ctx.store.quads.where(F.col("graph").isNotNull())
+        if ctx.named_graphs is not None:
+            from ..terms import term_matches
+            cond = F.lit(False)
+            for gname in ctx.named_graphs:
+                cond = cond | term_matches(F.col("graph"), gname)
+            graphs = graphs.where(cond)
+        graphs = graphs.select(F.col("graph").alias(p.name.name)).distinct()
         g = Solution(df=graphs, bound={p.name.name}, maybe={p.name.name})
         sol = join_solutions(sol, g, "inner")
     return sol
@@ -915,9 +935,16 @@ def _now_literal() -> Literal:
 
 def _dataset_ctx(store: GraphStore, dataset) -> Ctx:
     ag = ActiveGraph.default()
-    if dataset is not None and dataset.default:
-        ag = ActiveGraph.union(list(dataset.default))
-    return Ctx(store=store, active_graph=ag, now=_now_literal())
+    named = None
+    if dataset is not None:
+        if dataset.default:
+            ag = ActiveGraph.union(list(dataset.default))
+        if dataset.named:
+            named = list(dataset.named)
+        if dataset.default and not dataset.named:
+            named = []  # FROM without FROM NAMED: no named graphs in scope
+    return Ctx(store=store, active_graph=ag, now=_now_literal(),
+               named_graphs=named)
 
 
 def evaluate_query(store: GraphStore, q):

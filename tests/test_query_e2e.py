@@ -112,3 +112,31 @@ def test_describe(spiderman):
     res = spiderman.query("DESCRIBE <http://example.org/spiderman>")
     assert isinstance(res, GraphResult)
     assert res.df.count() == 4  # type, enemyOf, two names
+
+
+def test_from_named_restricts_graph(spark):
+    """FROM NAMED narrows GRAPH ?g / GRAPH <iri> to the dataset's list."""
+    from rdf_fusion_spark import GraphStore, NamedNode, Literal
+
+    E = "http://e.org/"
+    quads = [
+        (NamedNode(E + "g1"), NamedNode(E + "s1"), NamedNode(E + "p"),
+         Literal("a")),
+        (NamedNode(E + "g2"), NamedNode(E + "s2"), NamedNode(E + "p"),
+         Literal("b")),
+    ]
+    store = GraphStore.from_python_quads(spark, quads)
+
+    q = ("SELECT ?g ?o FROM NAMED <http://e.org/g1> "
+         "WHERE { GRAPH ?g { ?s <http://e.org/p> ?o } }")
+    rows = store.query(q).df.collect()
+    assert len(rows) == 1 and rows[0]["o"]["v"] == "a"
+    assert rows[0]["g"]["v"] == "http://e.org/g1"
+
+    q2 = ("SELECT ?o FROM NAMED <http://e.org/g1> "
+          "WHERE { GRAPH <http://e.org/g2> { ?s <http://e.org/p> ?o } }")
+    assert store.query(q2).df.count() == 0
+
+    # without FROM NAMED both graphs are visible
+    q3 = "SELECT ?g WHERE { GRAPH ?g { ?s <http://e.org/p> ?o } }"
+    assert store.query(q3).df.count() == 2
