@@ -1497,6 +1497,43 @@ _q(
 )
 
 _q(
+    "q_agg_no_group",
+    """
+    SELECT (COUNT(*) AS ?n) (xsd:double(SUM(xsd:decimal(?tp))) AS ?total)
+           (MIN(?od) AS ?first_order) (MAX(?od) AS ?last_order)
+    WHERE { ?ord o:o_totalprice ?tp ; o:o_orderdate ?od . }
+    """,
+    [("n", "long"), ("total", "double"), ("first_order", "timestamp"),
+     ("last_order", "timestamp")],
+    f"""
+    SELECT COUNT(*)::BIGINT AS n,
+           CAST(CAST(SUM({_dec('o_totalprice')}) AS VARCHAR) AS DOUBLE)
+             AS total,
+           MIN(o_orderdate) AS first_order, MAX(o_orderdate) AS last_order
+    FROM orders
+    """,
+)
+
+_q(
+    "q_order_by_expr",
+    """
+    SELECT ?pname ?retail WHERE {
+      ?part p:p_name ?pname ; p:p_retailprice ?retail .
+    }
+    ORDER BY DESC(xsd:decimal(?retail)) ?pname
+    LIMIT 15
+    """,
+    [("pname", "str"), ("retail", "double")],
+    """
+    SELECT p_name AS pname, p_retailprice AS retail
+    FROM part
+    ORDER BY CAST(CAST(p_retailprice AS VARCHAR) AS DECIMAL(38,18)) DESC,
+             p_name
+    LIMIT 15
+    """,
+)
+
+_q(
     "q_time_values",
     """
     SELECT ?eid ?t ?h ?m ?cmp WHERE {
