@@ -304,10 +304,46 @@ def skip_reason(case: TestCase) -> Optional[str]:
     return None
 
 
+def _run_results_syntax_case(case: TestCase) -> tuple[bool, str]:
+    """ox:{Positive,Negative}{Json,Xml,Tsv}ResultsSyntaxTest — result
+    format readers must accept/reject; with an mf:result, the parsed
+    bindings must equal the expected document's."""
+    from ..results import readers as R
+
+    fmt = ("json" if "Json" in case.type else
+           "xml" if "Xml" in case.type else "tsv")
+    read = {"json": R.read_json_results, "xml": R.read_xml_results,
+            "tsv": R.read_tsv_results}[fmt]
+    text = Path(case.query).read_text(encoding="utf-8")
+    negative = case.type.startswith("Negative")
+    try:
+        got = read(text)
+    except R.ResultParseError as e:
+        if negative:
+            return True, f"rejected: {e}"
+        return False, f"rejected a valid document: {e}"
+    if negative:
+        return False, "accepted an invalid document"
+    if case.result:
+        exp = read(Path(case.result).read_text(encoding="utf-8"))
+        if got[0] != exp[0]:
+            return False, f"{got[0]} vs {exp[0]}"
+        if got[0] == "bindings":
+            ok = (sorted(got[1]) == sorted(exp[1])
+                  and seq_equal(got[2], exp[2]))
+        else:
+            ok = got[1] == exp[1]
+        return ok, "parsed results match" if ok else f"{got} != {exp}"
+    return True, "parsed"
+
+
 def run_case(spark, case: TestCase) -> tuple[bool, str]:
     """Execute one test case; (passed, detail)."""
     from ..plans.translator import AskResult, GraphResult, SelectResult
     from ..sparql.parser import parse_query
+
+    if case.type.endswith("ResultsSyntaxTest"):
+        return _run_results_syntax_case(case)
 
     query_text = Path(case.query).read_text(encoding="utf-8")
 

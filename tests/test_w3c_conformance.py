@@ -17,6 +17,7 @@ from rdf_fusion_spark.testsuite.runner import (
 MANIFESTS = [
     "/root/reference/testsuite/rdf-fusion-tests/sparql/manifest.ttl",
     "/root/reference/testsuite/oxigraph-tests/sparql/manifest.ttl",
+    "/root/reference/testsuite/oxigraph-tests/sparql-results/manifest.ttl",
 ]
 
 
