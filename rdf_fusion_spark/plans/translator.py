@@ -964,17 +964,39 @@ def evaluate_query(store: GraphStore, q):
 
     if isinstance(q, A.ConstructQuery):
         sol = translate(q.pattern, ctx)
+        # template blank nodes (parsed as fresh __bn_* variables) mint a
+        # FRESH bnode per solution row (SPARQL 16.2.1): label = template
+        # label + per-row unique suffix, shared by every occurrence of the
+        # same label within one row
+
+        def _is_tpl_bnode(x) -> bool:
+            return (isinstance(x, Variable) and x.name.startswith("__bn_")
+                    and x.name not in sol.maybe)
+
+        bnode_rows = any(
+            _is_tpl_bnode(x) for tpl in q.template
+            for x in (tpl.subject, tpl.predicate, tpl.object))
+        sdf = sol.df
+        if bnode_rows:
+            sdf = sdf.withColumn("__row_id",
+                                 F.monotonically_increasing_id().cast("string"))
         out = None
         for tpl in q.template:
             cols = []
             for pos, x in (("subject", tpl.subject), ("predicate", tpl.predicate),
                            ("object", tpl.object)):
-                if isinstance(x, Variable):
-                    col = sol.df[x.name] if x.name in sol.maybe else NULL_TERM()
+                if _is_tpl_bnode(x):
+                    from ..terms import term_struct
+                    col = term_struct(
+                        F.lit(1),
+                        F.concat(F.lit(x.name[len("__bn_"):] + "_r"),
+                                 F.col("__row_id")))
+                elif isinstance(x, Variable):
+                    col = sdf[x.name] if x.name in sol.maybe else NULL_TERM()
                 else:
                     col = term_lit(x)
                 cols.append(col.alias(pos))
-            t = sol.df.select(*cols)
+            t = sdf.select(*cols)
             t = t.where(
                 F.col("subject").isNotNull() & F.col("predicate").isNotNull()
                 & F.col("object").isNotNull()

@@ -140,3 +140,28 @@ def test_from_named_restricts_graph(spark):
     # without FROM NAMED both graphs are visible
     q3 = "SELECT ?g WHERE { GRAPH ?g { ?s <http://e.org/p> ?o } }"
     assert store.query(q3).df.count() == 2
+
+
+def test_construct_template_bnodes_fresh_per_row(spark):
+    """CONSTRUCT template bnodes mint one fresh node per solution row
+    (SPARQL 16.2.1), shared across the row's triples."""
+    from rdf_fusion_spark import GraphStore, NamedNode, Literal
+
+    E = "http://e.org/"
+    store = GraphStore.from_python_quads(spark, [
+        (None, NamedNode(E + "a"), NamedNode(E + "name"), Literal("A")),
+        (None, NamedNode(E + "b"), NamedNode(E + "name"), Literal("B")),
+    ])
+    q = ("CONSTRUCT { ?s <http://e.org/tag> _:t . _:t <http://e.org/v> ?n } "
+         "WHERE { ?s <http://e.org/name> ?n }")
+    rows = store.query(q).df.collect()
+    assert len(rows) == 4
+    tagged = {r["object"]["v"]: r["subject"]["v"] for r in rows
+              if r["predicate"]["v"].endswith("tag")}
+    valued = {r["subject"]["v"]: r["object"]["v"] for r in rows
+              if r["predicate"]["v"].endswith("/v")}
+    # two DISTINCT bnodes, and each links its row's subject to its value
+    assert len(tagged) == 2 and len(valued) == 2
+    for bid, subj in tagged.items():
+        expect = "A" if subj.endswith("/a") else "B"
+        assert valued[bid] == expect
