@@ -602,6 +602,15 @@ def _pipe_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "neighbor_id", "cosine")
 
 
+def _pipe_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.similarity import lsh_bucket_topk
+    embs = _embs(spark, sf_dir)
+    out = lsh_bucket_topk(embs, embs.where(F.col("vec_id") < ANN_NUM_QUERIES),
+                          ANN_K, multiprobe=True)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", "cosine")
+
+
 def _pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.similarity import ivf_topk
     embs = _embs(spark, sf_dir)
@@ -819,6 +828,35 @@ def _pipeline_oracles() -> dict[str, str]:
             qwhere=f" WHERE vec_id < {ANN_NUM_QUERIES}",
             cfilter=f", {bucket_expr} AS bucket",
             bucket_join=" AND q.bucket = c.bucket", k=ANN_K),
+        "q_ann_lsh_multiprobe": f"""
+        WITH q0 AS (SELECT vec_id AS query_id,
+                           list_transform(embedding, x -> x::DOUBLE) AS e,
+                           {bucket_expr} AS b
+                    FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}),
+        q AS (SELECT query_id, e, unnest(list_value(b,
+                {', '.join(
+                    "substr(b,1," + str(i) + ") || "
+                    "(CASE WHEN substr(b," + str(i + 1) + ",1)='1' "
+                    "THEN '0' ELSE '1' END) || substr(b," + str(i + 2) + ")"
+                    for i in range(8))})) AS bucket
+              FROM q0),
+        c AS (SELECT vec_id AS neighbor_id,
+                     list_transform(embedding, x -> x::DOUBLE) AS e,
+                     {bucket_expr} AS bucket
+              FROM embeddings),
+        s AS (
+          SELECT query_id, neighbor_id,
+                 {_COS_SQL.format(a='q.e', b='c.e')} AS cosine
+          FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+        )
+        SELECT query_id, rnk::BIGINT AS rank, neighbor_id, cosine
+        FROM (SELECT query_id, neighbor_id, cosine,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, neighbor_id)
+                       AS rnk
+              FROM s)
+        WHERE rnk <= {ANN_K}
+        """,
         "q_ann_ivf": f"""
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
                    FROM embeddings),
@@ -884,6 +922,12 @@ def _pipeline_oracles() -> dict[str, str]:
                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
         FROM sh a JOIN sh b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DISTANCE}
+        """,
+        "q_dedup_normalized": """
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
+                   '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS norm_hash,
+               COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
+        FROM documents GROUP BY 1
         """,
         "q_text_rolling_fp": f"""
         SELECT list_reduce(
@@ -1616,6 +1660,13 @@ def _pipe_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("active_seconds"))
 
 
+def _pipe_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.dedup import normalized_dedup_groups
+    return normalized_dedup_groups(_docs(spark, sf_dir)).select(
+        "norm_hash", F.col("n_docs").cast("long").alias("n_docs"),
+        "canonical_id")
+
+
 def _pipe_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import with_rolling_fingerprint
     out = with_rolling_fingerprint(_docs(spark, sf_dir))
@@ -1709,6 +1760,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_cosine_topk": _pipe_ann_cosine,
     "q_ann_lsh_bucket": _pipe_ann_lsh,
     "q_ann_ivf": _pipe_ann_ivf,
+    "q_ann_lsh_multiprobe": _pipe_ann_lsh_multiprobe,
     "q_dedup_embedding_cosine": _pipe_dedup_embedding,
     "q_text_quality": _pipe_text_quality,
     "q_text_top_words": _pipe_top_words,
@@ -1718,6 +1770,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_event_counts": _pipe_stream_event_counts,
     "q_multimodal_features": _pipe_multimodal_features,
     "q_text_rolling_fp": _pipe_rolling_fingerprint,
+    "q_dedup_normalized": _pipe_dedup_normalized,
 }
 
 

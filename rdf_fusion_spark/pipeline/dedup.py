@@ -67,6 +67,26 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
+def normalize_text(c: Column) -> Column:
+    """Dedup normalization: lowercase, strip punctuation, collapse runs of
+    whitespace — the standard "same content modulo formatting" key."""
+    c = F.lower(c)
+    c = F.regexp_replace(c, r"[^\w\s]", "")
+    c = F.regexp_replace(c, r"\s+", " ")
+    return F.trim(c)
+
+
+def normalized_dedup_groups(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup over NORMALIZED text: catches duplicates that differ
+    only in case/punctuation/whitespace. Same one-shuffle hash-groupBy
+    shape as exact_dedup_groups."""
+    key = F.md5(normalize_text(F.col(text_col)))
+    return (df.groupBy(key.alias("norm_hash"))
+            .agg(F.count("*").alias("n_docs"),
+                 F.min(id_col).alias("canonical_id")))
+
+
 def fingerprint_dedup_groups(df: DataFrame, text_col: str = "text",
                              id_col: str = "doc_id") -> DataFrame:
     """Near-duplicate groups under the bag-of-words fingerprint (documents

@@ -151,19 +151,42 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int,
             .select("query_id", "rank", "neighbor_id", "cosine"))
 
 
+def probe_buckets(vec: Column, bits: int = SIGN_BITS) -> Column:
+    """Multi-probe bucket list: the vector's own bucket plus every
+    one-bit-flipped neighbor (Hamming ball of radius 1). Exploding the
+    QUERY side into these probes keeps the search an EQUI-join on the
+    bucket key — never a similarity theta-join."""
+    b = sign_bucket(vec, bits)
+    probes = [b]
+    for i in range(bits):
+        flipped = (F.when(F.substring(b, i + 1, 1) == "1", F.lit("0"))
+                   .otherwise(F.lit("1")))
+        probes.append(F.concat(F.substring(b, 1, i), flipped,
+                               F.substring(b, i + 2, bits - i - 1)))
+    return F.array(*probes)
+
+
 def lsh_bucket_topk(corpus: DataFrame, queries: DataFrame, k: int,
                     id_col: str = "vec_id", vec_col: str = "embedding",
-                    bits: int = SIGN_BITS) -> DataFrame:
+                    bits: int = SIGN_BITS,
+                    multiprobe: bool = False) -> DataFrame:
     """Approximate top-k within the query's sign-LSH bucket.
 
     Equi-join on the bucket key (hash-shuffle, bucket-local candidates) —
     the candidate count per query is |corpus| / 2^bits in expectation.
-    May return fewer than k rows per query; recall improves with
-    multi-probe (flip one bit) which composes as a union of joins.
+    multiprobe=True explodes each query into its Hamming-radius-1 probe
+    buckets (bits+1 probes): ~(bits+1)x the candidates, much higher
+    recall, still a pure equi-join.
     """
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(F.col(vec_col)).alias("qv"),
-                       sign_bucket(F.col(vec_col), bits).alias("bucket"))
+    if multiprobe:
+        q = (queries.select(F.col(id_col).alias("query_id"),
+                            _as_double(F.col(vec_col)).alias("qv"),
+                            F.explode(probe_buckets(F.col(vec_col), bits))
+                            .alias("bucket")))
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           _as_double(F.col(vec_col)).alias("qv"),
+                           sign_bucket(F.col(vec_col), bits).alias("bucket"))
     c = corpus.select(F.col(id_col).alias("neighbor_id"),
                       _as_double(F.col(vec_col)).alias("cv"),
                       sign_bucket(F.col(vec_col), bits).alias("bucket"))
