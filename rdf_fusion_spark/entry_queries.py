@@ -57,8 +57,11 @@ def get_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
 
 
 def _u(col: Column, typ: str) -> Column:
-    """Un-term: extract the native value from a term struct column."""
-    v = col["v"]
+    """Un-term: extract the native value from a term struct column.
+    The lexical may be lazy (virtual scans skip Double.toString) — rebuild
+    it from the typed fields when NULL."""
+    from .functions.typed_ops import lexical_of
+    v = lexical_of(col)
     if typ == "str":
         return v
     if typ == "long":

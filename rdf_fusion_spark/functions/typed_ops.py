@@ -293,7 +293,7 @@ def canon_decimal_string(d: Column) -> Column:
 
 
 def _typed_lex(c: Column) -> Column:
-    """Recompute a numeric lexical from the typed fields."""
+    """Recompute a numeric/dateTime lexical from the typed fields."""
     sk = skind(c)
     if sk is not None:
         if sk <= K_DECIMAL:
@@ -303,6 +303,8 @@ def _typed_lex(c: Column) -> Column:
                                     r"\.0$", "")
         if sk == K_DOUBLE:
             return c["x"].cast("string")
+        if sk == K_DATETIME:
+            return F.regexp_replace(c["ts"].cast("string"), " ", "T")
         return _null_str()
     return (
         F.when(c["k"] <= K_DECIMAL, canon_decimal_string(c["d"]))
@@ -310,26 +312,36 @@ def _typed_lex(c: Column) -> Column:
               F.regexp_replace(c["x"].cast("float").cast("string"),
                                r"\.0$", ""))
         .when(c["k"] <= K_DOUBLE, c["x"].cast("string"))
+        .when(c["k"] == K_DATETIME,
+              F.regexp_replace(c["ts"].cast("string"), " ", "T"))
     )
+
+
+def _sk_lazyable(sk) -> bool:
+    """Kinds whose lexical can be reconstructed from the typed fields
+    (numerics and dateTime) — the kinds scans/constructors may emit with
+    v=NULL."""
+    return _sk_numeric(sk) or sk == K_DATETIME
 
 
 def lexical_of(c: Column) -> Column:
     """The lexical form of a (possibly lazy) term."""
     sk = skind(c)
-    if sk is not None and not _sk_numeric(sk):
+    if sk is not None and not _sk_lazyable(sk):
         return c["v"]
     return F.coalesce(c["v"], _typed_lex(c))
 
 
 def materialize_lexical(c: Column) -> Column:
-    """Fill a lazy numeric term's v before it escapes expression scope."""
+    """Fill a lazy term's v before it escapes expression scope."""
     sk = skind(c)
-    if sk is not None and not _sk_numeric(sk):
-        return c  # only numeric constructors emit lazy lexicals
+    if sk is not None and not _sk_lazyable(sk):
+        return c  # only numeric/dateTime constructors emit lazy lexicals
     needs = c.isNull() | c["v"].isNotNull()
     out = F.when(
         ~needs if sk is not None else
-        (c.isNotNull() & c["v"].isNull() & (c["k"] <= K_DOUBLE)),
+        (c.isNotNull() & c["v"].isNull()
+         & ((c["k"] <= K_DOUBLE) | (c["k"] == K_DATETIME))),
         term_struct(c["t"], _typed_lex(c), c["dt"], c["lang"],
                     k=c["k"], x=c["x"], d=c["d"], ts=c["ts"]),
     ).otherwise(c)

@@ -133,7 +133,8 @@ def _const_iri(iri: str) -> Column:
     return term_struct(F.lit(TT_IRI), F.lit(iri))
 
 
-def _literal_for(col: Column, dtype: T.DataType) -> Optional[Column]:
+def _literal_for(col: Column, dtype: T.DataType,
+                 lazy: bool = False) -> Optional[Column]:
     """Typed literal term for a relational value; lexical forms round-trip
     exactly through Spark casts (Double.toString / ISO timestamps). The
     typed-value fields (k/x/d/ts) are filled from the NATIVE column — no
@@ -150,15 +151,20 @@ def _literal_for(col: Column, dtype: T.DataType) -> Optional[Column]:
                            x=col.cast("double"),
                            d=col.cast("decimal(38,18)"), ts=null_ts)
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
+        # lazy: skip the per-row Double.toString — the lexical is
+        # reconstructed from x only where a consumer needs it
+        # (functions/typed_ops.py lexical_of / materialize_lexical)
         c = col.cast("double")
-        return term_struct(F.lit(TT_LITERAL), c.cast("string"),
+        v = F.lit(None).cast("string") if lazy else c.cast("string")
+        return term_struct(F.lit(TT_LITERAL), v,
                            F.lit(XSD_DOUBLE), k=F.lit(K_DOUBLE), x=c,
                            d=null_d, ts=null_ts)
     if isinstance(dtype, T.StringType):
         return term_struct(F.lit(TT_LITERAL), col, F.lit(XSD_STRING),
                            k=F.lit(K_STRING), x=null_x, d=null_d, ts=null_ts)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        lex = F.regexp_replace(col.cast("string"), " ", "T")
+        lex = (F.lit(None).cast("string") if lazy
+               else F.regexp_replace(col.cast("string"), " ", "T"))
         return term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_DATETIME),
                            k=F.lit(K_DATETIME), x=null_x, d=null_d,
                            ts=col.cast("timestamp"))
@@ -199,9 +205,15 @@ def static_object_kind(table: str, col_name: str, df: DataFrame) -> Optional[int
     return None
 
 
-def object_term(table: str, col_name: str, df: DataFrame) -> Optional[Column]:
+def object_term(table: str, col_name: str, df: DataFrame,
+                lazy: bool = False) -> Optional[Column]:
     """The object term for one column of `table` (NULL row value → NULL term);
-    None when the column is not mapped into the graph (arrays/maps/binary)."""
+    None when the column is not mapped into the graph (arrays/maps/binary).
+
+    lazy=True emits doubles/timestamps without their lexical form (v=NULL,
+    reconstructed on demand) — safe ONLY on the virtual scan path, where
+    constant-object filters run natively on the source column; the quads
+    union keeps eager lexicals so term_matches stays representation-exact."""
     fks = TPCH_SPEC[table][2]
     if col_name in fks:
         tgt_code = TPCH_SPEC[fks[col_name]][0]
@@ -211,7 +223,7 @@ def object_term(table: str, col_name: str, df: DataFrame) -> Optional[Column]:
         )
         return F.when(F.col(col_name).isNotNull(), obj)
     dtype = df.schema[col_name].dataType
-    lit = _literal_for(F.col(col_name), dtype)
+    lit = _literal_for(F.col(col_name), dtype, lazy=lazy)
     if lit is None:
         return None
     return F.when(F.col(col_name).isNotNull(), lit)

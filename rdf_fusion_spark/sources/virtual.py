@@ -173,7 +173,7 @@ class VirtualRelationalStore(GraphStore):
                 continue  # mapped graph has no such predicate: no edges
             t, c = m
             df = self.table_df(t)
-            ot = object_term(t, c, df)
+            ot = object_term(t, c, df, lazy=True)
             if ot is None:
                 continue
             parts.append(df.where(F.col(c).isNotNull())
@@ -278,7 +278,7 @@ class VirtualRelationalStore(GraphStore):
                     continue
             else:
                 col_name = self._pred_map[pred.iri][1]
-                ot = object_term(table, col_name, df)
+                ot = object_term(table, col_name, df, lazy=True)
                 if ot is None:
                     return self._empty_solution(subject, items, graph_var)
                 oterm = ot

@@ -563,6 +563,17 @@ def term_to_python(row) -> Optional[Term]:
         return NamedNode(row["v"])
     if t == TT_BNODE:
         return BlankNode(row["v"])
+    v = row["v"]
+    if v is None:
+        # lazy lexical (virtual scans): rebuild from the typed fields
+        k = row["k"]
+        if k is not None and k <= K_DECIMAL and row["d"] is not None:
+            d = row["d"].normalize()
+            v = str(int(d)) if d == d.to_integral_value() else str(d)
+        elif k is not None and k <= K_DOUBLE and row["x"] is not None:
+            v = repr(row["x"])
+        elif k == K_DATETIME and row["ts"] is not None:
+            v = row["ts"].isoformat()
     if row["lang"]:
-        return Literal(row["v"], language=row["lang"])
-    return Literal(row["v"], row["dt"] or XSD_STRING)
+        return Literal(v, language=row["lang"])
+    return Literal(v, row["dt"] or XSD_STRING)
