@@ -926,6 +926,22 @@ def _pipeline_oracles() -> dict[str, str]:
         FROM sh a JOIN sh b ON a.id < b.id
         WHERE bit_count(xor(a.simhash, b.simhash)) <= {SIMHASH_MAX_DISTANCE}
         """,
+        "q_embedding_norms": """
+        SELECT label, COUNT(*)::BIGINT AS n_vecs,
+               MIN(sqrt(list_dot_product(e, e))) AS min_norm,
+               MAX(sqrt(list_dot_product(e, e))) AS max_norm
+        FROM (SELECT label, list_transform(embedding, x -> x::DOUBLE) AS e
+              FROM embeddings)
+        GROUP BY label
+        """,
+        "q_events_json_props": """
+        SELECT event_type,
+               COUNT(json_extract_string(props, '$.k'))::BIGINT AS n_with_k,
+               SUM(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+               MIN(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
+               MAX(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
+        FROM events GROUP BY event_type
+        """,
         "q_dedup_normalized": """
         SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
                    '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS norm_hash,
@@ -1663,6 +1679,34 @@ def _pipe_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("active_seconds"))
 
 
+def _pipe_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label vector statistics: count and min/max L2 norm — the
+    sanity-check pass every embedding corpus gets before indexing."""
+    from .pipeline.similarity import norm
+    e = _embs(spark, sf_dir)
+    n = norm(F.transform("embedding", lambda x: x.cast("double")))
+    return (e.select("label", n.alias("nrm"))
+            .groupBy("label")
+            .agg(F.count("*").cast("long").alias("n_vecs"),
+                 F.min("nrm").alias("min_norm"),
+                 F.max("nrm").alias("max_norm")))
+
+
+def _pipe_events_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured extraction: the events stream's JSON props column
+    parsed JVM-side (get_json_object — no Python in the row path) and
+    aggregated per event type. The everyday shape of event-pipeline
+    enrichment at any scale (one scan, one map-side-combined shuffle)."""
+    from .sources.relational import read_table
+    ev = read_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.count(k).cast("long").alias("n_with_k"),
+                 F.sum(k).cast("long").alias("sum_k"),
+                 F.min(k).cast("long").alias("min_k"),
+                 F.max(k).cast("long").alias("max_k")))
+
+
 def _pipe_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.dedup import normalized_dedup_groups
     return normalized_dedup_groups(_docs(spark, sf_dir)).select(
@@ -1774,6 +1818,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_features": _pipe_multimodal_features,
     "q_text_rolling_fp": _pipe_rolling_fingerprint,
     "q_dedup_normalized": _pipe_dedup_normalized,
+    "q_events_json_props": _pipe_events_json,
+    "q_embedding_norms": _pipe_embedding_norms,
 }
 
 
