@@ -79,7 +79,20 @@ def join_solutions(
 
     # fast path: plain equi join, no extra filter → join on names
     if shared and all_bound and filter_expr is None:
-        df = left.df.join(right.df, on=shared, how=how)
+        from ..functions.typed_ops import SK_IRI
+        if all(left.kinds.get(v) == SK_IRI and right.kinds.get(v) == SK_IRI
+               for v in shared):
+            # IRI-only join keys: sameTerm for IRIs is identity on `v`, so
+            # shuffle/hash/compare the ONE string field instead of the
+            # 8-field struct (~25% cheaper on join-heavy plans)
+            jk = [f"__jk_{v}" for v in shared]
+            L, R = left.df, right.df
+            for v in shared:
+                L = L.withColumn(f"__jk_{v}", F.col(v)["v"])
+                R = R.withColumn(f"__jk_{v}", F.col(v)["v"])
+            df = L.join(R.drop(*shared), on=jk, how=how).drop(*jk)
+        else:
+            df = left.df.join(right.df, on=shared, how=how)
         return Solution(
             df=df,
             bound=set(left.bound) | (set(right.bound) if how == "inner" else set()),
