@@ -1560,6 +1560,39 @@ _q(
 )
 
 _q(
+    "q_path_inverse_seq",
+    """
+    SELECT ?nname ?seg (COUNT(?cust) AS ?n) WHERE {
+      ?nat n:n_name ?nname .
+      ?nat (^c:c_nationkey) ?cust .
+      ?cust c:c_mktsegment ?seg .
+    }
+    GROUP BY ?nname ?seg
+    """,
+    [("nname", "str"), ("seg", "str"), ("n", "long")],
+    """
+    SELECT n_name AS nname, c_mktsegment AS seg, COUNT(*)::BIGINT AS n
+    FROM nation JOIN customer ON c_nationkey = n_nationkey
+    GROUP BY n_name, c_mktsegment
+    """,
+)
+
+_q(
+    "q_minmax_strings",
+    """
+    SELECT ?seg (MIN(?cname) AS ?first_name) (MAX(?cname) AS ?last_name)
+    WHERE { ?cust c:c_mktsegment ?seg ; c:c_name ?cname . }
+    GROUP BY ?seg
+    """,
+    [("seg", "str"), ("first_name", "str"), ("last_name", "str")],
+    """
+    SELECT c_mktsegment AS seg, MIN(c_name) AS first_name,
+           MAX(c_name) AS last_name
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+
+_q(
     "q_agg_no_group",
     """
     SELECT (COUNT(*) AS ?n) (xsd:double(SUM(xsd:decimal(?tp))) AS ?total)
