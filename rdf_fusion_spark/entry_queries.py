@@ -1630,6 +1630,18 @@ _q(
 )
 
 _q(
+    "q_duration_sum",
+    """
+    SELECT (STR(SUM(?d)) AS ?total) WHERE {
+      VALUES ?d { "P1Y2M"^^xsd:yearMonthDuration "P2Y5M"^^xsd:yearMonthDuration
+                  "P11M"^^xsd:yearMonthDuration }
+    }
+    """,
+    [("total", "str")],
+    "SELECT 'P4Y6M' AS total",
+)
+
+_q(
     "q_time_values",
     """
     SELECT ?eid ?t ?h ?m ?cmp WHERE {

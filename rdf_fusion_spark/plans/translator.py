@@ -879,6 +879,13 @@ def _sum_avg_static(name: str, c: Column, sk: int,
     """SUM/AVG when the input's kind is statically known: the promotion
     ladder collapses at compile time — one raw aggregate (plus a count for
     AVG), no per-row rank/badness bookkeeping."""
+    from ..terms import K_DURATION
+    if sk == K_DURATION and name == "SUM" and not distinct:
+        # XPath fn:sum over durations: sum months and seconds (the natural
+        # "total session time" aggregate)
+        m_t = F.col(tmp(c["x"]))
+        s_t = F.col(tmp(c["d"]))
+        return tv.duration_term(raw(F.sum(m_t)), raw(F.sum(s_t)))
     if not tv._sk_numeric(sk):
         # every bound value is a type error; empty/all-unbound group → 0
         bad_t = F.col(tmp(c.isNotNull().cast("int")))
