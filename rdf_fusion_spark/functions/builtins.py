@@ -684,7 +684,12 @@ def _cast_fn(name: str):
                       F.concat(F.lit("1970-01-01 "), c["v"])
                       .try_cast("timestamp"))
             )
-            lex = F.date_format(src_ts, "HH:mm:ss")
+            # preserve fractional seconds (XPath dateTime→time keeps
+            # them): format with microseconds, trim trailing zeros and a
+            # bare trailing dot
+            lex = F.regexp_replace(
+                F.date_format(src_ts, "HH:mm:ss.SSSSSS"),
+                r"\.?0+$", "")
             anchored = F.to_timestamp(
                 F.concat(F.lit("1970-01-01 "), lex))
             return F.when(

@@ -40,6 +40,25 @@ def NULL_TERM():
     return B.NULL_TERM()
 
 
+def _dedupe_normalized(sol: "Solution") -> DataFrame:
+    """dropDuplicates over value-normalized term columns.
+
+    A lazy term (v=NULL, virtual scan) and an eager copy of the same value
+    (quads fallback) are distinct structs; materialize the lexical of every
+    possibly-lazy column first so DISTINCT dedupes by term identity, not by
+    representation. Columns whose static kind cannot be lazy pass through
+    untouched (materialize_lexical no-ops on them)."""
+    cols = sorted(sol.maybe)
+    if not cols:
+        return sol.df.limit(1)
+    df = sol.df
+    repl = {
+        c: tv.materialize_lexical(tv.tag(df[c], sol.kinds.get(c)))
+        for c in cols
+    }
+    return df.withColumns(repl).dropDuplicates(cols)
+
+
 @dataclass
 class Ctx:
     """Carries GRAPH scoping + query-constant state through translation
@@ -221,9 +240,7 @@ def translate(p, ctx: Ctx) -> Solution:
         return _translate_project(p, ctx)
     if isinstance(p, A.Distinct):
         sol = translate(p.inner, ctx)
-        cols = sorted(sol.maybe)
-        df = sol.df.dropDuplicates(cols) if cols else sol.df.limit(1)
-        return replace(sol, df=df)
+        return replace(sol, df=_dedupe_normalized(sol))
     if isinstance(p, A.Reduced):
         # REDUCED treated as DISTINCT (legal per spec; reference leaves it
         # unimplemented — graph_pattern_rewriter.rs:234)
@@ -326,7 +343,7 @@ def _lat(p, seed: Solution, key: str, ctx: Ctx) -> Solution:
                         kinds={k: v for k, v in sol.kinds.items() if k in vis})
     if isinstance(p, (A.Distinct, A.Reduced)):
         sol = _lat(p.inner, seed, key, ctx)
-        return replace(sol, df=sol.df.dropDuplicates(sorted(sol.maybe)))
+        return replace(sol, df=_dedupe_normalized(sol))
     if isinstance(p, A.Slice):
         return _lat_slice(p, seed, key, ctx)
     if isinstance(p, A.Lateral):
@@ -950,6 +967,11 @@ def _dataset_ctx(store: GraphStore, dataset) -> Ctx:
             named = list(dataset.named)
         if dataset.default and not dataset.named:
             named = []  # FROM without FROM NAMED: no named graphs in scope
+        if dataset.named and not dataset.default:
+            # SPARQL 1.1 §13.2: FROM NAMED without FROM means the default
+            # graph is EMPTY (reference dataset semantics) — an empty
+            # union matches no quads
+            ag = ActiveGraph.union([])
     return Ctx(store=store, active_graph=ag, now=_now_literal(),
                named_graphs=named)
 

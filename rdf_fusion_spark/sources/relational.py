@@ -163,7 +163,11 @@ def _literal_for(col: Column, dtype: T.DataType,
         return term_struct(F.lit(TT_LITERAL), col, F.lit(XSD_STRING),
                            k=F.lit(K_STRING), x=null_x, d=null_d, ts=null_ts)
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):
-        lex = (F.lit(None).cast("string") if lazy
+        # DateType stays eager: its lexical is the date-only form
+        # 'YYYY-MM-DD', which a lazy rebuild from `ts` cannot reproduce
+        # (it would emit 'YYYY-MM-DDT00:00:00')
+        lex = (F.lit(None).cast("string")
+               if lazy and not isinstance(dtype, T.DateType)
                else F.regexp_replace(col.cast("string"), " ", "T"))
         return term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_DATETIME),
                            k=F.lit(K_DATETIME), x=null_x, d=null_d,

@@ -31,6 +31,42 @@ from .terms import (
     term_matches,
 )
 
+_META_FILE = "_rfs_store_meta.json"
+
+
+def _local_path(path: str) -> Optional[str]:
+    """Filesystem path for local/file: URIs, else None (meta sidecar is
+    best-effort on non-local storage)."""
+    if path.startswith("file:"):
+        from urllib.parse import urlparse
+        return urlparse(path).path
+    if "://" not in path:
+        return path
+    return None
+
+
+def _write_store_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+    p = _local_path(path)
+    if p is None or not os.path.isdir(p):
+        return
+    with open(os.path.join(p, _META_FILE), "w") as f:
+        json.dump(meta, f)
+
+
+def _read_store_meta(path: str) -> dict:
+    import json
+    import os
+    p = _local_path(path)
+    if p is None:
+        return {}
+    try:
+        with open(os.path.join(p, _META_FILE)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
 
 class ActiveGraph:
     """Which graphs a pattern matches (reference:
@@ -86,7 +122,12 @@ class GraphStore:
     def from_relational(cls, spark: SparkSession, sf_dir: str,
                         tables=None) -> "GraphStore":
         from .sources.relational import load_relational_graph
-        return cls(spark, load_relational_graph(spark, sf_dir, tables))
+        store = cls(spark, load_relational_graph(spark, sf_dir, tables))
+        # the relational mapping places every triple in a per-table named
+        # graph — the default graph is their union (same semantics as
+        # VirtualRelationalStore)
+        store.union_default_graph = True
+        return store
 
     @classmethod
     def from_parquet(cls, spark: SparkSession, path: str) -> "GraphStore":
@@ -100,6 +141,8 @@ class GraphStore:
         df = spark.read.parquet(path)
         store = cls(spark, df)
         store._pred_partitioned = "pk" in df.columns
+        store.union_default_graph = _read_store_meta(path).get(
+            "union_default_graph", False)
         return store
 
     @classmethod
@@ -132,6 +175,8 @@ class GraphStore:
             df = df.withColumn("pk", F.col(f"{COL_PREDICATE}.v"))
             w = df.write.mode(mode).partitionBy("pk")
         w.parquet(path)
+        _write_store_meta(path, {
+            "union_default_graph": bool(self.union_default_graph)})
 
     # ------------------------------------------------------------------
     # tuning
@@ -176,7 +221,10 @@ class GraphStore:
             df = df.where(gcol.isNotNull())
         elif ag.kind == "union":
             conds = [term_matches(gcol, g) for g in ag.graphs]
-            if len(conds) == 1:
+            if not conds:
+                # empty dataset (FROM NAMED only): matches nothing
+                df = df.where(F.lit(False))
+            elif len(conds) == 1:
                 df = df.where(conds[0])
             else:
                 c = conds[0]

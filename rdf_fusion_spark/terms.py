@@ -547,8 +547,13 @@ def term_py_row(t: Optional[Term]):
         if parsed is not None:
             x = float(parsed[0])        # months
             import decimal as _decimal
-            d = _decimal.Decimal(parsed[1]).quantize(
-                _decimal.Decimal(1).scaleb(-18))  # seconds
+            # prec=60: a large day-time part (e.g. P2000000D) needs more
+            # than the default 28 significant digits once quantized to
+            # scale 18; decimal(38,18) can hold 20 integer digits
+            with _decimal.localcontext() as _ctx:
+                _ctx.prec = 60
+                d = _decimal.Decimal(parsed[1]).quantize(
+                    _decimal.Decimal(1).scaleb(-18))  # seconds
     else:
         k = K_OTHER
     return (TT_LITERAL, t.lexical, dt, lang, k, x, d, ts)

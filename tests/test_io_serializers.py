@@ -112,3 +112,24 @@ def test_predicate_partitioned_parquet(spark, spiderman, tmp_path):
     assert re.search(
         r"PartitionFilters: \[[^\]]*pk#\d+ = http://xmlns.com/foaf/0.1/name",
         plan), plan
+
+
+def test_union_default_graph_survives_parquet_roundtrip(spark, tmp_path):
+    """A store built from the relational mapping keeps union-default-graph
+    semantics across save_parquet/from_parquet (ADVICE r2)."""
+    import os
+    from rdf_fusion_spark import GraphStore
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_TEST",
+                            "/root/testdata/sf0.001")
+    store = GraphStore.from_relational(spark, sf_dir, tables=["region"])
+    assert store.union_default_graph
+    # default-graph pattern sees the per-table named-graph quads
+    n = store.scan_pattern(None, None, None).count()
+    assert n > 0
+
+    path = str(tmp_path / "roundtrip_udg")
+    store.save_parquet(path)
+    back = GraphStore.from_parquet(spark, path)
+    assert back.union_default_graph
+    assert back.scan_pattern(None, None, None).count() == n

@@ -165,3 +165,51 @@ def test_construct_template_bnodes_fresh_per_row(spark):
     for bid, subj in tagged.items():
         expect = "A" if subj.endswith("/a") else "B"
         assert valued[bid] == expect
+
+
+def test_from_named_only_empties_default_graph(spark):
+    """SPARQL 1.1 sec 13.2: a dataset with only FROM NAMED has an EMPTY
+    default graph — default-graph BGPs must return nothing (ADVICE r2)."""
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+
+    E = "http://e.org/"
+    quads = [
+        (None, NamedNode(E + "s0"), NamedNode(E + "p"), Literal("dflt")),
+        (NamedNode(E + "g1"), NamedNode(E + "s1"), NamedNode(E + "p"),
+         Literal("a")),
+    ]
+    store = GraphStore.from_python_quads(spark, quads)
+
+    q = ("SELECT ?o FROM NAMED <http://e.org/g1> "
+         "WHERE { ?s <http://e.org/p> ?o }")
+    assert store.query(q).df.count() == 0
+
+    # the named graph is still addressable
+    q2 = ("SELECT ?o FROM NAMED <http://e.org/g1> "
+          "WHERE { GRAPH ?g { ?s <http://e.org/p> ?o } }")
+    rows = store.query(q2).df.collect()
+    assert len(rows) == 1 and rows[0]["o"]["v"] == "a"
+
+
+def test_time_cast_preserves_fractional_seconds(spark):
+    """xsd:time(xsd:dateTime) keeps fractional seconds (ADVICE r2)."""
+    from rdf_fusion_spark import GraphStore
+
+    store = GraphStore.empty(spark)
+    q = ('SELECT ?t WHERE { BIND(xsd:time('
+         '"2024-05-01T10:20:30.25"^^xsd:dateTime) AS ?t) }')
+    rows = store.query(
+        "PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> " + q).df.collect()
+    assert rows[0]["t"]["v"] == "10:20:30.25"
+
+
+def test_large_daytime_duration_literal(spark):
+    """P2000000D needs >28 significant digits at scale 18 (ADVICE r2)."""
+    from rdf_fusion_spark import GraphStore
+
+    store = GraphStore.empty(spark)
+    q = ('PREFIX xsd: <http://www.w3.org/2001/XMLSchema#> '
+         'SELECT ?d WHERE { BIND("P2000000D"^^xsd:duration AS ?d) }')
+    rows = store.query(q).df.collect()
+    assert rows[0]["d"]["v"] == "P2000000D"
+    assert rows[0]["d"]["d"] == 2000000 * 86400
