@@ -247,7 +247,10 @@ def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
         .distinct()
     )
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (cand.select("id_a", "id_b", hamming.alias("hamming"))
+    return (cand.select("id_a", "id_b",
+                        F.col("sh_a").alias("sig_a"),
+                        F.col("sh_b").alias("sig_b"),
+                        hamming.alias("hamming"))
             .where(F.col("hamming") <= max_distance))
 
 

@@ -158,19 +158,30 @@ def _zero_length(ctx) -> DataFrame:
                         *[F.col(c) for c in gcols])
 
 
-def _kleene_plus(edges: DataFrame, ctx) -> DataFrame:
+def _kleene_plus(edges: DataFrame, ctx, seed=None) -> DataFrame:
     """Distributed semi-naive transitive closure.
 
     delta_{i+1} = (delta_i ⋈ edges) − paths_i ; paths_{i+1} = paths_i ∪ delta.
     Edge relation is cached once; each iteration localCheckpoints to cut
     lineage (SURVEY.md §7.3 hard-part 4). Replaces the reference's
-    single-partition in-memory fixpoint with distributed hash joins.
+    single-partition in-memory fixpoint with distributed hash joins — and,
+    unlike the reference (kleene_plus/physical.rs:164-438, always the
+    full-graph closure), a bound endpoint seeds the initial frontier so
+    `<x> :p+ ?y` pays for reachability from x, not the whole graph
+    (VERDICT r2 #2).
+
+    seed: optional constant Term; the fixpoint starts from the edges whose
+    source is that term, so `paths` only ever holds pairs reachable from
+    it. Callers with a bound *object* pass inverted edges and re-invert.
     """
     g = _gcols(ctx)
     edges = edges.dropDuplicates().localCheckpoint(eager=True)
     # renamed copy of the (static) edge relation for unambiguous self-joins
     redges = edges.select(F.col(SRC).alias("__esrc"), F.col(TGT).alias("__etgt"),
                           *[F.col(c).alias(f"__eg_{c}") for c in g])
+    if seed is not None:
+        edges = edges.where(term_matches(F.col(SRC), seed)) \
+            .localCheckpoint(eager=True)
     # only each iteration's DELTA is checkpointed; the accumulated set is a
     # lazy union of those materialized pieces (no O(iters × |closure|)
     # re-checkpoint churn)
@@ -197,6 +208,35 @@ def _kleene_plus(edges: DataFrame, ctx) -> DataFrame:
     return paths
 
 
+def _eval_kleene_seeded(p: A.PathPattern, ctx) -> Optional[DataFrame]:
+    """Frontier-seeded evaluation for `+`/`*` with a constant endpoint:
+    reachability from the bound node (inverted edges for a bound object)
+    instead of the full-graph closure. None = not applicable."""
+    path = p.path
+    if not isinstance(path, (A.PathOneOrMore, A.PathZeroOrMore)):
+        return None
+    s_const = not isinstance(p.subject, Variable)
+    o_const = not isinstance(p.object, Variable)
+    if not (s_const or o_const):
+        return None
+    g = _gcols(ctx)
+    edges = eval_path(path.inner, ctx)
+    if s_const:
+        plus = _kleene_plus(edges, ctx, seed=p.subject)
+    else:
+        inv = edges.select(F.col(TGT).alias(SRC), F.col(SRC).alias(TGT),
+                           *[F.col(c) for c in g])
+        plus_inv = _kleene_plus(inv, ctx, seed=p.object)
+        plus = plus_inv.select(F.col(TGT).alias(SRC), F.col(SRC).alias(TGT),
+                               *[F.col(c) for c in g])
+    if isinstance(path, A.PathZeroOrMore):
+        node = p.subject if s_const else p.object
+        endpoint = SRC if s_const else TGT
+        zero = _zero_length(ctx).where(term_matches(F.col(endpoint), node))
+        plus = zero.unionByName(plus).dropDuplicates()
+    return plus
+
+
 def translate_path_pattern(p: A.PathPattern, ctx) -> Solution:
     """Bind a path relation's endpoints to the pattern's subject/object."""
     # trivial link → plain triple pattern scan (no path machinery)
@@ -204,7 +244,9 @@ def translate_path_pattern(p: A.PathPattern, ctx) -> Solution:
         from .translator import _scan
         return _scan(A.TriplePattern(p.subject, p.path.iri, p.object), ctx)
 
-    df = eval_path(p.path, ctx)
+    df = _eval_kleene_seeded(p, ctx)
+    if df is None:
+        df = eval_path(p.path, ctx)
     g = _gcols(ctx)
     vars_: dict[str, str] = {}
 
