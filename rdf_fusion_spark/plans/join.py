@@ -6,21 +6,36 @@ machinery: we decide the join shape eagerly at translate time using our own
 definitely-bound variable tracking (Spark schema nullability is unreliable
 after unions), then let Catalyst pick broadcast/sort-merge/shuffle-hash.
 
-Strategy order (same as the reference):
+Strategy order (extends the reference's three cases with a scale-safe
+split-union decomposition, SURVEY §7.3#3):
  1. disjoint vars, no filter      → cross join
  2. all shared vars definitely bound on both sides
                                   → equi hash join on the term structs
- 3. else                          → theta join on IS_COMPATIBLE conjunction
+ 3. few statically-nullable shared vars (≤3 across both sides)
+                                  → null-pattern split-union: slice each side
+                                    by which nullable shared vars are bound,
+                                    join every slice pair on its effective
+                                    equality keys (pure equi → hash join),
+                                    union the parts; OPTIONAL additionally
+                                    appends the anti-chain remainder padded
+                                    with NULLs
+ 4. else                          → theta join on IS_COMPATIBLE conjunction
                                     + coalesce projection per shared var
+                                    (BroadcastNestedLoop — last resort)
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field, replace
+from functools import reduce
 from typing import Callable, Optional
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+# Split-union guard: total nullable shared vars across both sides; 2^k slice
+# pairs are materialized, so keep k small (k=3 → at most 8 equi joins).
+_SPLIT_UNION_MAX_NULLABLE = 3
 
 
 @dataclass
@@ -66,6 +81,132 @@ def _compat(lc: Column, rc: Column) -> Column:
     return lc.isNull() | rc.isNull() | (lc == rc)
 
 
+def _null_patterns(df: DataFrame, nullable: list):
+    """Slice `df` by which of `nullable` columns are non-NULL.
+
+    Yields (bound_subset: frozenset, slice_df). The slices partition the rows
+    of `df`: each row lands in exactly one slice, so a union of per-slice-pair
+    joins neither duplicates nor drops (l, r) pairs. With `nullable` empty the
+    single slice is `df` itself (no filter → no extra scan)."""
+    if not nullable:
+        yield frozenset(), df
+        return
+    for bits in range(1 << len(nullable)):
+        subset = frozenset(v for i, v in enumerate(nullable) if (bits >> i) & 1)
+        cond = F.lit(True)
+        for v in nullable:
+            c = F.col(v).isNotNull() if v in subset else F.col(v).isNull()
+            cond = cond & c
+        yield subset, df.filter(cond)
+
+
+def _split_union_applicable(left: "Solution", right: "Solution",
+                            shared: list) -> bool:
+    nl = [v for v in shared if v not in left.bound]
+    nr = [v for v in shared if v not in right.bound]
+    return 0 < len(nl) + len(nr) <= _SPLIT_UNION_MAX_NULLABLE
+
+
+def _split_union_join(
+    left: "Solution",
+    right: "Solution",
+    shared: list,
+    how: str,
+    filter_expr,
+    compile_bool: Optional[BoolCompiler],
+) -> "Solution":
+    """Null-pattern split-union compatibility join (SURVEY §7.3#3).
+
+    For every (left-slice, right-slice) pair the compat conjunction collapses:
+    a shared var non-NULL on both sides must be EQUAL (equi key), a var NULL
+    on either side is trivially compatible. So each pair joins on pure
+    equality keys — Catalyst plans hash/sort-merge joins instead of the
+    BroadcastNestedLoop the IS_COMPATIBLE theta forces. The one remaining
+    nested-loop case is a slice pair with an empty key set (every shared var
+    NULL on one side) — a genuine cross product the semantics demand, now
+    confined to the all-null slices instead of the whole input.
+
+    Left outer (OPTIONAL): the matched parts are the inner unions; the
+    unmatched remainder is computed per left slice by CHAINED hash anti joins
+    against each right slice (a row survives iff it matched nowhere), then
+    padded with NULLs for right-only vars.
+
+    Cost note: each side's subtree is re-evaluated once per slice (2^k scans
+    for k nullable vars on that side). With the k≤3 guard that is at most 8
+    re-reads of a scan subtree — linear work, vs the O(n·m) nested loop this
+    replaces.
+    """
+    nl = [v for v in shared if v not in left.bound]
+    nr = [v for v in shared if v not in right.bound]
+    always = [v for v in shared if v in left.bound and v in right.bound]
+    out_vars = sorted(left.maybe | right.maybe)
+
+    def project(L, R, joined):
+        cols = []
+        for v in out_vars:
+            if v in shared:
+                cols.append(F.coalesce(L[v], R[v]).alias(v))
+            elif v in left.maybe:
+                cols.append(L[v].alias(v))
+            else:
+                cols.append(R[v].alias(v))
+        return joined.select(*cols)
+
+    from ..terms import TERM_DDL
+
+    def pad_left(Ldf):
+        cols = []
+        for v in out_vars:
+            if v in left.maybe:
+                cols.append(F.col(v).alias(v))
+            else:
+                cols.append(F.lit(None).cast(TERM_DDL).alias(v))
+        return Ldf.select(*cols)
+
+    def mk_cond(L, R, keys):
+        cond = F.lit(True)
+        for v in keys:
+            cond = cond & (L[v] == R[v])
+        if filter_expr is not None:
+            assert compile_bool is not None
+
+            def resolve(name, L=L, R=R):
+                if name in shared:
+                    return F.coalesce(L[name], R[name])
+                if name in left.maybe:
+                    return L[name]
+                if name in right.maybe:
+                    return R[name]
+                return F.lit(None).cast(TERM_DDL)
+
+            cond = cond & compile_bool(filter_expr, resolve)
+        return cond
+
+    right_slices = list(_null_patterns(right.df, nr))
+    parts = []
+    for sl, ldf in _null_patterns(left.df, nl):
+        rest = ldf  # anti-chain remainder (left outer only)
+        for sr, rdf in right_slices:
+            keys = sorted(((set(left.bound) & set(shared)) | sl)
+                              & ((set(right.bound) & set(shared)) | sr))
+            L, R = ldf.alias("l"), rdf.alias("r")
+            parts.append(project(L, R, L.join(R, mk_cond(L, R, keys), "inner")))
+            if how != "inner":
+                La, Ra = rest.alias("l"), rdf.alias("r")
+                rest = La.join(Ra, mk_cond(La, Ra, keys), "left_anti")
+        if how != "inner":
+            parts.append(pad_left(rest))
+
+    df = reduce(lambda a, b: a.unionByName(b), parts)
+    bound = set(left.bound)
+    if how == "inner":
+        bound |= right.bound
+    df = df.select(*[F.col(v) for v in out_vars])
+    return Solution(df=df, bound=bound, maybe=left.maybe | right.maybe,
+                    pending_order=left.pending_order,
+                    kinds=merge_kinds(left, right))
+
+
 def join_solutions(
     left: Solution,
     right: Solution,
@@ -108,6 +249,12 @@ def join_solutions(
                         maybe=left.maybe | right.maybe,
                         pending_order=left.pending_order,
                         kinds=merge_kinds(left, right))
+
+    # scale path: null-pattern split-union → hash joins instead of BNLJ
+    if shared and not all_bound and how in ("inner", "left") \
+            and _split_union_applicable(left, right, shared):
+        return _split_union_join(left, right, shared, how,
+                                 filter_expr, compile_bool)
 
     # general path: aliased theta join + coalesce projection
     L = left.df.alias("l")
@@ -175,13 +322,42 @@ def minus_solutions(left: Solution, right: Solution) -> Solution:
         cond = F.lit(True)
         for v in shared:
             cond = cond & (L[v] == R[v])
-    else:
-        cond = F.lit(True)
-        any_both = F.lit(False)
-        for v in shared:
-            cond = cond & _compat(L[v], R[v])
-            any_both = any_both | (L[v].isNotNull() & R[v].isNotNull())
-        cond = cond & any_both
+        df = L.join(R, cond, "left_anti")
+        return replace(left, df=df)
+
+    if _split_union_applicable(left, right, shared):
+        # null-pattern split: per (left-slice, right-slice) pair the compat
+        # ∧ any-both-bound condition is pure equality on the pair's key set —
+        # and a pair with an EMPTY key set never excludes (the any-both-bound
+        # clause fails), so those pairs are simply skipped. Every join below
+        # is a hash anti join; the slices union back losslessly.
+        nl = [v for v in shared if v not in left.bound]
+        nr = [v for v in shared if v not in right.bound]
+        always = [v for v in shared if v in left.bound and v in right.bound]
+        right_slices = list(_null_patterns(right.df, nr))
+        parts = []
+        for sl, ldf in _null_patterns(left.df, nl):
+            rest = ldf
+            for sr, rdf in right_slices:
+                keys = sorted(((set(left.bound) & set(shared)) | sl)
+                              & ((set(right.bound) & set(shared)) | sr))
+                if not keys:
+                    continue  # no var bound on both sides → no exclusion
+                La, Ra = rest.alias("l"), rdf.alias("r")
+                cond = F.lit(True)
+                for v in keys:
+                    cond = cond & (La[v] == Ra[v])
+                rest = La.join(Ra, cond, "left_anti")
+            parts.append(rest)
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+        return replace(left, df=df)
+
+    cond = F.lit(True)
+    any_both = F.lit(False)
+    for v in shared:
+        cond = cond & _compat(L[v], R[v])
+        any_both = any_both | (L[v].isNotNull() & R[v].isNotNull())
+    cond = cond & any_both
 
     df = L.join(R, cond, "left_anti")
     return replace(left, df=df)
@@ -201,11 +377,48 @@ def exists_join(left: Solution, right: Solution, negated: bool) -> Solution:
     L = left.df.alias("l")
     R = right.df.alias("r")
     all_bound = all(v in left.bound and v in right.bound for v in shared)
+    if all_bound:
+        cond = F.lit(True)
+        for v in shared:
+            cond = cond & (L[v] == R[v])
+        df = L.join(R, cond, how)
+        return replace(left, df=df)
+
+    if _split_union_applicable(left, right, shared):
+        # null-pattern split: per left slice, walk the right slices keeping
+        # (semi) or whittling (anti) via hash joins on each pair's equality
+        # keys. A pair with an empty key set is trivially compatible — its
+        # "join" is an existence test against ONE row of the right slice
+        # (limit(1) marker), never an n×m loop.
+        nl = [v for v in shared if v not in left.bound]
+        nr = [v for v in shared if v not in right.bound]
+        always = [v for v in shared if v in left.bound and v in right.bound]
+        right_slices = list(_null_patterns(right.df, nr))
+        parts = []
+        for sl, ldf in _null_patterns(left.df, nl):
+            rest = ldf
+            hits = []
+            for sr, rdf in right_slices:
+                keys = sorted(((set(left.bound) & set(shared)) | sl)
+                              & ((set(right.bound) & set(shared)) | sr))
+                La = rest.alias("l")
+                if keys:
+                    Ra = rdf.alias("r")
+                    cond = F.lit(True)
+                    for v in keys:
+                        cond = cond & (La[v] == Ra[v])
+                else:
+                    Ra = rdf.limit(1).alias("r")
+                    cond = F.lit(True)
+                if not negated:
+                    hits.append(La.join(Ra, cond, "left_semi"))
+                rest = La.join(Ra, cond, "left_anti")
+            parts.extend(hits if not negated else [rest])
+        df = reduce(lambda a, b: a.unionByName(b), parts)
+        return replace(left, df=df)
+
     cond = F.lit(True)
     for v in shared:
-        if all_bound:
-            cond = cond & (L[v] == R[v])
-        else:
-            cond = cond & _compat(L[v], R[v])
+        cond = cond & _compat(L[v], R[v])
     df = L.join(R, cond, how)
     return replace(left, df=df)

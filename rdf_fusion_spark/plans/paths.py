@@ -135,6 +135,15 @@ def _zero_length(ctx) -> DataFrame:
     """Zero-length paths: every graph node relates to itself
     (reference: rewrite.rs:248-266 — union of subjects and objects)."""
     store = ctx.store
+    if ctx.graph_var is None:
+        virtual_nodes = getattr(store, "node_terms", None)
+        if virtual_nodes is not None:
+            nodes = virtual_nodes(ctx.active_graph)
+            if nodes is not None:
+                # per-table key/column projections (column-pruned scans),
+                # never the exploded quads union (VERDICT r2 #5)
+                return nodes.select(F.col("n").alias(SRC),
+                                    F.col("n").alias(TGT))
     df = store.quads
     ag = ctx.active_graph
     g = F.col("graph")

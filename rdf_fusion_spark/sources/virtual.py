@@ -75,9 +75,11 @@ class VirtualRelationalStore(GraphStore):
         self._pred_map: dict[str, tuple[str, str]] = {}
         self._class_map: dict[str, str] = {}
         self._graph_map: dict[str, str] = {}
+        self._code_map: dict[str, str] = {}
         for t in self.tables:
             self._class_map[class_iri(t)] = t
             self._graph_map[graph_iri(t)] = t
+            self._code_map[TPCH_SPEC[t][0]] = t
             for f in self.table_df(t).schema.fields:
                 self._pred_map[predicate_iri(t, f.name)] = (t, f.name)
 
@@ -312,6 +314,102 @@ class VirtualRelationalStore(GraphStore):
         out = df.select(*[c.alias(v) for v, c in out_vars.items()])
         out._rf_kinds = out_kinds
         return out
+
+    # ------------------------------------------------------------------
+    # virtualized DESCRIBE and zero-length-path node enumeration
+    # (VERDICT r2 #5: neither may touch the exploded quads union)
+    # ------------------------------------------------------------------
+
+    def table_for_subject(self, subject: NamedNode) -> Optional[str]:
+        """Resolve a constant subject IRI to its one table via the
+        `x:{code}:` id prefix (the mapping's subject IRI spaces are
+        disjoint by construction)."""
+        iri = subject.iri
+        if not iri.startswith("x:"):
+            return None
+        parts = iri.split(":", 2)
+        return self._code_map.get(parts[1]) if len(parts) == 3 else None
+
+    def describe_triples(self, consts: list) -> DataFrame:
+        """Triples whose subject is one of the constant IRIs — each resolves
+        to ONE key-filtered table scan (parquet-pushed key equality) exploded
+        to triples, instead of a full scan of the quads union."""
+        from .relational import table_to_quads
+        parts: list[DataFrame] = []
+        for c in consts:
+            t = self.table_for_subject(c)
+            if t is None:
+                continue  # unmapped IRI: it has no triples in this store
+            df = self.table_df(t)
+            parts.append(
+                table_to_quads(df.where(self._subject_filter(t, df, c)), t)
+                .select("subject", "predicate", "object"))
+        if not parts:
+            return self._empty_triples()
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out
+
+    def describe_for_subjects(self, subjects: DataFrame) -> DataFrame:
+        """Triples for a dynamic set of described subjects: semi-join each
+        TABLE on its computed subject term (hash join on one expression),
+        exploding only the matching rows to triples — the quads-union path
+        would shuffle the 10-20× exploded relation instead."""
+        from .relational import table_to_quads
+        code_col = F.split(F.col("subject")["v"], ":", 3).getItem(1)
+        parts: list[DataFrame] = []
+        for t in self.tables:
+            df = self.table_df(t)
+            # prune the subject set to this table's id space first
+            subs = subjects.where(code_col == TPCH_SPEC[t][0])
+            matched = df.join(
+                subs, subject_term(t, df) == F.col("subject"), "left_semi")
+            parts.append(table_to_quads(matched, t)
+                         .select("subject", "predicate", "object"))
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out
+
+    def node_terms(self, active_graph: Optional[ActiveGraph] = None,
+                   ) -> Optional[DataFrame]:
+        """Distinct graph nodes (zero-length path endpoints: every term in
+        subject or object position) as a union of per-table projections —
+        column-pruned scans instead of the exploded quads union. None when
+        the active graph restricts to unmapped graphs."""
+        from ..terms import term_lit
+        allowed = self._graph_tables(active_graph)
+        parts: list[DataFrame] = []
+        for t in self.tables:
+            if allowed is not None and t not in allowed:
+                continue
+            df = self.table_df(t)
+            parts.append(df.select(subject_term(t, df).alias("n")))
+            # the table's class IRI appears as an rdf:type object
+            parts.append(self.spark.range(1).select(
+                term_lit(NamedNode(class_iri(t))).alias("n")))
+            for f in df.schema.fields:
+                ot = object_term(t, f.name, df)
+                if ot is None:
+                    continue
+                parts.append(df.where(F.col(f.name).isNotNull())
+                             .select(ot.alias("n")))
+        if not parts:
+            from ..terms import TERM_TYPE
+            return self.spark.range(1).select(
+                F.lit(None).cast(TERM_TYPE).alias("n")).limit(0)
+        out = parts[0]
+        for x in parts[1:]:
+            out = out.unionByName(x)
+        return out.dropDuplicates()
+
+    def _empty_triples(self) -> DataFrame:
+        from ..terms import TERM_TYPE
+        return self.spark.range(1).select(
+            F.lit(None).cast(TERM_TYPE).alias("subject"),
+            F.lit(None).cast(TERM_TYPE).alias("predicate"),
+            F.lit(None).cast(TERM_TYPE).alias("object")).limit(0)
 
     # ------------------------------------------------------------------
 
