@@ -48,7 +48,7 @@ _STRING_ESCAPES = {
 # longest-match token alternatives, tried in order
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|\#[^\n]*)
-  | (?P<iri><[^<>"{}|^`\\\x00-\x20]*>)
+  | (?P<iri><(?:[^<>"{}|^`\\\x00-\x20]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*>)
   | (?P<string>\"\"\"(?:[^"\\]|\\.|\"(?!\"\"))*\"\"\"
        |'''(?:[^'\\]|\\.|'(?!''))*'''
        |"(?:[^"\\\n]|\\.)*"
@@ -58,13 +58,19 @@ _TOKEN_RE = re.compile(r"""
   | (?P<double>[+-]?(?:\d+\.\d*|\.\d+|\d+)[eE][+-]?\d+)
   | (?P<decimal>[+-]?\d*\.\d+)
   | (?P<integer>[+-]?\d+)
-  | (?P<punct>\^\^|;|,|\.|\[|\]|\(|\))
-  | (?P<bnode>_:[A-Za-z0-9_][A-Za-z0-9_.-]*)
-  | (?P<pname>[A-Za-z0-9_][A-Za-z0-9_.-]*?:[A-Za-z0-9_:%\\.-]*
-       |:[A-Za-z0-9_:%\\.-]*)
+  | (?P<punct>\^\^|;|,|\.|\[|\]|\(|\)|\{|\})
+  | (?P<bnode>_:[A-Za-z0-9_](?:[A-Za-z0-9_.-]*[A-Za-z0-9_-])?)
+  | (?P<pname>[A-Za-z0-9_][A-Za-z0-9_.-]*?:(?:(?:\\.|[A-Za-z0-9_:%.-])*(?:\\.|[A-Za-z0-9_:%-]))?
+       |:(?:(?:\\.|[A-Za-z0-9_:%.-])*(?:\\.|[A-Za-z0-9_:%-]))?)
   | (?P<kw>@prefix|@base|(?i:PREFIX|BASE)\b|a\b|true\b|false\b)
   | (?P<word>[A-Za-z][A-Za-z0-9_-]*)
 """, re.VERBOSE)
+
+
+def _safe_chr(cp: int) -> str:
+    if cp > 0x10FFFF:
+        raise TurtleParseError(f"unicode escape out of range: {cp:#x}")
+    return chr(cp)
 
 
 def _unescape_string(body: str) -> str:
@@ -78,10 +84,10 @@ def _unescape_string(body: str) -> str:
             continue
         nxt = body[i + 1]
         if nxt == "u":
-            out.append(chr(int(body[i + 2:i + 6], 16)))
+            out.append(_safe_chr(int(body[i + 2:i + 6], 16)))
             i += 6
         elif nxt == "U":
-            out.append(chr(int(body[i + 2:i + 10], 16)))
+            out.append(_safe_chr(int(body[i + 2:i + 10], 16)))
             i += 10
         else:
             out.append(_STRING_ESCAPES.get(nxt, nxt))
@@ -103,7 +109,7 @@ class TurtleParseError(ValueError):
 
 class _Parser:
     def __init__(self, text: str, base: Optional[str] = None):
-        self.text = text
+        self.text = text.lstrip("﻿")
         self.pos = 0
         self.base = base or ""
         self.prefixes: dict[str, str] = {}

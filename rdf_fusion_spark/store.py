@@ -151,6 +151,46 @@ class GraphStore:
         return cls(spark, read_ntriples(spark, path))
 
     @classmethod
+    def from_turtle(cls, spark: SparkSession, path: str,
+                    base=None) -> "GraphStore":
+        from .sources.turtle import read_turtle
+        return cls(spark, read_turtle(spark, path, base))
+
+    @classmethod
+    def from_trig(cls, spark: SparkSession, path: str,
+                  base=None) -> "GraphStore":
+        from .sources.trig import read_trig
+        return cls(spark, read_trig(spark, path, base))
+
+    @classmethod
+    def from_rdfxml(cls, spark: SparkSession, path: str,
+                    base=None) -> "GraphStore":
+        from .sources.rdfxml import read_rdfxml
+        return cls(spark, read_rdfxml(spark, path, base))
+
+    @classmethod
+    def load(cls, spark: SparkSession, path: str, format: str = None,
+             base=None) -> "GraphStore":
+        """Load any supported RDF serialization, guessing the format from
+        the extension when not given (reference: store.rs:477-558
+        load_from_reader over oxrdfio's RdfFormat)."""
+        from .sources.formats import format_from_name, read_rdf
+        fmt = format_from_name(format) if format else None
+        if format and fmt is None:
+            raise ValueError(f"unknown RDF format {format!r}")
+        return cls(spark, read_rdf(spark, path, fmt, base))
+
+    def dump(self, path: str, format: str = None,
+             mode: str = "overwrite") -> None:
+        """Serialize the store to an RDF file tree (distributed writers for
+        the line formats; see sources/formats.py)."""
+        from .sources.formats import format_from_name, write_rdf
+        fmt = format_from_name(format) if format else None
+        if format and fmt is None:
+            raise ValueError(f"unknown RDF format {format!r}")
+        write_rdf(self.quads, path, fmt, mode)
+
+    @classmethod
     def from_python_quads(cls, spark: SparkSession, quads) -> "GraphStore":
         """quads: iterable of (graph|None, subject, predicate, object) Terms."""
         rows = []

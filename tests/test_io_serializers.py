@@ -133,3 +133,82 @@ def test_union_default_graph_survives_parquet_roundtrip(spark, tmp_path):
     back = GraphStore.from_parquet(spark, path)
     assert back.union_default_graph
     assert back.scan_pattern(None, None, None).count() == n
+
+
+# ---------------------------------------------------------------------------
+# TriG / RDF-XML readers + format registry (VERDICT r2 #8)
+# ---------------------------------------------------------------------------
+
+TRIG_DOC = """
+@prefix ex: <http://example.org/> .
+ex:a ex:p ex:b .
+GRAPH ex:g1 { ex:c ex:p "v"@en ; ex:q 4 . }
+ex:g2 { ex:d ex:p "x" }
+"""
+
+
+def _qset(df):
+    out = set()
+    for r in df.collect():
+        out.add(tuple(None if t is None else (t["t"], t["v"], t["dt"], t["lang"])
+                      for t in (r["graph"], r["subject"], r["predicate"],
+                                r["object"])))
+    return out
+
+
+def test_trig_roundtrip(spark, tmp_path):
+    from rdf_fusion_spark import GraphStore
+    from rdf_fusion_spark.sources.trig import parse_trig
+
+    quads = parse_trig(TRIG_DOC)
+    assert len(quads) == 4
+    graphs = {getattr(g, "iri", None) for g, *_ in quads}
+    assert graphs == {None, "http://example.org/g1", "http://example.org/g2"}
+
+    store = GraphStore.from_python_quads(spark, quads)
+    # dump as line-parallel TriG, reload, compare quad sets
+    p = str(tmp_path / "out_trig")
+    store.dump(p, "trig")
+    import glob
+    text = "".join(open(f).read() for f in sorted(glob.glob(p + "/part-*")))
+    back = GraphStore.from_python_quads(spark, parse_trig(text))
+    assert _qset(back.quads) == _qset(store.quads)
+
+
+def test_rdfxml_reader_and_writer(spark, tmp_path):
+    from rdf_fusion_spark import GraphStore
+    from rdf_fusion_spark.sources.rdfxml import parse_rdfxml
+
+    xml_doc = """<?xml version="1.0"?>
+    <rdf:RDF xmlns:rdf="http://www.w3.org/1999/02/22-rdf-syntax-ns#"
+             xmlns:ex="http://example.org/">
+      <ex:Person rdf:about="http://example.org/a">
+        <ex:name xml:lang="en">Alice</ex:name>
+        <ex:age rdf:datatype="http://www.w3.org/2001/XMLSchema#integer">3</ex:age>
+        <ex:knows rdf:resource="http://example.org/b"/>
+      </ex:Person>
+    </rdf:RDF>"""
+    triples = parse_rdfxml(xml_doc)
+    assert len(triples) == 4  # type + 3 properties
+
+    store = GraphStore.from_python_quads(
+        spark, [(None, s, p, o) for s, p, o in triples])
+    p = str(tmp_path / "out.rdf")
+    store.dump(p, "rdfxml")
+    import glob
+    text = "".join(open(f).read() for f in sorted(glob.glob(p + "/part-*")))
+    back = parse_rdfxml(text)
+    assert sorted(map(repr, back)) == sorted(map(repr, triples))
+
+
+def test_load_guesses_format(spark, tmp_path):
+    from rdf_fusion_spark import GraphStore
+
+    f = tmp_path / "g.trig"
+    f.write_text(TRIG_DOC)
+    store = GraphStore.load(spark, str(f))
+    assert store.quads.count() == 4
+
+    f2 = tmp_path / "g.ttl"
+    f2.write_text("<http://e/a> <http://e/p> 1, 2 .")
+    assert GraphStore.load(spark, str(f2)).quads.count() == 2
