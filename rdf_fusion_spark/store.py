@@ -330,14 +330,21 @@ class GraphStore:
     # SPARQL
     # ------------------------------------------------------------------
 
-    def query(self, sparql: str):
+    def query(self, sparql: str, dataset=None):
         """Parse + translate + return the result (DataFrame-backed).
+
+        `dataset` (algebra.Dataset) overrides the query's own FROM/FROM
+        NAMED clauses — the SPARQL Protocol's default-graph-uri /
+        named-graph-uri parameters take precedence over the query text.
 
         reference lifecycle: lib/execution/src/sparql/eval.rs:24-133.
         """
+        import dataclasses
         from .sparql.parser import parse_query
         from .plans.translator import evaluate_query
         q = parse_query(sparql)
+        if dataset is not None:
+            q = dataclasses.replace(q, dataset=dataset)
         return evaluate_query(self, q)
 
 
