@@ -136,6 +136,31 @@ def compile_bool_expr(expr, sol: Solution, ctx: Ctx) -> Column:
 # joined back null-safely — no row duplication, no per-row subquery.
 # ---------------------------------------------------------------------------
 
+def _expr_has_vars(expr) -> bool:
+    if isinstance(expr, A.EVar):
+        return True
+    if isinstance(expr, A.ECall):
+        return any(_expr_has_vars(a) for a in expr.args)
+    if isinstance(expr, A.EExists):
+        return True  # correlated by construction — never hoist
+    return False
+
+
+def _peel_unit_extends(p):
+    """If `p` is Extend(...Extend(empty BGP)...) with variable-free
+    expressions, return the Extend nodes outermost-first; else None."""
+    chain = []
+    x = p
+    while isinstance(x, A.Extend):
+        if _expr_has_vars(x.expr):
+            return None
+        chain.append(x)
+        x = x.inner
+    if chain and isinstance(x, A.BGP) and not x.triples:
+        return chain
+    return None
+
+
 def _has_exists(expr) -> bool:
     if isinstance(expr, A.EExists):
         return True
@@ -208,6 +233,19 @@ def translate(p, ctx: Ctx) -> Solution:
         from .paths import translate_path_pattern
         return translate_path_pattern(p, ctx)
     if isinstance(p, A.Join):
+        # constant-BIND hoist: Join(Extend*(unit, v, const-expr), P) is a
+        # 1-row cross join (→ BroadcastNestedLoopJoin); fuse it into
+        # withColumn on P instead. Legal when the exprs are variable-free
+        # and the bound vars don't occur in P (else it's a real join on v).
+        for first, second in ((p.left, p.right), (p.right, p.left)):
+            chain = _peel_unit_extends(first)
+            if chain is not None:
+                sol = translate(second, ctx)
+                if all(e.var.name not in sol.maybe for e in chain):
+                    for e in reversed(chain):
+                        sol = _apply_extend(e, sol, ctx)
+                    return sol
+                break
         l = translate(p.left, ctx)
         r = translate(p.right, ctx)
         return join_solutions(l, r, "inner")
@@ -937,9 +975,48 @@ def _sum_avg_static(name: str, c: Column, sk: int,
 # ---------------------------------------------------------------------------
 
 @dataclass
+class QueryExplanation:
+    """Per-query plan capture (reference:
+    lib/execution/src/sparql/explanation.rs — initial/optimized logical +
+    execution plan; here the Catalyst analogues).
+
+    `assert_scale_safe()` turns the plan audit into an enforced invariant:
+    it raises if the executed plan contains a nested-loop join shape
+    (BroadcastNestedLoopJoin / CartesianProduct) — the scale-killers at
+    100 TB — unless the query semantically requires a cross product."""
+    parsed_logical_plan: str
+    optimized_logical_plan: str
+    physical_plan: str
+
+    _NESTED_LOOP = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+    def nested_loop_joins(self) -> list:
+        return [m for m in self._NESTED_LOOP if m in self.physical_plan]
+
+    def assert_scale_safe(self) -> None:
+        found = self.nested_loop_joins()
+        if found:
+            raise AssertionError(
+                f"plan contains nested-loop operators {found}:\n"
+                + self.physical_plan)
+
+
+def _explain(df: DataFrame) -> QueryExplanation:
+    qe = df._jdf.queryExecution()
+    return QueryExplanation(
+        parsed_logical_plan=qe.logical().toString(),
+        optimized_logical_plan=qe.optimizedPlan().toString(),
+        physical_plan=qe.executedPlan().toString(),
+    )
+
+
+@dataclass
 class SelectResult:
     df: DataFrame
     variables: list
+
+    def explanation(self) -> QueryExplanation:
+        return _explain(self.df)
 
 
 @dataclass
@@ -950,6 +1027,9 @@ class AskResult:
 @dataclass
 class GraphResult:
     df: DataFrame  # columns subject, predicate, object (term structs)
+
+    def explanation(self) -> QueryExplanation:
+        return _explain(self.df)
 
 
 def _now_literal() -> Literal:
