@@ -37,6 +37,17 @@ from pyspark.sql import functions as F
 # pairs are materialized, so keep k small (k=3 → at most 8 equi joins).
 _SPLIT_UNION_MAX_NULLABLE = 3
 
+# Term-dictionary hypothesis flag (reference credits u32 ObjectIds with
+# "quadrupled" join-heavy queries, lib/encoding/src/object_id/encoding.rs:
+# 42-46): join IRI keys on xxhash64 longs with exact string equality as the
+# residual, instead of directly on the strings. Measured at sf0.1 (see
+# BASELINE.md round-3 note): no win — Tungsten already hashes string join
+# keys, and the shuffled payload (the full term struct) is unchanged, so
+# the extra column only adds work. Kept behind the env flag for re-testing
+# on other data shapes.
+import os as _os
+_HASH_JOIN_KEYS = _os.environ.get("RFS_HASH_JOIN_KEYS", "0") == "1"
+
 
 @dataclass
 class Solution:
@@ -228,10 +239,25 @@ def join_solutions(
             # 8-field struct (~25% cheaper on join-heavy plans)
             jk = [f"__jk_{v}" for v in shared]
             L, R = left.df, right.df
+            key = (lambda c: F.xxhash64(c)) if _HASH_JOIN_KEYS else \
+                (lambda c: c)
             for v in shared:
-                L = L.withColumn(f"__jk_{v}", F.col(v)["v"])
-                R = R.withColumn(f"__jk_{v}", F.col(v)["v"])
-            df = L.join(R.drop(*shared), on=jk, how=how).drop(*jk)
+                L = L.withColumn(f"__jk_{v}", key(F.col(v)["v"]))
+                R = R.withColumn(f"__jk_{v}", key(F.col(v)["v"]))
+            if _HASH_JOIN_KEYS:
+                # hash longs are the equi keys; exact string equality rides
+                # along as the residual, guarding xxhash64 collisions
+                La, Ra = L.alias("l"), R.alias("r")
+                cond = F.lit(True)
+                for v in shared:
+                    cond = cond & (La[f"__jk_{v}"] == Ra[f"__jk_{v}"]) \
+                        & (La[v]["v"] == Ra[v]["v"])
+                df = La.join(Ra, cond, how)
+                for v in shared:
+                    df = df.drop(Ra[v])
+                df = df.drop(*jk)
+            else:
+                df = L.join(R.drop(*shared), on=jk, how=how).drop(*jk)
         else:
             df = left.df.join(right.df, on=shared, how=how)
         return Solution(
