@@ -468,16 +468,35 @@ def _fn_rand(args, resolve):
     return double_term(F.rand())
 
 
+def _local_ts(c):
+    """The dateTime's own local value: component accessors (XPath
+    fn:hours-from-dateTime etc.) read the literal's components WITH its
+    timezone offset applied, not the UTC instant. The offset lives only in
+    the lexical; a NULL/absent lexical (lazy scan terms, which the
+    relational mapping emits offset-free) means no offset."""
+    ts = as_timestamp(c)
+    tz = F.regexp_extract(c["v"], r"(Z|[+-]\d\d:\d\d)$", 1)
+    sign = F.when(tz.startswith("-"), F.lit(-1)).otherwise(F.lit(1))
+    hours = F.regexp_extract(tz, r"(\d\d):", 1).try_cast("int")
+    mins = F.regexp_extract(tz, r":(\d\d)$", 1).try_cast("int")
+    offs = sign * (F.coalesce(hours, F.lit(0)) * 3600
+                   + F.coalesce(mins, F.lit(0)) * 60)
+    offs = F.coalesce(offs, F.lit(0))
+    return F.when(offs == 0, ts).otherwise(
+        ts + F.make_dt_interval(F.lit(0), F.lit(0), F.lit(0),
+                                offs.cast("double")))
+
+
 def _dt_part(part_fn):
     def fn(args, resolve):
         c = compile_expr(args[0], resolve)
-        return int_term(part_fn(as_timestamp(c)).cast("long"))
+        return int_term(part_fn(_local_ts(c)).cast("long"))
     return fn
 
 
 def _fn_seconds(args, resolve):
     c = compile_expr(args[0], resolve)
-    ts = as_timestamp(c)
+    ts = _local_ts(c)
     # keep fractional seconds: second() truncates
     frac = ts.cast("decimal(38,6)") % 60
     return decimal_term(frac.cast(DECIMAL_T))

@@ -95,6 +95,8 @@ def eval_path(path, ctx) -> DataFrame:
         return inner.select(F.col(TGT).alias(SRC), F.col(SRC).alias(TGT),
                             *[F.col(c) for c in g])
     if isinstance(path, A.PathNegatedSet):
+        # bag semantics: NPS and inverse-NPS halves are an ALTERNATIVE
+        # (SPARQL 18.2.2.3) — union WITHOUT dedup
         parts = []
         if path.forward or not path.inverse:
             parts.append(_edges_for_predicate(ctx, path.forward, negated=True))
@@ -104,7 +106,7 @@ def eval_path(path, ctx) -> DataFrame:
         out = parts[0]
         for x in parts[1:]:
             out = out.unionByName(x)
-        return out.dropDuplicates()
+        return out
     if isinstance(path, A.PathSequence):
         l = eval_path(path.first, ctx)
         # rename right side to avoid self-join ambiguity (e.g. :p/:p)
@@ -114,12 +116,14 @@ def eval_path(path, ctx) -> DataFrame:
         cond = F.col(TGT) == F.col("__rsrc")
         for c in g:
             cond = cond & (F.col(c) == F.col(f"__rg_{c}"))
-        out = l.join(r, cond).select(F.col(SRC), F.col("__rtgt").alias(TGT),
-                                     *[F.col(c) for c in g])
-        return out.dropDuplicates()
+        # bag semantics: seq is a JOIN on the fresh middle var (SPARQL
+        # 18.2.2.3) — one row per derivation, duplicates preserved
+        return l.join(r, cond).select(F.col(SRC), F.col("__rtgt").alias(TGT),
+                                      *[F.col(c) for c in g])
     if isinstance(path, A.PathAlternative):
+        # bag semantics: alternative is a UNION without dedup
         return (eval_path(path.left, ctx)
-                .unionByName(eval_path(path.right, ctx)).dropDuplicates())
+                .unionByName(eval_path(path.right, ctx)))
     if isinstance(path, A.PathZeroOrOne):
         return _zero_length(ctx).unionByName(eval_path(path.inner, ctx)) \
             .dropDuplicates()

@@ -161,6 +161,105 @@ def _peel_unit_extends(p):
     return None
 
 
+def _pattern_scope(p) -> tuple:
+    """(bound, free): vars a pattern binds vs vars its EXPRESSIONS use
+    without the pattern binding them. Free vars that the enclosing solution
+    binds make an EXISTS correlated — the W3C substitution semantics
+    (SPARQL 1.1 sec 8.1.1 + errata) — and force the lateral evaluation
+    path. Sub-selects are opaque scopes (substitution does not descend)."""
+    def evars(e) -> set:
+        if isinstance(e, A.EVar):
+            return {e.name}
+        if isinstance(e, A.ECall):
+            out = set()
+            for a in e.args:
+                out |= evars(a)
+            return out
+        if isinstance(e, A.EExists):
+            return _pattern_scope(e.pattern)[1]
+        return set()
+
+    if isinstance(p, A.BGP):
+        bound = set()
+        for t in p.triples:
+            for x in (t.subject, t.predicate, t.object):
+                if isinstance(x, Variable):
+                    bound.add(x.name)
+        return bound, set()
+    if isinstance(p, A.PathPattern):
+        bound = {x.name for x in (p.subject, p.object)
+                 if isinstance(x, Variable)}
+        return bound, set()
+    if isinstance(p, A.Filter):
+        b, f = _pattern_scope(p.inner)
+        return b, f | (evars(p.expr) - b)
+    if isinstance(p, A.Extend):
+        b, f = _pattern_scope(p.inner)
+        return b | {p.var.name}, f | (evars(p.expr) - b)
+    if isinstance(p, (A.Join, A.Lateral)):
+        bl, fl = _pattern_scope(p.left)
+        br, fr = _pattern_scope(p.right)
+        return bl | br, fl | fr
+    if isinstance(p, A.LeftJoin):
+        bl, fl = _pattern_scope(p.left)
+        br, fr = _pattern_scope(p.right)
+        f = fl | fr
+        if p.expr is not None:
+            f |= evars(p.expr) - (bl | br)
+        return bl | br, f
+    if isinstance(p, A.Union):
+        bl, fl = _pattern_scope(p.left)
+        br, fr = _pattern_scope(p.right)
+        return bl & br, fl | fr
+    if isinstance(p, A.Minus):
+        bl, fl = _pattern_scope(p.left)
+        _, fr = _pattern_scope(p.right)
+        return bl, fl | fr
+    if isinstance(p, A.GraphNode):
+        b, f = _pattern_scope(p.inner)
+        if isinstance(p.name, Variable):
+            b = b | {p.name.name}
+        return b, f
+    if isinstance(p, A.ValuesNode):
+        return {v.name for v in p.variables}, set()
+    if isinstance(p, A.Project):
+        # sub-select: opaque scope, exposes only its projection
+        return {v.name for v in p.variables}, set()
+    if isinstance(p, (A.Distinct, A.Reduced, A.Slice, A.OrderBy, A.Group)):
+        return _pattern_scope(p.inner)
+    return set(), set()
+
+
+def _exists_correlated(outer: Solution, pattern) -> bool:
+    _, free = _pattern_scope(pattern)
+    return bool(free & outer.maybe)
+
+
+def _correlated_exists_seed(sol: Solution, ctx: Ctx):
+    """Materialize `sol` with a unique integer-term row key for lateral
+    EXISTS evaluation (same scheme as _lateral_of)."""
+    key = ctx.fresh("ex_id")
+    df = sol.df.withColumn(key, tv.int_term(F.monotonically_increasing_id()))
+    df = df.localCheckpoint(eager=True)
+    seed = replace(sol, df=df, bound=sol.bound | {key},
+                   maybe=sol.maybe | {key},
+                   kinds={**sol.kinds, key: tv.K_INTEGER})
+    return key, seed
+
+
+def _correlated_exists_join(sol: Solution, pattern, negated: bool,
+                            ctx: Ctx) -> Solution:
+    """FILTER (NOT) EXISTS with outer-var references inside the pattern:
+    evaluate the pattern laterally against the outer solution (outer
+    bindings substituted), then semi/anti join the outer rows on the seed
+    key. Every join is a hash join on the integer key."""
+    key, seed = _correlated_exists_seed(sol, ctx)
+    matched = _lat(pattern, seed, key, ctx)
+    keys = matched.df.select(key).dropDuplicates()
+    how = "left_anti" if negated else "left_semi"
+    return replace(sol, df=seed.df.join(keys, on=key, how=how).drop(key))
+
+
 def _has_exists(expr) -> bool:
     if isinstance(expr, A.EExists):
         return True
@@ -169,12 +268,31 @@ def _has_exists(expr) -> bool:
     return False
 
 
+def _correlated_exists_marker(sol: Solution, pattern, ctx: Ctx):
+    """Marker-column variant of the correlated EXISTS (for EXISTS nested
+    inside larger expressions): lateral evaluation, then a left join of
+    the seed against the distinct matched keys yields the boolean."""
+    name = ctx.fresh("exists")
+    key, seed = _correlated_exists_seed(sol, ctx)
+    matched = _lat(pattern, seed, key, ctx)
+    keys = matched.df.select(key).dropDuplicates() \
+        .withColumn(f"__m_{name}", F.lit(True))
+    df = seed.df.join(keys, on=key, how="left") \
+        .withColumn(name, tv.bool_term(F.col(f"__m_{name}").isNotNull())) \
+        .drop(f"__m_{name}", key)
+    return name, replace(sol, df=df, maybe=sol.maybe | {name},
+                         bound=sol.bound | {name})
+
+
 def _bind_exists_markers(expr, sol: Solution, ctx: Ctx):
     """Replace every EExists in `expr` with a variable bound to an
     xsd:boolean marker column on `sol`; returns (expr', sol')."""
     if isinstance(expr, A.EExists):
-        right = translate(expr.pattern, replace(ctx))
-        marker, sol = _exists_marker(sol, right, ctx)
+        if _exists_correlated(sol, expr.pattern):
+            marker, sol = _correlated_exists_marker(sol, expr.pattern, ctx)
+        else:
+            right = translate(expr.pattern, replace(ctx))
+            marker, sol = _exists_marker(sol, right, ctx)
         var_expr = A.EVar(marker)
         if expr.negated:
             return A.ECall("!", [var_expr]), sol
@@ -595,14 +713,20 @@ def _translate_filter(p: A.Filter, ctx: Ctx,
     plain = []
     for c in conjuncts:
         if isinstance(c, A.EExists):
-            inner_ctx = replace(ctx)
-            r = translate(c.pattern, inner_ctx)
-            sol = exists_join(sol, r, c.negated)
+            if _exists_correlated(sol, c.pattern):
+                sol = _correlated_exists_join(sol, c.pattern, c.negated, ctx)
+            else:
+                r = translate(c.pattern, replace(ctx))
+                sol = exists_join(sol, r, c.negated)
         elif (isinstance(c, A.ECall) and c.name == "!"
               and isinstance(c.args[0], A.EExists)):
-            inner_ctx = replace(ctx)
-            r = translate(c.args[0].pattern, inner_ctx)
-            sol = exists_join(sol, r, not c.args[0].negated)
+            ex = c.args[0]
+            if _exists_correlated(sol, ex.pattern):
+                sol = _correlated_exists_join(sol, ex.pattern,
+                                              not ex.negated, ctx)
+            else:
+                r = translate(ex.pattern, replace(ctx))
+                sol = exists_join(sol, r, not ex.negated)
         else:
             plain.append(c)
     if plain:

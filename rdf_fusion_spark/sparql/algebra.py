@@ -316,4 +316,6 @@ def pattern_variables(p) -> set[str]:
         return {v.name for v in p.variables}
     if isinstance(p, Group):
         return {v.name for v in p.keys} | {v.name for v, _ in p.aggregates}
+    if isinstance(p, Lateral):
+        return pattern_variables(p.left) | pattern_variables(p.right)
     raise TypeError(f"unknown pattern: {p!r}")

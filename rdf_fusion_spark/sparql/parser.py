@@ -471,6 +471,34 @@ class Parser:
         needs_group = has_group or bool(agg_list)
 
         if needs_group:
+            # syntax constraint (spec §18.2.4.1): projected variables must
+            # be group keys, aggregate results, or later aliases
+            if star:
+                raise SparqlSyntaxError(
+                    "SELECT * is not allowed with GROUP BY/aggregates")
+            allowed = {v.name for v in group_keys}
+
+            def _check_expr(e):
+                if isinstance(e, A.EVar):
+                    if not e.name.startswith("__agg_") \
+                            and e.name not in allowed:
+                        raise SparqlSyntaxError(
+                            f"variable ?{e.name} is neither grouped nor "
+                            "aggregated")
+                elif isinstance(e, A.ECall):
+                    for a in e.args:
+                        _check_expr(a)
+
+            for item in proj:
+                if isinstance(item, Variable) and item.name not in allowed:
+                    raise SparqlSyntaxError(
+                        f"variable ?{item.name} is neither grouped nor "
+                        "aggregated")
+            for v, e in select_exprs:
+                _check_expr(e)
+                allowed.add(v.name)
+
+        if needs_group:
             inner = pattern
             for v, e in group_exprs:
                 inner = A.Extend(inner, v, e)
@@ -635,6 +663,11 @@ class Parser:
                 self.expect_kw("AS")
                 v = self.parse_var()
                 self.expect_op(")")
+                # syntax constraint (spec §10.1): the BIND target must not
+                # already be in scope at this point in the group
+                if acc is not None and v.name in A.pattern_variables(acc):
+                    raise SparqlSyntaxError(
+                        f"BIND would rebind in-scope variable ?{v.name}")
                 acc = A.Extend(acc if acc is not None else A.BGP([]), v, e)
                 self.eat_op(".")
                 continue

@@ -18,6 +18,9 @@ MANIFESTS = [
     "/root/reference/testsuite/rdf-fusion-tests/sparql/manifest.ttl",
     "/root/reference/testsuite/oxigraph-tests/sparql/manifest.ttl",
     "/root/reference/testsuite/oxigraph-tests/sparql-results/manifest.ttl",
+    # re-authored sparql11 semantics suite (the rdf-tests submodule is
+    # empty in this snapshot — see tests/data/sparql11/README.md)
+    os.path.join(os.path.dirname(__file__), "data/sparql11/manifest.ttl"),
 ]
 
 
