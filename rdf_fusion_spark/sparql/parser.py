@@ -1102,6 +1102,17 @@ class Parser:
             self.expect_op(")")
             return A.AggCall("COUNT", None, distinct)
         e = self.parse_expression()
+
+        # syntax constraint: aggregates cannot nest (spec §18.2.4.1 —
+        # aggregate arguments are evaluated per group row, where no
+        # aggregate value exists)
+        def _no_nested_agg(x):
+            if isinstance(x, A.AggCall):
+                raise SparqlSyntaxError("nested aggregate in " + kw)
+            if isinstance(x, A.ECall):
+                for a in x.args:
+                    _no_nested_agg(a)
+        _no_nested_agg(e)
         sep = None
         if kw == "GROUP_CONCAT" and self.eat_op(";"):
             name = self.next()

@@ -160,7 +160,13 @@ class SparqlHttpServer:
                 if path in ("/query", "/default/query"):
                     q = params.get("query", [None])[0]
                     if q is None:
-                        return self._bad("missing 'query' parameter")
+                        # SPARQL SD: dereferencing the endpoint IRI yields
+                        # its service description (reference:
+                        # lib/web/src/repositories/service_description.rs)
+                        body, ctype = server.service_description(
+                            self.headers.get("Accept", ""))
+                        return self._send(200, body.encode(),
+                                          ctype + "; charset=utf-8")
                     return self._run_query(q, params)
                 if path in ("/store", "/default/data"):
                     accept = self.headers.get("Accept", "")
@@ -221,6 +227,46 @@ class SparqlHttpServer:
                 return self._bad("not found", 404)
 
         return Handler
+
+    def service_description(self, accept: str):
+        """SPARQL 1.1 Service Description document (sd: vocabulary),
+        content-negotiated through the RDF format registry."""
+        from ..sources.formats import serialize_rdf_lines, FORMATS, NTRIPLES, format_from_name
+        from ..store import GraphStore
+        from ..terms import NamedNode, BlankNode
+
+        SD = "http://www.w3.org/ns/sparql-service-description#"
+        FMT = "http://www.w3.org/ns/formats/"
+        svc = BlankNode("service")
+        endpoint = NamedNode(f"http://{self.host}:{self.port}/query")
+        t = [
+            (svc, NamedNode("http://www.w3.org/1999/02/22-rdf-syntax-ns#type"),
+             NamedNode(SD + "Service")),
+            (svc, NamedNode(SD + "endpoint"), endpoint),
+            (svc, NamedNode(SD + "supportedLanguage"),
+             NamedNode(SD + "SPARQL11Query")),
+            (svc, NamedNode(SD + "resultFormat"),
+             NamedNode(FMT + "SPARQL_Results_JSON")),
+            (svc, NamedNode(SD + "resultFormat"),
+             NamedNode(FMT + "SPARQL_Results_XML")),
+            (svc, NamedNode(SD + "resultFormat"),
+             NamedNode(FMT + "SPARQL_Results_CSV")),
+            (svc, NamedNode(SD + "resultFormat"),
+             NamedNode(FMT + "SPARQL_Results_TSV")),
+            (svc, NamedNode(SD + "resultFormat"), NamedNode(FMT + "N-Triples")),
+            (svc, NamedNode(SD + "resultFormat"), NamedNode(FMT + "Turtle")),
+        ]
+        if getattr(self.store, "union_default_graph", False):
+            t.append((svc, NamedNode(SD + "feature"),
+                      NamedNode(SD + "UnionDefaultGraph")))
+        quads = GraphStore.from_python_quads(
+            self.store.spark, [(None, s, p, o) for s, p, o in t]).quads
+        table = [(m, f.name) for f in FORMATS for m in f.media_types]
+        key = _accepted(accept, table) or "turtle"
+        fmt = format_from_name(key)
+        lines = serialize_rdf_lines(quads, fmt)
+        text = "\n".join(r["line"] for r in lines.toLocalIterator())
+        return text + "\n", fmt.media_type
 
     def serialize_graph(self, df, accept: str, graphs: bool = False):
         """Triples/quads DataFrame → (document text, media type)."""

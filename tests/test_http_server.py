@@ -135,3 +135,13 @@ def test_cli_convert_file_roundtrip(spark, tmp_path):
     assert rc == 0
     from rdf_fusion_spark.sources.ntriples import read_ntriples
     assert read_ntriples(spark, out).count() == 2
+
+
+def test_service_description(endpoint):
+    status, ctype, body = _get(endpoint, "/query", "text/turtle")
+    assert status == 200 and ctype == "text/turtle"
+    assert "sparql-service-description#Service" in body
+    assert f":{endpoint.port}/query" in body
+    # and it parses as RDF
+    from rdf_fusion_spark.sources.turtle import parse_turtle
+    assert len(parse_turtle(body)) >= 9

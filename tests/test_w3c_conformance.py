@@ -21,6 +21,7 @@ MANIFESTS = [
     # re-authored sparql11 semantics suite (the rdf-tests submodule is
     # empty in this snapshot — see tests/data/sparql11/README.md)
     os.path.join(os.path.dirname(__file__), "data/sparql11/manifest.ttl"),
+    os.path.join(os.path.dirname(__file__), "data/sparql11/manifest2.ttl"),
 ]
 
 
