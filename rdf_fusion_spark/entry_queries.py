@@ -659,6 +659,14 @@ def _pipe_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), LSH_THRESHOLD)
 
 
+def _pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters: connected components over the LSH pairs with a
+    canonical doc per cluster (the keep/drop decision of a corpus dedup)."""
+    from .pipeline.dedup import dup_clusters, minhash_lsh_pairs
+    docs = _docs(spark, sf_dir)
+    return dup_clusters(minhash_lsh_pairs(docs, LSH_THRESHOLD), docs)
+
+
 ANN_K = 3
 ANN_NUM_QUERIES = 10
 
@@ -813,7 +821,7 @@ def _pipeline_oracles() -> dict[str, str]:
         f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
         for i in range(8))
 
-    return {
+    out = {
         "q_text_stats": f"""
         SELECT doc_id,
                len({words})::BIGINT AS n_words,
@@ -1055,6 +1063,24 @@ def _pipeline_oracles() -> dict[str, str]:
         FROM per_session GROUP BY user_id
         """,
     }
+    # connected components over the LSH pairs: recursive label spreading
+    # (UNION-dedup), component id = min reachable doc id
+    out["q_dedup_clusters"] = f"""
+    WITH RECURSIVE pairs AS ({out['q_dedup_minhash_lsh']}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, comp) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.comp FROM walk w JOIN edges e ON w.id = e.src
+    )
+    SELECT id, MIN(comp) AS cluster_id, (id = MIN(comp)) AS is_canonical
+    FROM walk GROUP BY id
+    """
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -1619,6 +1645,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_fingerprint": _pipe_dedup_fingerprint,
     "q_dedup_jaccard_pairs": _pipe_dedup_jaccard,
     "q_dedup_minhash_lsh": _pipe_dedup_minhash,
+    "q_dedup_clusters": _pipe_dedup_clusters,
     "q_dedup_simhash": _pipe_simhash_pairs,
     "q_ann_cosine_topk": _pipe_ann_cosine,
     "q_ann_lsh": _pipe_ann_lsh_multiprobe,

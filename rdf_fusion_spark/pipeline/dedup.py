@@ -277,3 +277,50 @@ def simhash(df: DataFrame, text_col: str = "text",
         bit = F.when(F.col(f"c{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         value = bit if value is None else value + bit
     return agg.select("id", value.cast("long").alias("simhash"))
+
+
+def dup_clusters(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",
+                 max_iterations: int = 50) -> DataFrame:
+    """Near-duplicate CLUSTERS from a pair relation: connected components
+    over the (id_a, id_b) edges, with the minimum id as the cluster's
+    canonical representative.
+
+    Output: (id, cluster_id, is_canonical) — one row per document;
+    singleton documents form their own cluster. The standard last step of
+    a corpus-dedup pipeline: keep `is_canonical`, drop the rest.
+
+    Distributed min-label propagation (the hash-join connected-components
+    scheme GraphFrames/GraphX use for bounded-diameter graphs): every
+    iteration each node adopts the smallest label among itself and its
+    neighbors — two hash joins + one aggregate per round, localCheckpoint
+    to cut lineage, converging in O(cluster diameter) rounds. Near-dup
+    clusters are shallow (most are pairs/triangles), so rounds stay small
+    at any corpus size; no driver-side data beyond the convergence check.
+    """
+    edges = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = edges.unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))) \
+        .dropDuplicates().localCheckpoint(eager=True)
+    labels = docs.select(F.col(id_col).alias("id")).dropDuplicates() \
+        .withColumn("comp", F.col("id")) \
+        .localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        prop = (edges.join(labels.select(F.col("id").alias("src"), "comp"),
+                           "src")
+                .select(F.col("dst").alias("id"), "comp"))
+        new = (labels.select("id", "comp").unionByName(prop)
+               .groupBy("id").agg(F.min("comp").alias("comp"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n")
+                   .join(labels.alias("o"), "id")
+                   .where(F.col("n.comp") != F.col("o.comp")).head(1))
+        labels = new
+        if not changed:
+            break
+    else:
+        raise RuntimeError(
+            f"dup_clusters did not converge in {max_iterations} rounds "
+            "(cluster diameter exceeds the cap)")
+    return labels.select(
+        F.col("id"), F.col("comp").alias("cluster_id"),
+        (F.col("id") == F.col("comp")).alias("is_canonical"))

@@ -131,3 +131,18 @@ def test_repartition_by_bytes(media):
     df = multimodal.repartition_by_bytes(media, target_bytes=50)
     assert df.rdd.getNumPartitions() >= 2
     assert df.count() == 4
+
+
+def test_dup_clusters_components(spark):
+    """Connected components over pair edges: chain merges transitively,
+    singletons self-cluster, min id is canonical."""
+    from rdf_fusion_spark.pipeline.dedup import dup_clusters
+
+    docs = spark.createDataFrame(
+        [("a",), ("b",), ("c",), ("d",), ("e",)], "doc_id string")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("d", "e")], "id_a string, id_b string")
+    got = {r["id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dup_clusters(pairs, docs).collect()}
+    assert got == {"a": ("a", True), "b": ("a", False), "c": ("a", False),
+                   "d": ("d", True), "e": ("d", False)}
