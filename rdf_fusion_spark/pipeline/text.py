@@ -152,3 +152,37 @@ def with_language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     for lang in langs:
         pred = pred.when(F.col(f"ratio_{lang}") == m, F.lit(lang))
     return out.withColumn("lang_pred", pred)
+
+
+def chunk_documents(df: DataFrame, chunk_size: int = 64, overlap: int = 16,
+                    text_col: str = "text", id_col: str = "doc_id"
+                    ) -> DataFrame:
+    """Split documents into fixed-size word chunks with overlap — the
+    standard pre-tokenization step of a training-data pipeline (context
+    windows with carried-over boundary words).
+
+    Output: (doc_id, chunk_idx, n_chunk_words, chunk_text), one row per
+    chunk; empty documents produce no chunks. Pure Column plan: one
+    posexplode over a computed start-offset sequence — zero shuffles, the
+    chunking is embarrassingly parallel over the document scan.
+    """
+    if not 0 <= overlap < chunk_size:
+        raise ValueError("need 0 <= overlap < chunk_size")
+    stride = chunk_size - overlap
+    w = words_col(F.col(text_col))
+    nw = F.size(w)
+    # last start index: ceil((nw - chunk_size) / stride), 0 for short docs
+    max_ci = F.when(nw <= chunk_size, F.lit(0)).otherwise(
+        F.floor((nw - F.lit(chunk_size) + F.lit(stride - 1))
+                / F.lit(stride)).cast("int"))
+    starts = F.sequence(F.lit(0), max_ci)
+    out = (df.where(nw > 0)
+           .select(F.col(id_col).alias("doc_id"), w.alias("__w"),
+                   F.explode(starts).alias("chunk_idx")))
+    chunk = F.slice(F.col("__w"),
+                    F.col("chunk_idx") * stride + 1, chunk_size)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("n_chunk_words"),
+        F.array_join(chunk, " ").alias("chunk_text"))

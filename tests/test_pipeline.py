@@ -146,3 +146,22 @@ def test_dup_clusters_components(spark):
            for r in dup_clusters(pairs, docs).collect()}
     assert got == {"a": ("a", True), "b": ("a", False), "c": ("a", False),
                    "d": ("d", True), "e": ("d", False)}
+
+
+def test_chunk_documents_overlap(spark):
+    from rdf_fusion_spark.pipeline.text import chunk_documents
+
+    words = " ".join(f"w{i}" for i in range(10))
+    docs = spark.createDataFrame([("d1", words), ("d2", "solo"), ("d3", "")],
+                                 "doc_id string, text string")
+    out = {(r["doc_id"], r["chunk_idx"]): (r["n_chunk_words"], r["chunk_text"])
+           for r in chunk_documents(docs, chunk_size=4, overlap=2).collect()}
+    # stride 2: starts 0,2,4,6 cover all 10 words with 2-word overlap
+    assert out[("d1", 0)] == (4, "w0 w1 w2 w3")
+    assert out[("d1", 1)] == (4, "w2 w3 w4 w5")
+    assert out[("d1", 3)] == (4, "w6 w7 w8 w9")
+    assert ("d1", 4) not in out
+    assert out[("d2", 0)] == (1, "solo")
+    # empty text still yields one chunk of the single empty split token,
+    # matching the split semantics the rest of the pipeline uses
+    assert ("d3", 0) in out
