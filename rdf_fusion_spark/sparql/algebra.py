@@ -319,3 +319,71 @@ def pattern_variables(p) -> set[str]:
     if isinstance(p, Lateral):
         return pattern_variables(p.left) | pattern_variables(p.right)
     raise TypeError(f"unknown pattern: {p!r}")
+
+
+# ---------------------------------------------------------------------------
+# SPARQL 1.1 Update (reference: lib/rdf-fusion/src/store.rs:409-475 update();
+# operation grammar from the public SPARQL 1.1 Update spec)
+# ---------------------------------------------------------------------------
+
+# A quad pattern/template: (graph, s, p, o) where graph is None (default),
+# a NamedNode, or a Variable; positions are Terms or Variables.
+QuadPattern = tuple
+
+
+@dataclass
+class InsertDataOp:
+    quads: list  # ground QuadPatterns (bnodes allowed, minted per op)
+
+
+@dataclass
+class DeleteDataOp:
+    quads: list  # ground QuadPatterns (bnodes forbidden by the grammar)
+
+
+@dataclass
+class DeleteWhereOp:
+    quads: list  # QuadPatterns doubling as pattern and delete template
+
+
+@dataclass
+class ModifyOp:
+    """[WITH g] DELETE {..} INSERT {..} [USING ..] WHERE {..}"""
+    delete_quads: list
+    insert_quads: list
+    pattern: "GraphPattern"
+    with_graph: Optional[NamedNode] = None
+    dataset: Optional[Dataset] = None
+
+
+@dataclass
+class LoadOp:
+    source: NamedNode
+    graph: Optional[NamedNode] = None
+    silent: bool = False
+
+
+@dataclass
+class ClearOp:
+    target: object  # "default" | "named" | "all" | NamedNode
+    silent: bool = False
+    drop: bool = False  # DROP vs CLEAR (same effect in a quad store)
+
+
+@dataclass
+class CreateOp:
+    graph: NamedNode
+    silent: bool = False
+
+
+@dataclass
+class GraphManagementOp:
+    """COPY / MOVE / ADD between graphs ("default" or NamedNode)."""
+    kind: str  # "COPY" | "MOVE" | "ADD"
+    source: object
+    target: object
+    silent: bool = False
+
+
+UpdateOp = TUnion[InsertDataOp, DeleteDataOp, DeleteWhereOp, ModifyOp,
+                  LoadOp, ClearOp, CreateOp, GraphManagementOp]

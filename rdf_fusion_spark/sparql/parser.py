@@ -290,6 +290,176 @@ class Parser:
                 f"unexpected trailing input at {self.peek().pos}: {self.peek().value!r}")
         return q
 
+    # ------------------------------------------------------------------
+    # SPARQL 1.1 Update (reference surface: store.rs:409-475 update())
+    # ------------------------------------------------------------------
+
+    def parse_update(self) -> list:
+        ops: list = []
+        while True:
+            self._prologue()
+            if self.peek().kind == "EOF":
+                break
+            ops.append(self._update_op())
+            if not self.eat_op(";"):
+                break
+        if self.peek().kind != "EOF":
+            raise SparqlSyntaxError(
+                f"unexpected trailing input at {self.peek().pos}")
+        return ops
+
+    def _update_op(self):
+        if self.at_kw("INSERT"):
+            self.next()
+            if self.eat_kw("DATA"):
+                return A.InsertDataOp(self._quad_block(ground=True))
+            ins = self._quad_block(allow_vars=True)
+            return self._modify_tail(None, [], ins)
+        if self.at_kw("DELETE"):
+            self.next()
+            if self.eat_kw("DATA"):
+                return A.DeleteDataOp(
+                    self._quad_block(ground=True, allow_bnodes=False))
+            if self.at_kw("WHERE"):
+                self.next()
+                return A.DeleteWhereOp(
+                    self._quad_block(allow_bnodes=False, allow_vars=True))
+            dels = self._quad_block(allow_bnodes=False, allow_vars=True)
+            ins = []
+            if self.eat_kw("INSERT"):
+                ins = self._quad_block(allow_vars=True)
+            return self._modify_tail(None, dels, ins)
+        if self.at_kw("WITH"):
+            self.next()
+            g = self.parse_iri()
+            dels, ins = [], []
+            if self.eat_kw("DELETE"):
+                dels = self._quad_block(allow_bnodes=False, allow_vars=True)
+                if self.eat_kw("INSERT"):
+                    ins = self._quad_block(allow_vars=True)
+            elif self.eat_kw("INSERT"):
+                ins = self._quad_block(allow_vars=True)
+            else:
+                raise SparqlSyntaxError("WITH requires DELETE/INSERT")
+            return self._modify_tail(g, dels, ins)
+        if self.at_kw("LOAD"):
+            self.next()
+            silent = bool(self.eat_kw("SILENT"))
+            src = self.parse_iri()
+            graph = None
+            if self.eat_kw("INTO"):
+                self.expect_kw("GRAPH")
+                graph = self.parse_iri()
+            return A.LoadOp(src, graph, silent)
+        if self.at_kw("CLEAR") or self.at_kw("DROP"):
+            drop = self.next().value.upper() == "DROP"
+            silent = bool(self.eat_kw("SILENT"))
+            return A.ClearOp(self._graph_ref(), silent, drop)
+        if self.at_kw("CREATE"):
+            self.next()
+            silent = bool(self.eat_kw("SILENT"))
+            self.expect_kw("GRAPH")
+            return A.CreateOp(self.parse_iri(), silent)
+        if self.at_kw("COPY") or self.at_kw("MOVE") or self.at_kw("ADD"):
+            kind = self.next().value.upper()
+            silent = bool(self.eat_kw("SILENT"))
+            src = self._graph_or_default()
+            self.expect_kw("TO")
+            return A.GraphManagementOp(kind, src, self._graph_or_default(),
+                                       silent)
+        raise SparqlSyntaxError(
+            f"expected update operation at {self.peek().pos}: "
+            f"{self.peek().value!r}")
+
+    def _graph_ref(self):
+        if self.eat_kw("GRAPH"):
+            return self.parse_iri()
+        if self.eat_kw("DEFAULT"):
+            return "default"
+        if self.eat_kw("NAMED"):
+            return "named"
+        if self.eat_kw("ALL"):
+            return "all"
+        raise SparqlSyntaxError("expected GRAPH <iri> | DEFAULT | NAMED | ALL")
+
+    def _graph_or_default(self):
+        if self.eat_kw("DEFAULT"):
+            return "default"
+        self.eat_kw("GRAPH")
+        return self.parse_iri()
+
+    def _modify_tail(self, with_graph, dels, ins):
+        using = A.Dataset()
+        seen_using = False
+        while self.at_kw("USING"):
+            self.next()
+            seen_using = True
+            if self.eat_kw("NAMED"):
+                using.named.append(self.parse_iri())
+            else:
+                using.default.append(self.parse_iri())
+        self.expect_kw("WHERE")
+        pattern = self.parse_group_graph_pattern()
+        return A.ModifyOp(dels, ins, pattern, with_graph=with_graph,
+                          dataset=using if seen_using else None)
+
+    def _template_triples(self) -> list:
+        triples = []
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.value == "}":
+                break
+            if t.kind == "KEYWORD_OR_NAME" and t.value.upper() == "GRAPH":
+                break
+            triples.extend(self._triples_same_subject(allow_paths=False))
+            if not self.eat_op("."):
+                break
+        return triples
+
+    def _quad_block(self, ground: bool = False, allow_bnodes: bool = True,
+                    allow_vars: bool = False) -> list:
+        """'{' Quads '}' → list of (graph, s, p, o) quad patterns."""
+        self.expect_op("{")
+        quads: list = []
+        while True:
+            t = self.peek()
+            if t.kind == "OP" and t.value == "}":
+                self.next()
+                break
+            if t.kind == "KEYWORD_OR_NAME" and t.value.upper() == "GRAPH":
+                self.next()
+                if self.peek().kind == "VAR":
+                    g = self.parse_var()
+                else:
+                    g = self.parse_iri()
+                self.expect_op("{")
+                for tp in self._template_triples():
+                    quads.append((g, tp.subject, tp.predicate, tp.object))
+                self.expect_op("}")
+                self.eat_op(".")
+                continue
+            for tp in self._template_triples():
+                quads.append((None, tp.subject, tp.predicate, tp.object))
+        from ..terms import BlankNode as _BN
+        for q in quads:
+            for x in q:
+                if isinstance(x, Variable):
+                    # '[...]'/'_:' parse to __bn_ template vars — they are
+                    # blank nodes, not variables, for these constraints
+                    if x.name.startswith("__bn_"):
+                        if not allow_bnodes:
+                            raise SparqlSyntaxError(
+                                "blank nodes are not allowed in DELETE "
+                                "templates")
+                    elif ground or not allow_vars:
+                        raise SparqlSyntaxError(
+                            f"variable ?{x.name} not allowed in this "
+                            "quad block")
+                elif isinstance(x, _BN) and not allow_bnodes:
+                    raise SparqlSyntaxError(
+                        "blank nodes are not allowed in DELETE templates")
+        return quads
+
     def _prologue(self):
         while True:
             if self.at_kw("PREFIX"):
@@ -1126,3 +1296,8 @@ class Parser:
 
 def parse_query(text: str) -> A.Query:
     return Parser(text).parse_query()
+
+
+def parse_update(text: str) -> list:
+    """SPARQL 1.1 Update string → list of UpdateOp."""
+    return Parser(text).parse_update()

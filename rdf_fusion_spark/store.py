@@ -330,6 +330,42 @@ class GraphStore:
     # SPARQL
     # ------------------------------------------------------------------
 
+    def update(self, sparql: str) -> None:
+        """Execute a SPARQL 1.1 Update string against this store
+        (reference: store.rs:409-475). Mutates `self.quads` in place;
+        operations apply sequentially, each atomic over the pre-state."""
+        from .sparql.parser import parse_update
+        from .plans.update import execute_update
+        execute_update(self, parse_update(sparql))
+
+    def insert(self, quad) -> None:
+        """Insert one (graph|None, s, p, o) quad (store.rs:516-528)."""
+        self.extend([quad])
+
+    def extend(self, quads) -> None:
+        """Insert an iterable of quads with set semantics
+        (store.rs:529-558)."""
+        from .plans.update import insert_quads_df
+        insert_quads_df(self, GraphStore.from_python_quads(
+            self.spark, quads).quads)
+
+    def remove(self, quad) -> None:
+        """Remove one quad if present (store.rs:560-584)."""
+        from .plans.update import remove_quads_df
+        remove_quads_df(self, GraphStore.from_python_quads(
+            self.spark, [quad]).quads)
+
+    def clear(self) -> None:
+        """Drop every quad (store.rs clear)."""
+        self.quads = self.spark.createDataFrame([], QUADS_SCHEMA)
+
+    def named_graph_names(self) -> list:
+        """Distinct named-graph terms (store.rs:659-676)."""
+        from .terms import term_to_python
+        rows = self.quads.where(F.col(COL_GRAPH).isNotNull()) \
+            .select(COL_GRAPH).distinct().collect()
+        return [term_to_python(r[COL_GRAPH]) for r in rows]
+
     def query(self, sparql: str, dataset=None):
         """Parse + translate + return the result (DataFrame-backed).
 

@@ -286,7 +286,8 @@ def seq_equal(got: list[dict], exp: list[dict]) -> bool:
 SKIP_SUBSTRINGS = {
     "SERVICE": "SPARQL Federation — reference ignores (sparql.rs)",
     "SPARQL-star": "reference ignores SPARQL-star (sparql.rs)",
-    "Update": "SPARQL Update — reference ignores (sparql.rs)",
+    "UpdateEvaluationTest": "update eval vocabulary (ut:) not wired; "
+                            "update execution is covered by tests/test_update.py",
     "literals have an order": "implementation-defined tie-break order",
 }
 
@@ -355,6 +356,17 @@ def run_case(spark, case: TestCase) -> tuple[bool, str]:
         return False, "parser accepted an invalid query"
     if case.type in ("PositiveSyntaxTest", "PositiveSyntaxTest11"):
         parse_query(query_text)
+        return True, "parsed"
+    if case.type == "NegativeUpdateSyntaxTest11":
+        from ..sparql.parser import parse_update
+        try:
+            parse_update(query_text)
+        except Exception:
+            return True, "rejected as expected"
+        return False, "parser accepted an invalid update"
+    if case.type == "PositiveUpdateSyntaxTest11":
+        from ..sparql.parser import parse_update
+        parse_update(query_text)
         return True, "parsed"
     if case.type != "QueryEvaluationTest":
         return False, f"unsupported test type {case.type}"

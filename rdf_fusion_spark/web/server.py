@@ -206,6 +206,23 @@ class SparqlHttpServer:
                     if ctype in ("application/sparql-query", ""):
                         return self._run_query(body, params)
                     return self._bad(f"unsupported content type {ctype}", 415)
+                if path in ("/update", "/default/update"):
+                    if ctype == "application/x-www-form-urlencoded":
+                        form = urllib.parse.parse_qs(body)
+                        upd = form.get("update", [None])[0]
+                    elif ctype in ("application/sparql-update", ""):
+                        upd = body
+                    else:
+                        return self._bad(
+                            f"unsupported content type {ctype}", 415)
+                    if not upd:
+                        return self._bad("missing 'update' parameter")
+                    try:
+                        with server._lock:
+                            server.store.update(upd)
+                    except Exception as e:
+                        return self._bad(f"update error: {e}")
+                    return self._send(204, b"", "text/plain")
                 if path in ("/store", "/default/data"):
                     from ..sources.formats import format_from_name, parse_rdf
                     fmt = format_from_name(ctype or "application/n-quads")

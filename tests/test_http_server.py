@@ -145,3 +145,31 @@ def test_service_description(endpoint):
     # and it parses as RDF
     from rdf_fusion_spark.sources.turtle import parse_turtle
     assert len(parse_turtle(body)) >= 9
+
+
+def test_update_endpoint(spark):
+    """SPARQL Protocol update operation on a dedicated store."""
+    from rdf_fusion_spark import GraphStore
+    from rdf_fusion_spark.web import SparqlHttpServer
+
+    server = SparqlHttpServer(GraphStore.empty(spark), "127.0.0.1", 0)
+    server.start_background()
+    try:
+        status, _, _ = _post(
+            server, "/update",
+            "INSERT DATA { <http://e/a> <http://e/p> 1 }",
+            "application/sparql-update")
+        assert status == 204
+        status, _, _ = _post(
+            server, "/update",
+            urllib.parse.urlencode(
+                {"update": "INSERT DATA { <http://e/a> <http://e/p> 2 }"}),
+            "application/x-www-form-urlencoded")
+        assert status == 204
+        q = "SELECT ?o WHERE { <http://e/a> <http://e/p> ?o }"
+        _, _, body = _get(server, "/query?query=" + urllib.parse.quote(q))
+        vals = sorted(b["o"]["value"]
+                      for b in json.loads(body)["results"]["bindings"])
+        assert vals == ["1", "2"]
+    finally:
+        server.stop()
