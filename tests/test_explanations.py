@@ -58,3 +58,33 @@ def test_assert_scale_safe_catches_bnlj(spark):
     assert ex.nested_loop_joins()
     with pytest.raises(AssertionError):
         ex.assert_scale_safe()
+
+
+# (Excluded by design: q_ann_ivf — centroid assignment broadcasts the
+# O(nlist)-row centroid table against the corpus scan, a bounded-side
+# nested loop that IS the IVF coarse-quantization plan.)
+PIPELINE_SCALE_SAFE = [
+    "q_dedup_exact",
+    "q_dedup_fingerprint",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_dedup_embedding_cosine",
+    "q_dedup_clusters",
+    "q_ann_lsh",
+    "q_text_stats",
+    "q_text_top_words",
+    "q_text_chunks",
+    "q_events_sessionize",
+    "q_events_json_props",
+]
+
+
+@pytest.mark.parametrize("name", PIPELINE_SCALE_SAFE)
+def test_pipeline_plans_have_no_nested_loops(spark, name):
+    """LLM-pipeline operators must stay hash-join/bucket-join shaped: a
+    nested loop anywhere means the candidate-generation trick (banding,
+    LSH buckets, IVF cells) silently degraded to all-pairs."""
+    from rdf_fusion_spark.plans.translator import _explain
+    df = EQ.queries()[name](spark, SF_DIR)
+    ex = _explain(df)
+    ex.assert_scale_safe()
