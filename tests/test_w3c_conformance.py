@@ -22,6 +22,7 @@ MANIFESTS = [
     # empty in this snapshot — see tests/data/sparql11/README.md)
     os.path.join(os.path.dirname(__file__), "data/sparql11/manifest.ttl"),
     os.path.join(os.path.dirname(__file__), "data/sparql11/manifest2.ttl"),
+    os.path.join(os.path.dirname(__file__), "data/sparql11/manifest3.ttl"),
 ]
 
 
