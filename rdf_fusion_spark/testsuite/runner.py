@@ -20,7 +20,7 @@ from pathlib import Path
 from typing import Optional
 
 from ..terms import BlankNode, Literal, NamedNode, Term, term_to_python
-from .vocab import MF, QT, RDF
+from .vocab import MF, QT, RDF, RDFS, UT
 
 SRX_NS = "{http://www.w3.org/2005/sparql-results#}"
 
@@ -38,6 +38,12 @@ class TestCase:
     data: list[str] = field(default_factory=list)
     graph_data: list[str] = field(default_factory=list)
     result: Optional[str] = None   # file path
+    # UpdateEvaluationTest (ut: vocabulary): pre-state named graphs carry
+    # explicit labels, and the expectation is a full dataset (default +
+    # labeled named graphs) rather than a single result document
+    graph_labels: dict = field(default_factory=dict)   # path -> graph IRI
+    result_data: list[str] = field(default_factory=list)
+    result_graph_data: list[tuple] = field(default_factory=list)  # (path, IRI)
 
 
 class _Graph:
@@ -74,6 +80,39 @@ def _to_path(term: Term, base_dir: Path) -> str:
     return str(base_dir / iri)
 
 
+def _load_update_parts(g: "_Graph", node: Optional[Term], base_dir: Path,
+                       case: TestCase, pre: bool) -> None:
+    """Walk a ut: action/result node (SPARQL 1.1 update-evaluation
+    vocabulary): ut:request, ut:data, and ut:graphData — the latter either
+    a direct file reference or [ ut:graph <file> ; rdfs:label "iri" ]."""
+    if node is None:
+        return
+    req = g.obj(node, UT + "request")
+    if pre and req is not None:
+        case.query = _to_path(req, base_dir)
+    data = [_to_path(d, base_dir) for d in g.objs(node, UT + "data")]
+    named: list[tuple] = []
+    for gd in g.objs(node, UT + "graphData"):
+        if isinstance(gd, NamedNode):
+            path = _to_path(gd, base_dir)
+            named.append((path, f"file://{path}"))
+            continue
+        f = g.obj(gd, UT + "graph")
+        label = g.obj(gd, RDFS + "label")
+        if f is None:
+            continue
+        path = _to_path(f, base_dir)
+        iri = label.lexical if isinstance(label, Literal) else f"file://{path}"
+        named.append((path, iri))
+    if pre:
+        case.data = data
+        case.graph_data = [p for p, _ in named]
+        case.graph_labels = {p: iri for p, iri in named}
+    else:
+        case.result_data = data
+        case.result_graph_data = named
+
+
 def load_manifest(path: str) -> list[TestCase]:
     """Parse a manifest.ttl (following mf:include) into test cases."""
     from ..sources.turtle import parse_turtle
@@ -100,6 +139,13 @@ def load_manifest(path: str) -> list[TestCase]:
             name=name_t.lexical if isinstance(name_t, Literal) else "",
         )
         action = g.obj(entry, MF + "action")
+        if ttype == "UpdateEvaluationTest":
+            _load_update_parts(g, action, p.parent, case, pre=True)
+            result = g.obj(entry, MF + "result")
+            if result is not None:
+                _load_update_parts(g, result, p.parent, case, pre=False)
+            cases.append(case)
+            continue
         if isinstance(action, NamedNode) and g.obj(action, QT + "query") is None:
             # action is directly the query file (syntax tests)
             case.query = _to_path(action, p.parent)
@@ -221,11 +267,19 @@ def _load_store(spark, case: TestCase):
                                f"file://{path}")
         quads.extend((None, s, p, o) for s, p, o in triples)
     for path in case.graph_data:
-        g = NamedNode(f"file://{path}")
+        g = NamedNode(case.graph_labels.get(path, f"file://{path}"))
         triples = parse_turtle(Path(path).read_text(encoding="utf-8"),
                                f"file://{path}")
         quads.extend((g, s, p, o) for s, p, o in triples)
     return GraphStore.from_python_quads(spark, quads)
+
+
+def datasets_equal(got: list[tuple], exp: list[tuple]) -> bool:
+    """Quad-set equality under ONE bnode bijection spanning all graphs
+    (graph names are IRIs, so they compare literally)."""
+    g = [{"g": gr, "s": s, "p": p, "o": o} for gr, s, p, o in got]
+    e = [{"g": gr, "s": s, "p": p, "o": o} for gr, s, p, o in exp]
+    return bag_equal(g, e)
 
 
 RS = "http://www.w3.org/2001/sw/DataAccess/tests/result-set#"
@@ -286,8 +340,6 @@ def seq_equal(got: list[dict], exp: list[dict]) -> bool:
 SKIP_SUBSTRINGS = {
     "SERVICE": "SPARQL Federation — reference ignores (sparql.rs)",
     "SPARQL-star": "reference ignores SPARQL-star (sparql.rs)",
-    "UpdateEvaluationTest": "update eval vocabulary (ut:) not wired; "
-                            "update execution is covered by tests/test_update.py",
     "literals have an order": "implementation-defined tie-break order",
 }
 
@@ -338,6 +390,42 @@ def _run_results_syntax_case(case: TestCase) -> tuple[bool, str]:
     return True, "parsed"
 
 
+def _quad_row(g, s, p, o) -> dict:
+    row = {"s": s, "p": p, "o": o}
+    if g is not None:
+        row["g"] = g
+    return row
+
+
+def _run_update_case(spark, case: TestCase, request: str) -> tuple[bool, str]:
+    """ut:-vocabulary update evaluation: build the pre-state dataset, apply
+    the update request, compare the full post-state dataset (default graph +
+    labeled named graphs) against the expectation under one bnode bijection
+    (W3C sparql11 UpdateEvaluationTest semantics)."""
+    from ..sources.turtle import parse_turtle
+
+    store = _load_store(spark, case)
+    store.update(request)
+
+    got = [
+        _quad_row(term_to_python(r["graph"]), term_to_python(r["subject"]),
+                  term_to_python(r["predicate"]), term_to_python(r["object"]))
+        for r in store.quads.collect()
+    ]
+    exp: list[dict] = []
+    for path in case.result_data:
+        for s, p, o in parse_turtle(Path(path).read_text(encoding="utf-8"),
+                                    f"file://{path}"):
+            exp.append(_quad_row(None, s, p, o))
+    for path, iri in case.result_graph_data:
+        gn = NamedNode(iri)
+        for s, p, o in parse_turtle(Path(path).read_text(encoding="utf-8"),
+                                    f"file://{path}"):
+            exp.append(_quad_row(gn, s, p, o))
+    ok = bag_equal(got, exp)
+    return ok, f"post-state {len(got)} quads vs {len(exp)} expected"
+
+
 def run_case(spark, case: TestCase) -> tuple[bool, str]:
     """Execute one test case; (passed, detail)."""
     from ..plans.translator import AskResult, GraphResult, SelectResult
@@ -368,6 +456,8 @@ def run_case(spark, case: TestCase) -> tuple[bool, str]:
         from ..sparql.parser import parse_update
         parse_update(query_text)
         return True, "parsed"
+    if case.type == "UpdateEvaluationTest":
+        return _run_update_case(spark, case, query_text)
     if case.type != "QueryEvaluationTest":
         return False, f"unsupported test type {case.type}"
 
