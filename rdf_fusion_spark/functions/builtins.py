@@ -302,8 +302,21 @@ def _fn_bnode(args, resolve):
 
 
 def _fn_strdt(args, resolve):
+    from ..sparql.algebra import ETerm
+    from ..terms import (NamedNode, static_kind_for_datatype,
+                         term_struct_static_dt)
+
     lex = compile_expr(args[0], resolve)
-    dt = compile_expr(args[1], resolve)
+    dt_node = args[1]
+    if isinstance(dt_node, ETerm) and isinstance(dt_node.term, NamedNode):
+        # constant datatype (the common case): static kind, no runtime
+        # datatype-dispatch ladders in the struct (see term_struct_static_dt)
+        iri = dt_node.term.iri
+        k = static_kind_for_datatype(iri)
+        out = F.when(is_plain_string(lex),
+                     term_struct_static_dt(lex["v"], iri))
+        return tv.tag(out, tv.SK_PLAIN if k == tv.K_STRING else k)
+    dt = compile_expr(dt_node, resolve)
     return F.when(
         is_plain_string(lex) & (dt["t"] == TT_IRI),
         term_struct(F.lit(TT_LITERAL), lex["v"], dt["v"]),
@@ -334,13 +347,19 @@ def _fn_strlen(args, resolve):
 
 
 def _fn_substr(args, resolve):
+    # XPath fn:substring window semantics: the result is the characters at
+    # positions p (1-based) with start <= p < start + length — so a start
+    # below 1 consumes part of the window before the string begins
+    # (SUBSTR("motor", 0, 3) = "mo"), unlike Spark's substr(0, 3) = "mot"
     c = compile_expr(args[0], resolve)
     start = as_long(compile_expr(args[1], resolve)).cast("int")
+    eff_start = F.greatest(start, F.lit(1))
     if len(args) >= 3:
         length = as_long(compile_expr(args[2], resolve)).cast("int")
-        new = c["v"].substr(start, length)
+        eff_len = F.greatest(start + length - eff_start, F.lit(0))
+        new = c["v"].substr(eff_start, eff_len)
     else:
-        new = c["v"].substr(start, F.lit(2147483647))
+        new = c["v"].substr(eff_start, F.lit(2147483647))
     return _preserve_lang(c, new)
 
 
@@ -596,6 +615,8 @@ def _cast_fn(name: str):
     def fn(args, resolve):
         c = compile_expr(args[0], resolve)
         sk = tv.skind(c)
+        if sk == tv.SK_NUM:
+            sk = None  # numeric-but-rank-unknown: use the runtime ladders
         if target in ("integer", "int", "long", "short", "byte"):
             if sk is not None:
                 # single-branch: the input's kind is statically known

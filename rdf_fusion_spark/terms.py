@@ -398,6 +398,59 @@ def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None,
     )
 
 
+def static_kind_for_datatype(dt: Optional[str]) -> int:
+    """k for a datatype IRI known at plan-build time (mirrors the runtime
+    ladder in term_struct and the Python-side switch in term_py_row)."""
+    if dt is None or dt in (XSD_STRING, RDF_LANG_STRING):
+        return K_STRING
+    if dt in INTEGER_TYPES:
+        return K_INTEGER
+    if dt == XSD_DECIMAL:
+        return K_DECIMAL
+    if dt == XSD_FLOAT:
+        return K_FLOAT
+    if dt == XSD_DOUBLE:
+        return K_DOUBLE
+    if dt == XSD_BOOLEAN:
+        return K_BOOLEAN
+    if dt in (XSD_DATETIME, XSD_DATE, XSD_TIME):
+        return K_DATETIME
+    if dt in DURATION_TYPES:
+        return K_DURATION
+    return K_OTHER
+
+
+def term_struct_static_dt(v: Column, dt: str) -> Column:
+    """Literal term struct for a CONSTANT datatype IRI (e.g. STRDT with a
+    literal IRI argument, the common case).
+
+    term_struct's derived k/x/d/ts are runtime ladders over every kind —
+    including the duration regex parsers — and Catalyst's extract-value
+    simplification duplicates those ladders into every downstream field
+    reference, exploding the optimized tree (a single STRDT + '=' took
+    ~10 s to plan). With the datatype fixed, k is a constant and only the
+    views this datatype can populate are built.
+    """
+    k = static_kind_for_datatype(dt)
+    none = F.lit(None)
+    x = d = ts = none
+    if k in (K_INTEGER, K_DECIMAL):
+        x, d = v.try_cast("double"), v.try_cast("decimal(38,18)")
+    elif k in (K_FLOAT, K_DOUBLE):
+        x = v.try_cast("double")
+    elif k == K_BOOLEAN:
+        x = (F.when(v.isin("true", "1"), 1.0)
+             .when(v.isin("false", "0"), 0.0))
+    elif k == K_DATETIME:
+        ts = (F.concat(F.lit("1970-01-01 "), v).try_cast("timestamp")
+              if dt == XSD_TIME else v.try_cast("timestamp"))
+    elif k == K_DURATION:
+        x = duration_months_col(v).cast("double")
+        d = duration_seconds_col(v)
+    return term_struct(F.lit(TT_LITERAL), v, F.lit(dt), None,
+                       k, x, d, ts)
+
+
 def iri_col(v: Column) -> Column:
     return term_struct(_tt(TT_IRI), v)
 
