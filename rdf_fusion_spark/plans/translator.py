@@ -146,6 +146,85 @@ def _expr_has_vars(expr) -> bool:
     return False
 
 
+def _expr_vars(e) -> set:
+    if isinstance(e, A.EVar):
+        return {e.name}
+    if isinstance(e, A.ECall):
+        out = set()
+        for a in e.args:
+            out |= _expr_vars(a)
+        return out
+    return set()
+
+
+def _sk_of_term(t) -> Optional[int]:
+    from ..terms import BlankNode, static_kind_for_datatype
+    if isinstance(t, NamedNode):
+        return tv.SK_IRI
+    if isinstance(t, BlankNode):
+        return tv.SK_BNODE
+    if isinstance(t, Literal):
+        if t.language is not None:
+            return tv.K_STRING
+        k = static_kind_for_datatype(t.datatype)
+        return tv.SK_PLAIN if k == tv.K_STRING else k
+    return None
+
+
+def _translate_unit_extend_chain(p, ctx: Ctx) -> Optional[Solution]:
+    """Extend chains rooted at the empty BGP (parameter blocks like
+    BIND(2 AS ?a) BIND(?a*3 AS ?b) ...): evaluate each level EAGERLY on a
+    one-row frame and rebind the result as a literal term column.
+
+    Without this, every level's column is a foldable expression tree;
+    Catalyst's project-collapsing treats foldable as cheap and inlines it
+    into each of the next level's ~10 references before constant-folding
+    runs, so optimization work grows exponentially with chain depth (4
+    chained arithmetic BINDs exhausted a 1 GiB driver). Evaluating a unit
+    chain level-by-level is semantically exact — the chain has exactly one
+    solution row, so even RAND()/BNODE() evaluate once per the spec."""
+    from ..terms import term_to_python
+
+    chain = []
+    x = p
+    while isinstance(x, A.Extend):
+        chain.append(x)
+        x = x.inner
+    if len(chain) < 2 or not (isinstance(x, A.BGP) and not x.triples):
+        return None
+    chain.reverse()  # innermost (first-bound) first
+    defined: set = set()
+    for e in chain:
+        if _has_exists(e.expr) or not _expr_vars(e.expr) <= defined:
+            return None
+        defined.add(e.var.name)
+
+    spark = ctx.store.spark
+    unit = spark.range(1)
+    consts: dict = {}   # var -> Term | None (error → unbound)
+
+    def resolve(name: str) -> Column:
+        t = consts.get(name)
+        return NULL_TERM() if t is None else term_lit(t)
+
+    for e in chain:
+        try:
+            col = B.compile_expr(_inject_now(e.expr, ctx), resolve)
+            row = unit.select(col.alias("_r")).first()["_r"]
+            consts[e.var.name] = term_to_python(row)
+        except Exception:
+            consts[e.var.name] = None  # expression error → var unbound
+
+    cols = [(NULL_TERM() if t is None else term_lit(t)).alias(v)
+            for v, t in consts.items()]
+    df = unit.select(*cols)
+    kinds = {v: _sk_of_term(t) for v, t in consts.items() if t is not None}
+    return Solution(df=df,
+                    bound={v for v, t in consts.items() if t is not None},
+                    maybe=set(consts),
+                    kinds={v: k for v, k in kinds.items() if k is not None})
+
+
 def _peel_unit_extends(p):
     """If `p` is Extend(...Extend(empty BGP)...) with variable-free
     expressions, return the Extend nodes outermost-first; else None."""
@@ -382,6 +461,9 @@ def translate(p, ctx: Ctx) -> Solution:
     if isinstance(p, A.GraphNode):
         return _translate_graph(p, ctx)
     if isinstance(p, A.Extend):
+        unit_chain = _translate_unit_extend_chain(p, ctx)
+        if unit_chain is not None:
+            return unit_chain
         return _apply_extend(p, translate(p.inner, ctx), ctx)
     if isinstance(p, A.Minus):
         l = translate(p.left, ctx)
@@ -1011,7 +1093,7 @@ def _sum_avg(name: str, c: Column, tmp: Callable[[Column], str],
     integer→integer(sum)/decimal(avg); any decimal→decimal; any float/double
     →double; any non-numeric bound value → error (NULL result)."""
     sk = tv.skind(c)
-    if sk is not None:
+    if sk is not None and sk != tv.SK_NUM:
         return _sum_avg_static(name, c, sk, tmp, distinct, raw)
     rank_t = F.col(tmp(tv.numeric_rank(c)))
     dec_t = F.col(tmp(tv.as_decimal(c)))
