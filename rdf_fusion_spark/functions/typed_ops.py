@@ -73,6 +73,13 @@ RANK_DOUBLE = K_DOUBLE
 SK_PLAIN = 8    # xsd:string literal, lang guaranteed NULL
 SK_IRI = 100    # named node
 SK_BNODE = 101  # blank node
+# "numeric, rank known only at runtime": every non-NULL value has
+# k <= K_DOUBLE but which numeric kind varies row to row (arithmetic
+# results). Consumers skip the full type-dispatch ladder and emit the
+# 2-branch decimal-vs-double body with runtime k checks — the difference
+# between a ~25-reference and a ~2-reference expression per operand, which
+# compounds exponentially when Catalyst inlines through Project chains.
+SK_NUM = 110
 
 
 def skind(c: Column):
@@ -95,7 +102,12 @@ def tag(c: Column, sk) -> Column:
 
 
 def _sk_numeric(sk) -> bool:
-    return sk is not None and sk <= K_DOUBLE
+    return sk is not None and (sk == SK_NUM or sk <= K_DOUBLE)
+
+
+def _sk_rank_static(sk) -> bool:
+    """True when sk pins a single numeric kind (SK_NUM does not)."""
+    return sk is not None and sk != SK_NUM and sk <= K_DOUBLE
 
 
 def _sk_stringish(sk) -> bool:
@@ -113,6 +125,8 @@ def numeric_rank(c: Column) -> Column:
     """0=integer family, 1=decimal, 2=float, 3=double; NULL if not numeric."""
     sk = skind(c)
     if sk is not None:
+        if sk == SK_NUM:
+            return F.when(c.isNotNull(), c["k"].cast("int"))
         if _sk_numeric(sk):
             return F.when(c.isNotNull(), F.lit(sk).cast("int"))
         return F.lit(None).cast("int")
@@ -132,6 +146,8 @@ def as_long(c: Column) -> Column:
     if sk is not None:
         if sk == K_INTEGER:
             return c["d"].cast("long")
+        if sk == SK_NUM:
+            return F.when(c["k"] == K_INTEGER, c["d"].cast("long"))
         return F.lit(None).cast("long")
     return F.when(c["k"] == K_INTEGER, c["d"].cast("long"))
 
@@ -139,6 +155,8 @@ def as_long(c: Column) -> Column:
 def as_decimal(c: Column) -> Column:
     sk = skind(c)
     if sk is not None:
+        if sk == SK_NUM:
+            return F.when(c["k"] <= K_DECIMAL, c["d"])
         return c["d"] if sk <= K_DECIMAL else None_d()
     return F.when(c["k"] <= K_DECIMAL, c["d"])
 
@@ -295,6 +313,8 @@ def canon_decimal_string(d: Column) -> Column:
 def _typed_lex(c: Column) -> Column:
     """Recompute a numeric/dateTime lexical from the typed fields."""
     sk = skind(c)
+    if sk == SK_NUM:
+        sk = None  # rank varies at runtime → the generic k-ladder below
     if sk is not None:
         if sk <= K_DECIMAL:
             return canon_decimal_string(c["d"])
@@ -475,8 +495,13 @@ def rdf_equal(a: Column, b: Column) -> Column:
     if sa is not None and sb is not None:
         null_guard = a.isNull() | b.isNull()
         if _sk_numeric(sa) and _sk_numeric(sb):
-            body = (a["d"] == b["d"]) if (sa <= K_DECIMAL and sb <= K_DECIMAL) \
-                else (a["x"] == b["x"])
+            if _sk_rank_static(sa) and _sk_rank_static(sb):
+                body = (a["d"] == b["d"]) if (sa <= K_DECIMAL
+                                              and sb <= K_DECIMAL) \
+                    else (a["x"] == b["x"])
+            else:  # SK_NUM operand: rank resolved per row
+                body = F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
+                              a["d"] == b["d"]).otherwise(a["x"] == b["x"])
         elif sa == SK_PLAIN and sb == SK_PLAIN:
             body = a["v"] == b["v"]
         elif sa == K_DATETIME and sb == K_DATETIME:
@@ -538,8 +563,14 @@ def rdf_compare(a: Column, b: Column) -> Column:
     sa, sb = skind(a), skind(b)
     if sa is not None and sb is not None:
         if _sk_numeric(sa) and _sk_numeric(sb):
-            body = cmp3(a["d"], b["d"]) if (sa <= K_DECIMAL and sb <= K_DECIMAL) \
-                else cmp3(a["x"], b["x"])
+            if _sk_rank_static(sa) and _sk_rank_static(sb):
+                body = cmp3(a["d"], b["d"]) if (sa <= K_DECIMAL
+                                                and sb <= K_DECIMAL) \
+                    else cmp3(a["x"], b["x"])
+            else:  # SK_NUM operand: rank resolved per row
+                body = F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
+                              cmp3(a["d"], b["d"])) \
+                    .otherwise(cmp3(a["x"], b["x"]))
         elif sa == SK_PLAIN and sb == SK_PLAIN:
             body = cmp3(a["v"], b["v"])
         elif sa == K_BOOLEAN and sb == K_BOOLEAN:
@@ -612,6 +643,28 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
     if sa is not None and sb is not None:
         if not (_sk_numeric(sa) and _sk_numeric(sb)):
             return F.lit(None).cast(TERM_DDL)
+        if not (_sk_rank_static(sa) and _sk_rank_static(sb)):
+            # an SK_NUM operand: both promised numeric, rank per row —
+            # 2-branch runtime ladder, no is_numeric guards
+            rank = F.greatest(a["k"], b["k"])
+            da, db = a["d"], b["d"]
+            xa, xb = a["x"], b["x"]
+            if op == "/":
+                dres, xres, lres = F.when(db != 0, da / db), xa / xb, None
+            else:
+                lres = {"+": da.cast("long") + db.cast("long"),
+                        "-": da.cast("long") - db.cast("long"),
+                        "*": da.cast("long") * db.cast("long")}[op]
+                dres = {"+": da + db, "-": da - db, "*": da * db}[op]
+                xres = {"+": xa + xb, "-": xa - xb, "*": xa * xb}[op]
+            out = (
+                F.when(rank >= RANK_FLOAT, double_term(xres))
+                .when((rank == RANK_DECIMAL) | F.lit(op == "/"),
+                      decimal_term(dres))
+            )
+            if op != "/":
+                out = out.otherwise(int_term(lres))
+            return tag(F.when(a.isNotNull() & b.isNotNull(), out), SK_NUM)
         rank = max(sa, sb)
         if rank >= RANK_FLOAT:
             xa, xb = a["x"], b["x"]
@@ -657,7 +710,7 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
     # '/' has no integer branch: integer ÷ integer → decimal per the spec
     if op != "/":
         out = out.otherwise(int_term(lres))
-    return out
+    return tag(out, SK_NUM)
 
 
 def _datetime_shift(dtc: Column, dur: Column, sign: int) -> Column:
@@ -735,39 +788,35 @@ def rdf_div(a: Column, b: Column) -> Column:
     return _binary_numeric(a, b, "/")
 
 
-def rdf_neg(a: Column) -> Column:
+def _unary_numeric(a: Column, sign: int) -> Column:
     sk = skind(a)
-    if sk is not None:
-        if not _sk_numeric(sk):
-            return F.lit(None).cast(TERM_DDL)
+    if _sk_rank_static(sk):
         if sk >= RANK_FLOAT:
-            return double_term(-a["x"])
+            return double_term(sign * a["x"])
         if sk == RANK_DECIMAL:
-            return decimal_term(-a["d"])
-        return int_term(-a["d"].cast("long"))
+            return decimal_term(sign * a["d"])
+        return int_term(sign * a["d"].cast("long"))
+    if sk is not None and sk != SK_NUM:
+        return F.lit(None).cast(TERM_DDL)
+    if sk == SK_NUM:
+        # promised numeric: 3-branch runtime rank, no is_numeric guard
+        out = (
+            F.when(a["k"] >= RANK_FLOAT, double_term(sign * a["x"]))
+            .when(a["k"] == RANK_DECIMAL, decimal_term(sign * a["d"]))
+            .otherwise(int_term(sign * a["d"].cast("long")))
+        )
+        return tag(F.when(a.isNotNull(), out), SK_NUM)
     rank = numeric_rank(a)
-    return (
+    return tag(
         F.when(rank.isNull(), F.lit(None).cast(TERM_DDL))
-        .when(rank >= RANK_FLOAT, double_term(-as_double(a)))
-        .when(rank == RANK_DECIMAL, decimal_term(-as_decimal(a)))
-        .otherwise(int_term(-as_long(a)))
-    )
+        .when(rank >= RANK_FLOAT, double_term(sign * as_double(a)))
+        .when(rank == RANK_DECIMAL, decimal_term(sign * as_decimal(a)))
+        .otherwise(int_term(sign * as_long(a))), SK_NUM)
+
+
+def rdf_neg(a: Column) -> Column:
+    return _unary_numeric(a, -1)
 
 
 def rdf_unary_plus(a: Column) -> Column:
-    sk = skind(a)
-    if sk is not None:
-        if not _sk_numeric(sk):
-            return F.lit(None).cast(TERM_DDL)
-        if sk >= RANK_FLOAT:
-            return double_term(a["x"])
-        if sk == RANK_DECIMAL:
-            return decimal_term(a["d"])
-        return int_term(a["d"].cast("long"))
-    rank = numeric_rank(a)
-    return (
-        F.when(rank.isNull(), F.lit(None).cast(TERM_DDL))
-        .when(rank >= RANK_FLOAT, double_term(as_double(a)))
-        .when(rank == RANK_DECIMAL, decimal_term(as_decimal(a)))
-        .otherwise(int_term(as_long(a)))
-    )
+    return _unary_numeric(a, +1)
