@@ -670,7 +670,8 @@ def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
     return Solution(df=df, bound=set(vars_), maybe=set(vars_), kinds=kinds)
 
 
-def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
+def _translate_bgp(p: A.BGP, ctx: Ctx, pushable: Optional[list] = None,
+                   consumed: Optional[list] = None) -> Solution:
     """Star-collapsed, selectivity-ordered BGP join.
 
     Same-subject groups of constant-predicate patterns collapse into ONE
@@ -679,7 +680,15 @@ def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
     would get (no self-joins). Remaining patterns join greedily along
     shared variables (the reference joins in syntactic order with no
     reordering — SURVEY.md §4.1; we do better to keep intermediates small).
-    """
+
+    `pushable` carries FILTER conjuncts from an enclosing Filter node:
+    a conjunct whose variables are all bound by ONE scan unit is applied
+    to that unit before the joins (consumed entries are appended to
+    `consumed`). Sound because every BGP unit binds its variables
+    non-NULL and the joins are inner equi joins — filtering a side early
+    yields the same rows with smaller join inputs, which matters at scale
+    now that Catalyst's through-project predicate pushdown is excluded
+    (store._exclude_predicate_pushdown)."""
     if not p.triples:
         return _unit_solution(ctx)
 
@@ -730,6 +739,16 @@ def _translate_bgp(p: A.BGP, ctx: Ctx) -> Solution:
         return -score
 
     units.extend(_scan(tp, ctx) for tp in sorted(remaining, key=selectivity))
+
+    if pushable:
+        for c in pushable:
+            vs = _expr_vars(c)
+            tgt = next((i for i, u in enumerate(units) if vs and vs <= u.bound),
+                       None)
+            if tgt is not None:
+                units[tgt] = _apply_plain_filters(units[tgt], [c], ctx)
+                if consumed is not None:
+                    consumed.append(c)
 
     acc = units[0]
     rest = units[1:]
@@ -788,10 +807,18 @@ def _rewrite_trivial_exists(expr):
 
 def _translate_filter(p: A.Filter, ctx: Ctx,
                       sol: Optional[Solution] = None) -> Solution:
-    if sol is None:
-        sol = translate(p.inner, ctx)
     # decompose conjunction; EXISTS conjuncts become semi/anti joins
     conjuncts = [_rewrite_trivial_exists(c) for c in _split_and(p.expr)]
+    if sol is None:
+        if isinstance(p.inner, A.BGP) and p.inner.triples:
+            pushable = [c for c in conjuncts
+                        if not isinstance(c, A.EExists) and not _has_exists(c)]
+            consumed: list = []
+            sol = _translate_bgp(p.inner, ctx, pushable, consumed)
+            done = {id(c) for c in consumed}
+            conjuncts = [c for c in conjuncts if id(c) not in done]
+        else:
+            sol = translate(p.inner, ctx)
     plain = []
     for c in conjuncts:
         if isinstance(c, A.EExists):
@@ -812,22 +839,27 @@ def _translate_filter(p: A.Filter, ctx: Ctx,
         else:
             plain.append(c)
     if plain:
-        keep = [c for c in sol.df.columns]
-        orig_maybe, orig_bound = sol.maybe, sol.bound
-        rewritten = []
-        for c in plain:
-            if _has_exists(c):  # EXISTS nested below the top-level AND
-                c, sol = _bind_exists_markers(c, sol, ctx)
-            rewritten.append(c)
-        it = Interner(sol.df, ctx)
-        with B.intern_scope(it), tv.lazy_lexicals():
-            conds = [compile_bool_expr(c, sol, ctx) for c in rewritten]
-        df = it.df
-        for cond in conds:
-            df = df.where(cond)
-        sol = replace(sol, df=df.select(*keep), maybe=orig_maybe,
-                      bound=orig_bound)
+        sol = _apply_plain_filters(sol, plain, ctx)
     return sol
+
+
+def _apply_plain_filters(sol: Solution, plain: list, ctx: Ctx) -> Solution:
+    """Apply non-join filter conjuncts to a solution (EBV, error→dropped)."""
+    keep = [c for c in sol.df.columns]
+    orig_maybe, orig_bound = sol.maybe, sol.bound
+    rewritten = []
+    for c in plain:
+        if _has_exists(c):  # EXISTS nested below the top-level AND
+            c, sol = _bind_exists_markers(c, sol, ctx)
+        rewritten.append(c)
+    it = Interner(sol.df, ctx)
+    with B.intern_scope(it), tv.lazy_lexicals():
+        conds = [compile_bool_expr(c, sol, ctx) for c in rewritten]
+    df = it.df
+    for cond in conds:
+        df = df.where(cond)
+    return replace(sol, df=df.select(*keep), maybe=orig_maybe,
+                   bound=orig_bound)
 
 
 def _split_and(expr) -> list:

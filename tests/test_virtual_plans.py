@@ -101,3 +101,22 @@ def test_zero_length_path_avoids_quads_union(store):
     plan = plan_of(res.df)
     assert "Generate" not in plan, plan
     assert res.df.count() > 0
+
+
+def test_filter_conjunct_pushed_below_bgp_join(store):
+    """A FILTER whose vars are bound by one star unit must be applied to
+    that unit BEFORE the join (translator._translate_bgp pushdown) — with
+    Catalyst's through-project predicate pushdown excluded, the translator
+    is what keeps selective filters below joins at scale (q2's acctbal
+    filter over the customer star unit)."""
+    res = store.query(EQ.PROLOGUE + EQ.SPECS["q2_join_region_filter"].sparql)
+    plan = res.df._jdf.queryExecution().optimizedPlan().toString()
+    lines = plan.split("\n")
+    join_lines = [i for i, l in enumerate(lines) if "Join" in l]
+    filter_lines = [i for i, l in enumerate(lines)
+                    if "Filter" in l and "acctbal" in l]
+    assert join_lines, plan[:2000]
+    assert filter_lines, "acctbal filter missing from the plan"
+    # the filter appears below (later line than) the topmost join
+    assert min(filter_lines) > min(join_lines), (
+        "acctbal filter was not pushed below the join:\n" + plan[:3000])
