@@ -626,16 +626,25 @@ def _pipe_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipe_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.text import with_language_id
-    return with_language_id(_docs(spark, sf_dir)).select(
-        "doc_id", "lang_pred", "ratio_en")
+    """Per-document language ID + quality score in one map pass (the two
+    signals every filter stage reads together; folded into one gate query
+    to keep the driver's 50-query window open for more operators)."""
+    from .pipeline.text import with_language_id, with_quality_score
+    out = with_language_id(with_quality_score(_docs(spark, sf_dir)))
+    return out.select("doc_id", "lang_pred", "ratio_en", "quality_score")
 
 
 def _pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact + normalized dedup groups in one tagged relation (both are a
-    single hash-groupBy over the same scan; folded to keep the driver's
-    50-query gate window open for more operators)."""
-    from .pipeline.dedup import exact_dedup_groups, normalized_dedup_groups
+    """The content-key dedup family in one tagged relation: exact,
+    normalized, bag-of-words fingerprint, and rolling-hash variants are
+    each a single hash-groupBy over the same scan — folded to keep the
+    driver's 50-query gate window open for more operators."""
+    from .pipeline.dedup import (
+        exact_dedup_groups,
+        fingerprint_dedup_groups,
+        normalized_dedup_groups,
+    )
+    from .pipeline.text import with_rolling_fingerprint
     docs = _docs(spark, sf_dir)
     a = exact_dedup_groups(docs).select(
         F.lit("exact").alias("variant"), F.col("text_hash").alias("hash"),
@@ -643,7 +652,18 @@ def _pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = normalized_dedup_groups(docs).select(
         F.lit("normalized").alias("variant"), F.col("norm_hash").alias("hash"),
         F.col("n_docs").cast("long").alias("n_docs"), "canonical_id")
-    return a.unionByName(b)
+    c = fingerprint_dedup_groups(docs).select(
+        F.lit("fingerprint").alias("variant"),
+        F.col("fingerprint").alias("hash"),
+        F.col("n_docs").cast("long").alias("n_docs"), "canonical_id")
+    d = (with_rolling_fingerprint(docs)
+         .groupBy("rolling_fp")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.min("doc_id").alias("canonical_id"))
+         .select(F.lit("rolling_fp").alias("variant"),
+                 F.col("rolling_fp").cast("string").alias("hash"),
+                 "n_docs", "canonical_id"))
+    return a.unionByName(b).unionByName(c).unionByName(d)
 
 
 CHUNK_SIZE = 32
@@ -655,11 +675,49 @@ def _pipe_text_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(_docs(spark, sf_dir), CHUNK_SIZE, CHUNK_OVERLAP)
 
 
-def _pipe_dedup_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.dedup import fingerprint_dedup_groups
-    return fingerprint_dedup_groups(_docs(spark, sf_dir)).select(
-        "fingerprint", F.col("n_docs").cast("long").alias("n_docs"),
-        "canonical_id")
+# every doc_id divisible by this models the held-out benchmark/eval set
+DECON_BENCH_MOD = 37
+
+
+def _pipe_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training docs sharing >= 5% of
+    their word 3-grams with the benchmark slice (broadcast n-gram set,
+    map-side membership join — see pipeline/curation.py)."""
+    from .pipeline.curation import decontaminate
+    docs = _docs(spark, sf_dir)
+    bench = docs.where(F.col("doc_id") % DECON_BENCH_MOD == 0)
+    train = docs.where(F.col("doc_id") % DECON_BENCH_MOD != 0)
+    return decontaminate(train, bench)
+
+
+def _pipe_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget greedy packing of documents into training shards."""
+    from .pipeline.curation import pack_shards
+    docs = _docs(spark, sf_dir)
+    toks = F.size(F.split(F.col("text"), " "))
+    return pack_shards(docs.select("doc_id", toks.alias("n_tokens")))
+
+
+def _pipe_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (data mixing): per-source keep
+    rates applied via the md5-prefix hash contract, aggregated per
+    source so the gate checks both the decision and its coverage."""
+    from .pipeline.curation import weighted_sample
+    docs = _docs(spark, sf_dir)
+    src_num = F.substring("source", 4, 10).cast("int")
+    rate = (F.when(F.pmod(src_num, 4) == 0, F.lit(1.0))
+            .when(F.pmod(src_num, 4) == 1, F.lit(0.5))
+            .when(F.pmod(src_num, 4) == 2, F.lit(0.25))
+            .otherwise(F.lit(0.1)))
+    s = weighted_sample(docs, rate)
+    keep = F.col("sample_keep")
+    return (s.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_candidates"),
+                 F.sum(keep.cast("long")).cast("long").alias("n_sampled"),
+                 F.sum(F.when(keep, F.col("n_chars")).otherwise(F.lit(0)))
+                 .cast("long").alias("sampled_chars"),
+                 (F.sum(keep.cast("long")).cast("double")
+                  / F.count("*").cast("double")).alias("achieved_rate")))
 
 
 JACCARD_THRESHOLD = 0.8
@@ -766,6 +824,9 @@ def _quality_oracle() -> str:
 
 
 def _pipeline_oracles() -> dict[str, str]:
+    from .pipeline.curation import DECON_THRESHOLD as DECON_THRESHOLD_SQL
+    from .pipeline.curation import PACK_BUDGET_TOKENS as PACK_BUDGET_SQL
+    from .pipeline.curation import PACK_NUM_SHARDS as PACK_NUM_SHARDS_SQL
     from .pipeline.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
     from .pipeline.similarity import IVF_NLIST
     from .pipeline.text import LID_FLOOR, LID_MARKERS, TOKEN_RE
@@ -851,18 +912,38 @@ def _pipeline_oracles() -> dict[str, str]:
         FROM documents
         """,
         "q_text_language_id": f"""
-        SELECT doc_id, {lid_case} AS lang_pred, ratio_en
-        FROM (SELECT doc_id,
-              {', '.join(f'{e} AS ratio_{lang}' for lang, e in ratio_exprs.items())}
-              FROM documents)
+        WITH lid AS (
+          SELECT doc_id, {lid_case} AS lang_pred, ratio_en
+          FROM (SELECT doc_id,
+                {', '.join(f'{e} AS ratio_{lang}' for lang, e in ratio_exprs.items())}
+                FROM documents)
+        ),
+        q AS ({_quality_oracle()})
+        SELECT lid.doc_id, lang_pred, ratio_en, quality_score
+        FROM lid JOIN q ON lid.doc_id = q.doc_id
         """,
-        "q_dedup_exact": """
+        "q_dedup_exact": f"""
         SELECT 'exact' AS variant, md5(text) AS hash,
                COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
         FROM documents GROUP BY md5(text)
         UNION ALL
         SELECT 'normalized', md5(trim(regexp_replace(regexp_replace(
                    lower(text), '[^\\w\\s]', '', 'g'), '\\s+', ' ', 'g'))),
+               COUNT(*)::BIGINT, MIN(doc_id)
+        FROM documents GROUP BY 2
+        UNION ALL
+        SELECT 'fingerprint',
+               md5(array_to_string(list_sort(list_distinct({words})),' ')),
+               COUNT(*)::BIGINT, MIN(doc_id)
+        FROM documents GROUP BY 2 HAVING COUNT(*) >= 2
+        UNION ALL
+        SELECT 'rolling_fp',
+               (list_reduce(
+                  list_prepend(0::BIGINT,
+                    list_transform(list_filter(string_split(text, ''),
+                                               c -> c <> ''),
+                                   c -> ascii(c)::BIGINT)),
+                  (acc, x) -> (acc * {ROLL_B_SQL} + x) % {ROLL_P_SQL}))::VARCHAR,
                COUNT(*)::BIGINT, MIN(doc_id)
         FROM documents GROUP BY 2
         """,
@@ -879,12 +960,66 @@ def _pipeline_oracles() -> dict[str, str]:
                array_to_string(w[ci*24+1 : ci*24+32], ' ') AS chunk_text
         FROM ix
         """,
-        "q_dedup_fingerprint": f"""
-        SELECT md5(array_to_string(list_sort(list_distinct({words})),' '))
-                   AS fingerprint,
-               COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
-        FROM documents
-        GROUP BY 1 HAVING COUNT(*) >= 2
+        "q_decontaminate": f"""
+        WITH g AS (
+          SELECT doc_id,
+                 CASE WHEN len({words}) >= 3 THEN
+                   list_distinct(list_transform(
+                     generate_series(1, len({words}) - 2),
+                     i -> {words}[i] || ' ' || {words}[i+1]
+                          || ' ' || {words}[i+2]))
+                 ELSE [] END AS grams
+          FROM documents
+        ),
+        bench AS (SELECT DISTINCT unnest(grams) AS gram FROM g
+                  WHERE doc_id % {DECON_BENCH_MOD} = 0),
+        train AS (SELECT doc_id, len(grams) AS n_ngrams, grams FROM g
+                  WHERE doc_id % {DECON_BENCH_MOD} <> 0),
+        hits AS (
+          SELECT doc_id, COUNT(*) AS n_hits
+          FROM (SELECT doc_id, unnest(grams) AS gram FROM train) t
+          JOIN bench USING (gram) GROUP BY doc_id
+        )
+        SELECT t.doc_id, t.n_ngrams::BIGINT AS n_ngrams,
+               COALESCE(h.n_hits, 0)::BIGINT AS n_hits,
+               CASE WHEN t.n_ngrams = 0 THEN 0.0
+                    ELSE COALESCE(h.n_hits, 0)::DOUBLE / t.n_ngrams::DOUBLE
+               END AS contamination,
+               (CASE WHEN t.n_ngrams = 0 THEN 0.0
+                     ELSE COALESCE(h.n_hits, 0)::DOUBLE / t.n_ngrams::DOUBLE
+                END) >= {DECON_THRESHOLD_SQL} AS is_contaminated
+        FROM train t LEFT JOIN hits h USING (doc_id)
+        """,
+        "q_pack_shards": f"""
+        WITH d AS (SELECT doc_id, doc_id % {PACK_NUM_SHARDS_SQL} AS shard,
+                          len({words}) AS toks
+                   FROM documents),
+        c AS (SELECT doc_id, shard, toks,
+                     floor((SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) - toks)
+                           / {PACK_BUDGET_SQL}.0)::BIGINT AS pack_id
+              FROM d)
+        SELECT shard::BIGINT AS shard, pack_id, COUNT(*)::BIGINT AS n_docs,
+               SUM(toks)::BIGINT AS total_tokens,
+               MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+        FROM c GROUP BY shard, pack_id
+        """,
+        "q_mix_weighted": f"""
+        WITH r AS (
+          SELECT source, n_chars,
+                 CASE (substr(source, 4)::INT % 4)
+                   WHEN 0 THEN 1.0 WHEN 1 THEN 0.5 WHEN 2 THEN 0.25
+                   ELSE 0.1 END AS rate,
+                 {md5i.format('doc_id::VARCHAR')} AS h
+          FROM documents)
+        SELECT source, COUNT(*)::BIGINT AS n_candidates,
+               SUM(CASE WHEN h < rate * 4294967296.0 THEN 1 ELSE 0 END)
+                 ::BIGINT AS n_sampled,
+               SUM(CASE WHEN h < rate * 4294967296.0 THEN n_chars ELSE 0 END)
+                 ::BIGINT AS sampled_chars,
+               SUM(CASE WHEN h < rate * 4294967296.0 THEN 1 ELSE 0 END)::DOUBLE
+                 / COUNT(*)::DOUBLE AS achieved_rate
+        FROM r GROUP BY source
         """,
         "q_dedup_jaccard_pairs": f"""
         WITH s AS (SELECT doc_id AS id, {shingles} AS sh FROM documents)
@@ -1010,14 +1145,6 @@ def _pipeline_oracles() -> dict[str, str]:
         ORDER BY n_occurrences DESC, word
         LIMIT 20
         """,
-        "q_text_quality_by_lang": f"""
-        WITH q AS ({_quality_oracle()})
-        SELECT d.lang AS lang, COUNT(*)::BIGINT AS n_docs,
-               CAST(CAST(SUM(CAST(q.quality_score AS DECIMAL(20,10)))
-                    AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_quality
-        FROM q JOIN documents d USING (doc_id)
-        GROUP BY d.lang
-        """,
         "q_embedding_norms": """
         SELECT label, COUNT(*)::BIGINT AS n_vecs,
                MIN(sqrt(list_dot_product(e, e))) AS min_norm,
@@ -1033,18 +1160,6 @@ def _pipeline_oracles() -> dict[str, str]:
                MIN(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS min_k,
                MAX(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS max_k
         FROM events GROUP BY event_type
-        """,
-
-        "q_text_rolling_fp": f"""
-        SELECT list_reduce(
-                 list_prepend(0::BIGINT,
-                   list_transform(list_filter(string_split(text, ''),
-                                              c -> c <> ''),
-                                  c -> ascii(c)::BIGINT)),
-                 (acc, x) -> (acc * {ROLL_B_SQL} + x) % {ROLL_P_SQL})
-               AS rolling_fp,
-               COUNT(*)::BIGINT AS n_docs, MIN(doc_id) AS canonical_id
-        FROM documents GROUP BY 1
         """,
         "q_multimodal_features": """
         SELECT doc_id AS media_id, 'image' AS kind,
@@ -1511,16 +1626,6 @@ def _pipe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_docs").cast("long").alias("n_docs"))
 
 
-def _pipe_quality_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.text import with_quality_score
-    q = with_quality_score(_docs(spark, sf_dir))
-    dec = F.col("quality_score").cast("decimal(20,10)")
-    return (q.groupBy("lang")
-            .agg(F.count("*").cast("long").alias("n_docs"),
-                 (F.sum(dec).cast("string").cast("double")
-                  / F.count("*")).alias("avg_quality")))
-
-
 SIMHASH_MAX_DISTANCE = 3
 
 
@@ -1584,14 +1689,6 @@ def _pipe_dedup_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     return normalized_dedup_groups(_docs(spark, sf_dir)).select(
         "norm_hash", F.col("n_docs").cast("long").alias("n_docs"),
         "canonical_id")
-
-
-def _pipe_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.text import with_rolling_fingerprint
-    out = with_rolling_fingerprint(_docs(spark, sf_dir))
-    return (out.groupBy("rolling_fp")
-            .agg(F.count("*").cast("long").alias("n_docs"),
-                 F.min("doc_id").alias("canonical_id")))
 
 
 def _pipe_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1673,7 +1770,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_language_id": _pipe_language_id,
     "q_dedup_exact": _pipe_dedup_exact,
     "q_text_chunks": _pipe_text_chunks,
-    "q_dedup_fingerprint": _pipe_dedup_fingerprint,
+    "q_decontaminate": _pipe_decontaminate,
     "q_dedup_jaccard_pairs": _pipe_dedup_jaccard,
     "q_dedup_minhash_lsh": _pipe_dedup_minhash,
     "q_dedup_clusters": _pipe_dedup_clusters,
@@ -1683,11 +1780,11 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_ivf": _pipe_ann_ivf,
     "q_dedup_embedding_cosine": _pipe_dedup_embedding,
     "q_text_top_words": _pipe_top_words,
-    "q_text_quality_by_lang": _pipe_quality_by_lang,
+    "q_pack_shards": _pipe_pack_shards,
+    "q_mix_weighted": _pipe_mix_weighted,
     "q_events_sessionize": _pipe_sessions,
     "q_stream_event_counts": _pipe_stream_event_counts,
     "q_multimodal_features": _pipe_multimodal_features,
-    "q_text_rolling_fp": _pipe_rolling_fingerprint,
     "q_events_json_props": _pipe_events_json,
     "q_embedding_norms": _pipe_embedding_norms,
 }

@@ -65,7 +65,6 @@ def test_assert_scale_safe_catches_bnlj(spark):
 # nested loop that IS the IVF coarse-quantization plan.)
 PIPELINE_SCALE_SAFE = [
     "q_dedup_exact",
-    "q_dedup_fingerprint",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_dedup_embedding_cosine",
@@ -74,6 +73,9 @@ PIPELINE_SCALE_SAFE = [
     "q_text_stats",
     "q_text_top_words",
     "q_text_chunks",
+    "q_decontaminate",
+    "q_pack_shards",
+    "q_mix_weighted",
     "q_events_sessionize",
     "q_events_json_props",
 ]

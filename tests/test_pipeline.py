@@ -165,3 +165,53 @@ def test_chunk_documents_overlap(spark):
     # empty text still yields one chunk of the single empty split token,
     # matching the split semantics the rest of the pipeline uses
     assert ("d3", 0) in out
+
+
+def test_decontaminate_flags_overlap(spark):
+    from rdf_fusion_spark.pipeline import curation
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], ["doc_id", "text"])
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta zeta eta theta"),   # shares 2 of 5 grams
+         (1, "iota kappa lam mu nu xi omicron"),          # shares none
+         (2, "xx yy")],                                   # shorter than n=3
+        ["doc_id", "text"])
+    r = {row["doc_id"]: row for row in
+         curation.decontaminate(train, bench, n=3, threshold=0.3).collect()}
+    assert r[0]["n_ngrams"] == 5 and r[0]["n_hits"] == 2
+    assert r[0]["is_contaminated"]  # 2/5 >= 0.3
+    assert r[1]["n_hits"] == 0 and not r[1]["is_contaminated"]
+    assert r[2]["n_ngrams"] == 0 and r[2]["n_hits"] == 0
+
+
+def test_pack_shards_budget_and_coverage(spark):
+    from rdf_fusion_spark.pipeline import curation
+    rows = [(i, 100 + i) for i in range(40)]
+    docs = spark.createDataFrame(rows, ["doc_id", "n_tokens"])
+    packs = curation.pack_shards(docs, budget=300, num_shards=4).collect()
+    # every doc lands in exactly one pack
+    assert sum(p["n_docs"] for p in packs) == 40
+    by_key = {(p["shard"], p["pack_id"]): p for p in packs}
+    for (shard, pack_id), p in by_key.items():
+        # greedy fill: a pack only exceeds the budget by its last doc,
+        # so tokens-before-last-doc < budget
+        assert p["total_tokens"] - (100 + p["last_doc"]) < 300
+        # packs are contiguous per shard: pack ids are dense from 0
+        if pack_id > 0:
+            assert (shard, pack_id - 1) in by_key
+
+
+def test_weighted_sample_deterministic_and_calibrated(spark):
+    from rdf_fusion_spark.pipeline import curation
+    docs = spark.createDataFrame([(i,) for i in range(2000)], ["doc_id"])
+    a = curation.weighted_sample(docs, F.lit(0.5)).where("sample_keep")
+    b = curation.weighted_sample(docs, F.lit(0.5)).where("sample_keep")
+    ka = sorted(r["doc_id"] for r in a.collect())
+    kb = sorted(r["doc_id"] for r in b.collect())
+    assert ka == kb  # decision is a pure function of the id
+    assert 0.45 <= len(ka) / 2000 <= 0.55  # md5 prefix is uniform
+    # rate 1.0 keeps everything, rate 0.0 keeps nothing
+    assert curation.weighted_sample(docs, F.lit(1.0)) \
+        .where("sample_keep").count() == 2000
+    assert curation.weighted_sample(docs, F.lit(0.0)) \
+        .where("sample_keep").count() == 0
