@@ -58,23 +58,26 @@ def get_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
 
 def _u(col: Column, typ: str) -> Column:
     """Un-term: extract the native value from a term struct column.
-    The lexical may be lazy (virtual scans skip Double.toString) — rebuild
-    it from the typed fields when NULL."""
+    The lexical may be lazy (virtual scans skip Double.toString) — for
+    native targets read the typed view directly instead of rebuilding the
+    lexical through the full kind ladder (12 untyped output vars of that
+    ladder once pushed a WholeStageCodegen past Janino's 64 KB limit)."""
     from .functions.typed_ops import lexical_of
-    v = lexical_of(col)
+    v = col["v"]
     if typ == "str":
-        return v
+        return lexical_of(col)
     if typ == "long":
-        return v.try_cast("long")
+        return F.coalesce(v.try_cast("long"), col["d"].try_cast("long"),
+                          col["x"].try_cast("long"))
     if typ == "double":
-        return v.try_cast("double")
+        return F.coalesce(v.try_cast("double"), col["x"])
     if typ == "double6":
         # engines legitimately differ in the last ulp of a decimal division
         # (Spark rounds the scale-18 quotient, DuckDB truncates); compare at
         # 6 fractional digits
-        return F.round(v.try_cast("double"), 6)
+        return F.round(F.coalesce(v.try_cast("double"), col["x"]), 6)
     if typ == "timestamp":
-        return v.try_cast("timestamp")
+        return F.coalesce(v.try_cast("timestamp"), col["ts"])
     if typ == "bool":
         return v == "true"
     raise ValueError(typ)

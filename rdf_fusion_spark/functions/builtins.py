@@ -259,11 +259,24 @@ def _string_predicate(name: str, args: list, resolve: Resolver) -> Column:
 
 
 def _preserve_lang(src: Column, new_value: Column) -> Column:
-    """Result literal carries src's lang/dt (for SUBSTR/UCASE/REPLACE...)."""
-    return F.when(
+    """Result literal carries src's lang/dt (for SUBSTR/UCASE/REPLACE...).
+
+    The result is string-like by construction (the guard requires it of
+    src), so k is the K_STRING constant and the numeric/temporal views are
+    NULL — passing them explicitly keeps term_struct from emitting its
+    full runtime kind ladder per call site (8 stacked string BINDs
+    otherwise push one WholeStageCodegen past Janino's 64 KB method
+    limit and the whole projection chain falls back to interpreted)."""
+    out = F.when(
         src.isNotNull() & is_string_like(src) & new_value.isNotNull(),
-        term_struct(F.lit(TT_LITERAL), new_value, src["dt"], src["lang"]),
+        term_struct(F.lit(TT_LITERAL), new_value, src["dt"], src["lang"],
+                    k=F.lit(tv.K_STRING), x=tv.None_x(), d=tv.None_d(),
+                    ts=tv.None_ts()),
     )
+    # a plain-string input (lang/dt-free) yields a plain-string result;
+    # any other input still yields SOME string-like literal
+    return tv.tag(out, tv.SK_PLAIN if tv.skind(src) == tv.SK_PLAIN
+                  else tv.K_STRING)
 
 
 # ---------------------------------------------------------------------------
@@ -407,7 +420,14 @@ def _fn_concat(args, resolve):
     out_lang = F.when(same_lang, lang0)
     out_dt = F.when(same_lang & lang0.isNotNull(), F.lit(RDF_LANG_STRING)) \
         .otherwise(F.lit(XSD_STRING))
-    return F.when(all_str, term_struct(F.lit(TT_LITERAL), value, out_dt, out_lang))
+    # string-like by construction: constant kind, no typed views (see
+    # _preserve_lang for why the derived ladder must not be emitted)
+    return tv.tag(
+        F.when(all_str, term_struct(F.lit(TT_LITERAL), value, out_dt, out_lang,
+                                    k=F.lit(tv.K_STRING), x=tv.None_x(),
+                                    d=tv.None_d(), ts=tv.None_ts())),
+        tv.SK_PLAIN if all(tv.skind(t) == tv.SK_PLAIN for t in terms)
+        else tv.K_STRING)
 
 
 def _fn_replace(args, resolve):
@@ -509,13 +529,17 @@ def _local_ts(c):
 def _dt_part(part_fn):
     def fn(args, resolve):
         c = compile_expr(args[0], resolve)
-        return int_term(part_fn(_local_ts(c)).cast("long"))
+        # _local_ts is ~2.5 KB of offset-regexp plan text; hoist it to a
+        # named temp column so a run of accessors (YEAR..MINUTES over the
+        # same dateTime) doesn't re-emit it per accessor — stacked BINDs
+        # otherwise push one WholeStageCodegen past Janino's 64 KB limit
+        return int_term(part_fn(_intern(_local_ts(c))).cast("long"))
     return fn
 
 
 def _fn_seconds(args, resolve):
     c = compile_expr(args[0], resolve)
-    ts = _local_ts(c)
+    ts = _intern(_local_ts(c))
     # keep fractional seconds: second() truncates
     frac = ts.cast("decimal(38,6)") % 60
     return decimal_term(frac.cast(DECIMAL_T))

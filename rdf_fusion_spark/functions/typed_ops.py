@@ -411,13 +411,15 @@ def duration_lex(months: Column, secs: Column) -> Column:
     m = F.abs(months).cast("long")
     s = F.abs(secs)
     y, mo = (m / 12).cast("long"), m % 12
-    # F.floor, not a decimal cast: casting decimal 2.5 to integer ROUNDS
+    # F.floor, not a decimal cast: casting decimal 2.5 to integer ROUNDS.
+    # Components via modular arithmetic, NOT a rem = rem - x*unit chain:
+    # the chain re-expands the (often large) secs operand once per level,
+    # growing the tree geometrically — a STR(dateTime - dateTime) span
+    # expression was 10 KB of plan text from this alone
     days = F.floor(s / 86400).cast("long")
-    rem = s - days * 86400
-    hours = F.floor(rem / 3600).cast("long")
-    rem = rem - hours * 3600
-    mins = F.floor(rem / 60).cast("long")
-    sec = rem - mins * 60
+    hours = F.floor((s % 86400) / 3600).cast("long")
+    mins = F.floor((s % 3600) / 60).cast("long")
+    sec = s % 60
     sec_lex = canon_decimal_string(sec)
     e = F.lit("")
     body = F.concat(

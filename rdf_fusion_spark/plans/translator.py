@@ -464,7 +464,7 @@ def translate(p, ctx: Ctx) -> Solution:
         unit_chain = _translate_unit_extend_chain(p, ctx)
         if unit_chain is not None:
             return unit_chain
-        return _apply_extend(p, translate(p.inner, ctx), ctx)
+        return _apply_extend_chain(p, ctx)
     if isinstance(p, A.Minus):
         l = translate(p.left, ctx)
         r = translate(p.right, ctx)
@@ -647,6 +647,74 @@ def _apply_extend(p: A.Extend, sol: Solution, ctx: Ctx) -> Solution:
     else:
         kinds.pop(p.var.name, None)
     return replace(sol, df=df, maybe=orig_maybe | {p.var.name},
+                   bound=orig_bound, kinds=kinds)
+
+
+def _apply_extend_chain(p: A.Extend, ctx: Ctx) -> Solution:
+    """Translate a nested Extend chain, merging INDEPENDENT consecutive
+    BINDs into one projection wave.
+
+    A run of BINDs over the same inputs (five dateTime accessors of one
+    ?ts, say) is semantically one projection, but applied one level at a
+    time it stacks that many Project nodes — all fused into a single
+    WholeStageCodegen whose doConsume then exceeds Janino's 64 KB method
+    limit (observed: a 13-BIND query compiled 2,300+ expression slots and
+    fell back to interpreted execution). Waves keep the generated method
+    linear in the number of DEPENDENT levels only."""
+    chain: list[A.Extend] = []
+    x = p
+    while isinstance(x, A.Extend):
+        chain.append(x)
+        x = x.inner
+    chain.reverse()  # innermost (first-bound) first
+    sol = translate(x, ctx)
+    i = 0
+    while i < len(chain):
+        wave: list[A.Extend] = []
+        wave_vars: set[str] = set()
+        while i < len(chain):
+            e = chain[i]
+            if _has_exists(e.expr) or (_expr_vars(e.expr) & wave_vars):
+                break
+            wave.append(e)
+            wave_vars.add(e.var.name)
+            i += 1
+        if not wave:  # EXISTS marker binding mutates sol — keep sequential
+            sol = _apply_extend(chain[i], sol, ctx)
+            i += 1
+        elif len(wave) == 1:
+            sol = _apply_extend(wave[0], sol, ctx)
+        else:
+            sol = _apply_extend_wave(wave, sol, ctx)
+    return sol
+
+
+def _apply_extend_wave(wave: list, sol: Solution, ctx: Ctx) -> Solution:
+    """One projection binding several independent BIND expressions (the
+    multi-var generalization of _apply_extend; same lazy-lexical and
+    named-column materialization discipline)."""
+    orig_maybe, orig_bound = sol.maybe, sol.bound
+    it = Interner(sol.df, ctx)
+    cols: dict[str, Column] = {}
+    sks: dict[str, object] = {}
+    with B.intern_scope(it), tv.lazy_lexicals():
+        for e in wave:
+            cols[e.var.name] = compile_term_expr(e.expr, sol, ctx)
+            sks[e.var.name] = tv.skind(cols[e.var.name])
+    keep = [c for c in sol.df.columns if c in orig_maybe]
+    df = it.df
+    for v, col in cols.items():
+        df = df.withColumn(v, col)
+    df = df.select(*keep, *[
+        tv.materialize_lexical(tv.tag(F.col(v), sks[v])).alias(v)
+        for v in cols])
+    kinds = dict(sol.kinds)
+    for v, sk in sks.items():
+        if sk is not None:
+            kinds[v] = sk
+        else:
+            kinds.pop(v, None)
+    return replace(sol, df=df, maybe=orig_maybe | set(cols),
                    bound=orig_bound, kinds=kinds)
 
 

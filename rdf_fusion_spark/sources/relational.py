@@ -71,6 +71,13 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Term-struct expressions are wide (8-field structs, kind CASEs): at the
+    # default 1024 Janino is asked to compile few huge methods and a
+    # 13-BIND projection chain overflows the 64 KB method limit — the whole
+    # stage then silently falls back to interpreted execution (measured
+    # 2-3x slower steady-state on BIND-heavy queries). Aggressive splitting
+    # keeps every generated method small and compilable.
+    spark.conf.set("spark.sql.codegen.methodSplitThreshold", "128")
     # PySpark 4.x captures the Python call site on EVERY DataFrame-API call
     # (several extra py4j round trips each); the expression compiler makes
     # tens of thousands of such calls per query, so disabling the capture
