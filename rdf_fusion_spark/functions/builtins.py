@@ -301,9 +301,18 @@ def _fn_datatype(args, resolve):
 
 def _fn_iri(args, resolve):
     c = compile_expr(args[0], resolve)
+    v = c["v"]
+    if len(args) > 1:
+        # synthetic base argument injected by the parser when the query
+        # has a BASE: relative strings (no scheme) resolve against it
+        from ..sparql.algebra import ETerm
+        base = args[1].term.lexical if isinstance(args[1], ETerm) else None
+        if base:
+            v = F.when(v.rlike("^[A-Za-z][A-Za-z0-9+.-]*:"), v) \
+                .otherwise(F.concat(F.lit(base), v))
     return (
         F.when(c["t"] == TT_IRI, c)
-        .when(is_plain_string(c), term_struct(F.lit(TT_IRI), c["v"]))
+        .when(is_plain_string(c), term_struct(F.lit(TT_IRI), v))
     )
 
 

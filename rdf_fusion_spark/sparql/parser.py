@@ -1254,6 +1254,12 @@ class Parser:
                     self.expect_op(")")
                     return A.ECall(kw, [])
                 args = self._expression_list()
+                if kw in ("IRI", "URI") and self.base and len(args) == 1:
+                    # IRI(str) resolves against the query base at runtime;
+                    # the base is a parse-time constant, carried as a
+                    # synthetic second argument (reference:
+                    # expression_rewriter.rs:139)
+                    args = args + [A.ETerm(Literal(self.base))]
                 return A.ECall(kw, args)
         if t.kind in ("IRIREF", "PNAME"):
             iri = self.parse_iri()
