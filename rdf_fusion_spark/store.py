@@ -401,6 +401,74 @@ class GraphStore:
             .select(COL_GRAPH).distinct().collect()
         return [term_to_python(r[COL_GRAPH]) for r in rows]
 
+    def is_empty(self) -> bool:
+        """True iff the store holds no quads (store.rs:382-407)."""
+        return not self.quads.head(1)
+
+    def _graph_filter(self, graph_name):
+        from .terms import term_lit
+        if graph_name is None:
+            return F.col(COL_GRAPH).isNull()
+        return F.col(COL_GRAPH).eqNullSafe(term_lit(graph_name))
+
+    def contains_named_graph(self, graph_name) -> bool:
+        """True iff the named graph holds at least one triple
+        (store.rs:678-708). The reference also tracks EMPTY named graphs
+        as first-class objects; in the quads-relation model a graph
+        exists exactly when it has a triple, matching SPARQL dataset
+        semantics for GRAPH matching."""
+        return bool(self.quads.where(self._graph_filter(graph_name)).head(1))
+
+    def insert_named_graph(self, graph_name, triples=()) -> None:
+        """Create/extend a named graph from (s, p, o) triples
+        (store.rs:710-738)."""
+        self.extend([(graph_name, s, p, o) for s, p, o in triples])
+
+    def clear_graph(self, graph_name) -> None:
+        """Drop every triple of one graph, default graph included when
+        graph_name is None (store.rs:740-767)."""
+        self.quads = self.quads.where(~self._graph_filter(graph_name))
+
+    def remove_named_graph(self, graph_name) -> None:
+        """Remove a named graph and its triples (store.rs:769-796)."""
+        if graph_name is None:
+            raise ValueError("remove_named_graph needs a named graph; "
+                             "use clear_graph(None) for the default graph")
+        self.clear_graph(graph_name)
+
+    def optimize(self) -> "GraphStore":
+        """Storage-maintenance analogue of store.rs:805 (the reference
+        rebuilds its sorted indexes): coalesce the quads relation into a
+        cached, subject-clustered layout so subsequent scans skip the
+        mutation lineage."""
+        return self.partitioned_by_subject().cached()
+
+    def validate(self) -> None:
+        """Integrity check (store.rs:810): every quad must have non-null
+        s/p/o term structs with a term-type tag, and graph terms must not
+        be literals."""
+        from .terms import TT_LITERAL
+        bad = self.quads.where(
+            F.col(COL_SUBJECT).isNull() | F.col(COL_PREDICATE).isNull()
+            | F.col(COL_OBJECT).isNull()
+            | F.col(COL_SUBJECT)["t"].isNull()
+            | F.col(COL_PREDICATE)["t"].isNull()
+            | F.col(COL_OBJECT)["t"].isNull()
+            | (F.col(COL_GRAPH).isNotNull()
+               & (F.col(COL_GRAPH)["t"] == TT_LITERAL))
+        ).count()
+        if bad:
+            raise ValueError(f"store failed validation: {bad} malformed quads")
+
+    def dump_graph(self, path: str, graph_name=None, format: str = None) -> None:
+        """Serialize ONE graph (default graph when graph_name is None) as
+        a triples format (store.rs:624-657)."""
+        sub = GraphStore(self.spark,
+                         self.quads.where(self._graph_filter(graph_name))
+                         .withColumn(COL_GRAPH, F.lit(None).cast(
+                             self.quads.schema[COL_GRAPH].dataType)))
+        sub.dump(path, format=format)
+
     def query(self, sparql: str, dataset=None):
         """Parse + translate + return the result (DataFrame-backed).
 

@@ -147,3 +147,40 @@ def test_programmatic_api(store, spark):
     assert names == {EX + "g"}
     store.clear()
     assert len(store) == 0
+
+
+def test_graph_management_api(store, tmp_path):
+    g = NamedNode(EX + "g")
+    g2 = NamedNode(EX + "g2")
+    assert not store.is_empty()
+    assert store.contains_named_graph(g)
+    assert not store.contains_named_graph(g2)
+    store.insert_named_graph(
+        g2, [(NamedNode(EX + "d"), NamedNode(EX + "q"), Literal("4"))])
+    assert store.contains_named_graph(g2)
+    store.validate()
+    # per-graph dump serializes only that graph's triples
+    out = str(tmp_path / "g2.nt")
+    store.dump_graph(out, graph_name=g2, format="nt")
+    dumped = GraphStore.from_ntriples(store.spark, out)
+    assert len(dumped) == 1
+    assert dumped.contains(NamedNode(EX + "d"), NamedNode(EX + "q"),
+                           Literal("4"), graph=None)
+    store.remove_named_graph(g2)
+    assert not store.contains_named_graph(g2)
+    # clear_graph(None) clears only the default graph
+    store.clear_graph(None)
+    assert rows(store, "SELECT ?s WHERE { ?s ?p ?o }") == []
+    assert store.contains_named_graph(g)
+    assert store.optimize().contains_named_graph(g)
+
+
+def test_validate_rejects_malformed(spark):
+    from pyspark.sql import functions as F
+    from rdf_fusion_spark.store import COL_SUBJECT
+    st = GraphStore.from_python_quads(spark, [
+        (None, NamedNode(EX + "a"), NamedNode(EX + "p"), Literal("1"))])
+    st.quads = st.quads.withColumn(
+        COL_SUBJECT, F.lit(None).cast(st.quads.schema[COL_SUBJECT].dataType))
+    with pytest.raises(ValueError, match="malformed"):
+        st.validate()
