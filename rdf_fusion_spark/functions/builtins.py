@@ -285,12 +285,16 @@ def _preserve_lang(src: Column, new_value: Column) -> Column:
 
 def _fn_str(args, resolve):
     c = compile_expr(args[0], resolve)
-    return F.when(c["t"] != TT_BNODE, string_term(tv.lexical_of(c)))
+    return tv.tag(F.when(c["t"] != TT_BNODE, string_term(tv.lexical_of(c))),
+                  tv.SK_PLAIN)
 
 
 def _fn_lang(args, resolve):
     c = compile_expr(args[0], resolve)
-    return F.when(c["t"] == TT_LITERAL, string_term(F.coalesce(c["lang"], F.lit(""))))
+    return tv.tag(
+        F.when(c["t"] == TT_LITERAL,
+               string_term(F.coalesce(c["lang"], F.lit("")))),
+        tv.SK_PLAIN)
 
 
 def _fn_datatype(args, resolve):
@@ -702,7 +706,7 @@ def _cast_fn(name: str):
                 elif sk == tv.K_BOOLEAN:
                     val = F.when(as_boolean(c), 1.0).otherwise(0.0)
                 elif sk == tv.SK_PLAIN:
-                    val = c["v"].try_cast("double")
+                    val = _str_to_double(c["v"])
                 else:
                     val = F.lit(None).cast("double")
                 return mk(val)
@@ -710,7 +714,7 @@ def _cast_fn(name: str):
                 F.when(is_numeric(c), c["x"])
                 .when(c["dt"] == XSD_BOOLEAN,
                       F.when(as_boolean(c), 1.0).otherwise(0.0))
-                .when(is_plain_string(c), (c["v"]).try_cast("double"))
+                .when(is_plain_string(c), _str_to_double(c["v"]))
             )
             return mk(val)
         if target == "boolean":
@@ -722,7 +726,9 @@ def _cast_fn(name: str):
             )
             return bool_term(val)
         if target == "string":
-            return F.when(c["t"] != TT_BNODE, string_term(tv.lexical_of(c)))
+            return tv.tag(
+                F.when(c["t"] != TT_BNODE, string_term(tv.lexical_of(c))),
+                tv.SK_PLAIN)
         if target == "dateTime":
             if sk == K_DATETIME:
                 val = c["ts"]
@@ -736,19 +742,23 @@ def _cast_fn(name: str):
                     F.when(is_plain_string(c), (c["v"]).try_cast("timestamp")),
                 )
             lex = F.regexp_replace(val.cast("string"), " ", "T")
-            return F.when(val.isNotNull(),
-                          term_struct(F.lit(TT_LITERAL), lex,
-                                      F.lit(XSD_DATETIME),
-                                      k=F.lit(K_DATETIME), x=tv.None_x(),
-                                      d=tv.None_d(), ts=val))
+            return tv.tag(
+                F.when(val.isNotNull(),
+                       term_struct(F.lit(TT_LITERAL), lex,
+                                   F.lit(XSD_DATETIME),
+                                   k=F.lit(K_DATETIME), x=tv.None_x(),
+                                   d=tv.None_d(), ts=val)),
+                tv.K_DATETIME)
         if target == "date":
             val = F.when(
                 c["dt"].isin(XSD_DATETIME, XSD_DATE) | is_plain_string(c),
                 (c["v"]).try_cast("date"),
             )
-            return F.when(val.isNotNull(),
-                          term_struct(F.lit(TT_LITERAL), val.cast("string"),
-                                      F.lit(XSD_DATE)))
+            return tv.tag(
+                F.when(val.isNotNull(),
+                       term_struct(F.lit(TT_LITERAL), val.cast("string"),
+                                   F.lit(XSD_DATE))),
+                tv.K_DATETIME)
         if target == "time":
             from ..terms import XSD_TIME
             src_ts = (
@@ -765,11 +775,13 @@ def _cast_fn(name: str):
                 r"\.?0+$", "")
             anchored = F.to_timestamp(
                 F.concat(F.lit("1970-01-01 "), lex))
-            return F.when(
-                src_ts.isNotNull(),
-                term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_TIME),
-                            k=F.lit(K_DATETIME), x=tv.None_x(),
-                            d=tv.None_d(), ts=anchored))
+            return tv.tag(
+                F.when(
+                    src_ts.isNotNull(),
+                    term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_TIME),
+                                k=F.lit(K_DATETIME), x=tv.None_x(),
+                                d=tv.None_d(), ts=anchored)),
+                tv.K_DATETIME)
         if target in ("duration", "yearMonthDuration", "dayTimeDuration"):
             from ..terms import (
                 K_DURATION,
@@ -798,10 +810,19 @@ def _cast_fn(name: str):
     return fn
 
 
+def _str_to_double(v: Column) -> Column:
+    """String-to-double with the XSD INF forms Spark's cast rejects."""
+    return (F.when(v == "INF", F.lit(float("inf")))
+            .when(v == "-INF", F.lit(float("-inf")))
+            .otherwise(v.try_cast("double")))
+
+
 def _float_term(x: Column) -> Column:
     # canonical float lexical: integral values print without ".0"
-    # (matches Rust/oxigraph f32 Display; W3C canonical allows both)
-    lex = F.regexp_replace(x.cast("float").cast("string"), r"\.0$", "")
+    # (matches Rust/oxigraph f32 Display; W3C canonical allows both);
+    # Infinity/-Infinity render as INF/-INF per XSD
+    lex = F.regexp_replace(
+        tv.canon_double_string(x.cast("float").cast("double")), r"\.0$", "")
     return F.when(
         x.isNotNull(),
         term_struct(F.lit(TT_LITERAL), lex, F.lit(XSD_FLOAT)),

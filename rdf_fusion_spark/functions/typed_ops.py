@@ -310,6 +310,15 @@ def canon_decimal_string(d: Column) -> Column:
     ).otherwise(s)
 
 
+def canon_double_string(x: Column) -> Column:
+    """xsd:double/float lexical for the special values: Spark renders
+    Infinity/-Infinity, XSD writes INF/-INF (NaN agrees)."""
+    return (F.when(F.isnan(x), F.lit("NaN"))
+            .when(x == float("inf"), F.lit("INF"))
+            .when(x == float("-inf"), F.lit("-INF"))
+            .otherwise(x.cast("string")))
+
+
 def _typed_lex(c: Column) -> Column:
     """Recompute a numeric/dateTime lexical from the typed fields."""
     sk = skind(c)
@@ -319,19 +328,21 @@ def _typed_lex(c: Column) -> Column:
         if sk <= K_DECIMAL:
             return canon_decimal_string(c["d"])
         if sk == K_FLOAT:
-            return F.regexp_replace(c["x"].cast("float").cast("string"),
-                                    r"\.0$", "")
+            return F.regexp_replace(
+                canon_double_string(c["x"].cast("float").cast("double")),
+                r"\.0$", "")
         if sk == K_DOUBLE:
-            return c["x"].cast("string")
+            return canon_double_string(c["x"])
         if sk == K_DATETIME:
             return F.regexp_replace(c["ts"].cast("string"), " ", "T")
         return _null_str()
     return (
         F.when(c["k"] <= K_DECIMAL, canon_decimal_string(c["d"]))
         .when(c["k"] == K_FLOAT,
-              F.regexp_replace(c["x"].cast("float").cast("string"),
-                               r"\.0$", ""))
-        .when(c["k"] <= K_DOUBLE, c["x"].cast("string"))
+              F.regexp_replace(
+                  canon_double_string(c["x"].cast("float").cast("double")),
+                  r"\.0$", ""))
+        .when(c["k"] <= K_DOUBLE, canon_double_string(c["x"]))
         .when(c["k"] == K_DATETIME,
               F.regexp_replace(c["ts"].cast("string"), " ", "T"))
     )
@@ -383,7 +394,7 @@ def int_term(n: Column) -> Column:
 
 
 def double_term(x: Column) -> Column:
-    v = _null_str() if _lazy() else x.cast("string")
+    v = _null_str() if _lazy() else canon_double_string(x)
     return tag(F.when(
         x.isNotNull(),
         term_struct(_tt(TT_LITERAL), v, lit_str(XSD_DOUBLE),
@@ -493,6 +504,11 @@ def rdf_equal(a: Column, b: Column) -> Column:
     error when not identical; IRI/bnode compare by identity (false, not
     error, when different node kinds).
     """
+    def eqx(x: Column, y: Column) -> Column:
+        # double-valued equality: NaN equals nothing, itself included
+        # (XPath op:numeric-equal; Spark's NaN = NaN is TRUE)
+        return (x == y) & ~F.isnan(x) & ~F.isnan(y)
+
     sa, sb = skind(a), skind(b)
     if sa is not None and sb is not None:
         null_guard = a.isNull() | b.isNull()
@@ -500,10 +516,10 @@ def rdf_equal(a: Column, b: Column) -> Column:
             if _sk_rank_static(sa) and _sk_rank_static(sb):
                 body = (a["d"] == b["d"]) if (sa <= K_DECIMAL
                                               and sb <= K_DECIMAL) \
-                    else (a["x"] == b["x"])
+                    else eqx(a["x"], b["x"])
             else:  # SK_NUM operand: rank resolved per row
                 body = F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
-                              a["d"] == b["d"]).otherwise(a["x"] == b["x"])
+                              a["d"] == b["d"]).otherwise(eqx(a["x"], b["x"]))
         elif sa == SK_PLAIN and sb == SK_PLAIN:
             body = a["v"] == b["v"]
         elif sa == K_DATETIME and sb == K_DATETIME:
@@ -536,7 +552,7 @@ def rdf_equal(a: Column, b: Column) -> Column:
               # exact within decimal range; doubles compared as double
               F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
                      a["d"] == b["d"])
-              .otherwise(a["x"] == b["x"]))
+              .otherwise(eqx(a["x"], b["x"])))
         .when(both_str, a["v"] == b["v"])
         .when(both_lang, (a["v"] == b["v"]) & (a["lang"] == b["lang"]))
         .when(both_bool, as_boolean(a) == as_boolean(b))
@@ -562,17 +578,23 @@ def rdf_compare(a: Column, b: Column) -> Column:
     def cmp3(x: Column, y: Column) -> Column:
         return F.when(x < y, -1).when(x > y, 1).when(x == y, 0)
 
+    def cmp3x(x: Column, y: Column) -> Column:
+        # double-valued comparison: NaN is UNORDERED (sentinel 9 — every
+        # derived < <= > >= is false, per XPath op:numeric-*; Spark's own
+        # NaN semantics would sort it greater than everything instead)
+        return F.when(F.isnan(x) | F.isnan(y), F.lit(9)).otherwise(cmp3(x, y))
+
     sa, sb = skind(a), skind(b)
     if sa is not None and sb is not None:
         if _sk_numeric(sa) and _sk_numeric(sb):
             if _sk_rank_static(sa) and _sk_rank_static(sb):
                 body = cmp3(a["d"], b["d"]) if (sa <= K_DECIMAL
                                                 and sb <= K_DECIMAL) \
-                    else cmp3(a["x"], b["x"])
+                    else cmp3x(a["x"], b["x"])
             else:  # SK_NUM operand: rank resolved per row
                 body = F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
                               cmp3(a["d"], b["d"])) \
-                    .otherwise(cmp3(a["x"], b["x"]))
+                    .otherwise(cmp3x(a["x"], b["x"]))
         elif sa == SK_PLAIN and sb == SK_PLAIN:
             body = cmp3(a["v"], b["v"])
         elif sa == K_BOOLEAN and sb == K_BOOLEAN:
@@ -603,7 +625,7 @@ def rdf_compare(a: Column, b: Column) -> Column:
         .when(both_num,
               F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
                      cmp3(a["d"], b["d"]))
-              .otherwise(cmp3(a["x"], b["x"])))
+              .otherwise(cmp3x(a["x"], b["x"])))
         .when(both_str, cmp3(a["v"], b["v"]))
         .when(same_lang, cmp3(a["v"], b["v"]))
         .when(both_bool, cmp3(as_boolean(a).cast("int"), as_boolean(b).cast("int")))
@@ -613,25 +635,39 @@ def rdf_compare(a: Column, b: Column) -> Column:
     )
 
 
+# exact comparisons against the -1/0/1 outcomes (not range tests): the
+# NaN-unordered sentinel 9 must make every operator FALSE, and NULL
+# (type error) must stay NULL
 def rdf_less(a: Column, b: Column) -> Column:
-    return rdf_compare(a, b) < 0
+    return rdf_compare(a, b) == -1
 
 
 def rdf_less_eq(a: Column, b: Column) -> Column:
-    return rdf_compare(a, b) <= 0
+    return rdf_compare(a, b).isin(-1, 0)
 
 
 def rdf_greater(a: Column, b: Column) -> Column:
-    return rdf_compare(a, b) > 0
+    return rdf_compare(a, b) == 1
 
 
 def rdf_greater_eq(a: Column, b: Column) -> Column:
-    return rdf_compare(a, b) >= 0
+    return rdf_compare(a, b).isin(0, 1)
 
 
 # ---------------------------------------------------------------------------
 # Arithmetic with numeric promotion
 # ---------------------------------------------------------------------------
+
+def _double_div(xa: Column, xb: Column) -> Column:
+    """IEEE double division: x/0 is +-INF (0/0 and NaN operands give NaN),
+    never an error — ANSI Spark raises DIVIDE_BY_ZERO even for doubles, so
+    the zero-divisor branches are explicit (XPath op:numeric-divide)."""
+    return (F.when(xa.isNull() | xb.isNull(), F.lit(None).cast("double"))
+            .when(xb != 0, xa / xb)
+            .when(F.isnan(xa) | F.isnan(xb) | (xa == 0), F.lit(float("nan")))
+            .when(xa > 0, F.lit(float("inf")))
+            .otherwise(F.lit(float("-inf"))))
+
 
 def _binary_numeric(a: Column, b: Column, op: str) -> Column:
     """a OP b with the XPath promotion ladder; result is a term struct.
@@ -652,7 +688,7 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
             da, db = a["d"], b["d"]
             xa, xb = a["x"], b["x"]
             if op == "/":
-                dres, xres, lres = F.when(db != 0, da / db), xa / xb, None
+                dres, xres, lres = F.when(db != 0, da / db), _double_div(xa, xb), None
             else:
                 lres = {"+": da.cast("long") + db.cast("long"),
                         "-": da.cast("long") - db.cast("long"),
@@ -671,7 +707,7 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
         if rank >= RANK_FLOAT:
             xa, xb = a["x"], b["x"]
             res = {"+": xa + xb, "-": xa - xb, "*": xa * xb,
-                   "/": xa / xb}[op]
+                   "/": _double_div(xa, xb)}[op]
             return double_term(res)
         if rank == RANK_DECIMAL or op == "/":
             da, db = a["d"], b["d"]
@@ -699,7 +735,7 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
         # integer ÷ integer → decimal; division by zero → error (NULL)
         lres = None
         dres = F.when(db != 0, da / db)
-        xres = xa / xb
+        xres = _double_div(xa, xb)
     else:  # pragma: no cover
         raise ValueError(op)
 

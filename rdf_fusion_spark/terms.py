@@ -367,7 +367,10 @@ def term_struct(t: Column, v: Column, dt: Column = None, lang: Column = None,
     k = k.cast("tinyint") if isinstance(k, Column) else F.lit(k).cast("tinyint")
     if x is None:
         x = (
-            F.when(k <= K_DOUBLE, v.try_cast("double"))
+            F.when(k <= K_DOUBLE,
+                   F.when(v == "INF", F.lit(float("inf")))
+                   .when(v == "-INF", F.lit(float("-inf")))
+                   .otherwise(v.try_cast("double")))
             .when(k == K_BOOLEAN,
                   F.when(v.isin("true", "1"), 1.0)
                   .when(v.isin("false", "0"), 0.0))
@@ -437,7 +440,10 @@ def term_struct_static_dt(v: Column, dt: str) -> Column:
     if k in (K_INTEGER, K_DECIMAL):
         x, d = v.try_cast("double"), v.try_cast("decimal(38,18)")
     elif k in (K_FLOAT, K_DOUBLE):
-        x = v.try_cast("double")
+        # XSD writes INF/-INF; Spark's cast only accepts Infinity forms
+        x = (F.when(v == "INF", F.lit(float("inf")))
+             .when(v == "-INF", F.lit(float("-inf")))
+             .otherwise(v.try_cast("double")))
     elif k == K_BOOLEAN:
         x = (F.when(v.isin("true", "1"), 1.0)
              .when(v.isin("false", "0"), 0.0))

@@ -25,6 +25,7 @@ MANIFESTS = [
     os.path.join(os.path.dirname(__file__), "data/sparql11/manifest3.ttl"),
     os.path.join(os.path.dirname(__file__), "data/sparql11/manifest4.ttl"),
     os.path.join(os.path.dirname(__file__), "data/sparql11/manifest5.ttl"),
+    os.path.join(os.path.dirname(__file__), "data/sparql11/manifest6.ttl"),
     # re-authored SPARQL 1.1 Update evaluation suite (ut: vocabulary)
     os.path.join(os.path.dirname(__file__), "data/sparql11-update/manifest.ttl"),
 ]
