@@ -145,11 +145,11 @@ def as_long(c: Column) -> Column:
     sk = skind(c)
     if sk is not None:
         if sk == K_INTEGER:
-            return c["d"].cast("long")
+            return c["d"].try_cast("long")
         if sk == SK_NUM:
-            return F.when(c["k"] == K_INTEGER, c["d"].cast("long"))
+            return F.when(c["k"] == K_INTEGER, c["d"].try_cast("long"))
         return F.lit(None).cast("long")
-    return F.when(c["k"] == K_INTEGER, c["d"].cast("long"))
+    return F.when(c["k"] == K_INTEGER, c["d"].try_cast("long"))
 
 
 def as_decimal(c: Column) -> Column:
@@ -690,9 +690,10 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
             if op == "/":
                 dres, xres, lres = F.when(db != 0, da / db), _double_div(xa, xb), None
             else:
-                lres = {"+": da.cast("long") + db.cast("long"),
-                        "-": da.cast("long") - db.cast("long"),
-                        "*": da.cast("long") * db.cast("long")}[op]
+                lla, llb = da.try_cast("long"), db.try_cast("long")
+                lres = {"+": F.try_add(lla, llb),
+                        "-": F.try_subtract(lla, llb),
+                        "*": F.try_multiply(lla, llb)}[op]
                 dres = {"+": da + db, "-": da - db, "*": da * db}[op]
                 xres = {"+": xa + xb, "-": xa - xb, "*": xa * xb}[op]
             out = (
@@ -715,8 +716,9 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
                 return decimal_term(F.when(db != 0, da / db))
             res = {"+": da + db, "-": da - db, "*": da * db}[op]
             return decimal_term(res)
-        la, lb = a["d"].cast("long"), b["d"].cast("long")
-        res = {"+": la + lb, "-": la - lb, "*": la * lb}[op]
+        la, lb = a["d"].try_cast("long"), b["d"].try_cast("long")
+        res = {"+": F.try_add(la, lb), "-": F.try_subtract(la, lb),
+               "*": F.try_multiply(la, lb)}[op]
         return int_term(res)
 
     ra, rb = numeric_rank(a), numeric_rank(b)
@@ -726,11 +728,11 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
     xa, xb = as_double(a), as_double(b)
 
     if op == "+":
-        lres, dres, xres = la + lb, da + db, xa + xb
+        lres, dres, xres = F.try_add(la, lb), da + db, xa + xb
     elif op == "-":
-        lres, dres, xres = la - lb, da - db, xa - xb
+        lres, dres, xres = F.try_subtract(la, lb), da - db, xa - xb
     elif op == "*":
-        lres, dres, xres = la * lb, da * db, xa * xb
+        lres, dres, xres = F.try_multiply(la, lb), da * db, xa * xb
     elif op == "/":
         # integer ÷ integer → decimal; division by zero → error (NULL)
         lres = None
@@ -833,7 +835,7 @@ def _unary_numeric(a: Column, sign: int) -> Column:
             return double_term(sign * a["x"])
         if sk == RANK_DECIMAL:
             return decimal_term(sign * a["d"])
-        return int_term(sign * a["d"].cast("long"))
+        return int_term(sign * a["d"].try_cast("long"))
     if sk is not None and sk != SK_NUM:
         return F.lit(None).cast(TERM_DDL)
     if sk == SK_NUM:
@@ -841,7 +843,7 @@ def _unary_numeric(a: Column, sign: int) -> Column:
         out = (
             F.when(a["k"] >= RANK_FLOAT, double_term(sign * a["x"]))
             .when(a["k"] == RANK_DECIMAL, decimal_term(sign * a["d"]))
-            .otherwise(int_term(sign * a["d"].cast("long")))
+            .otherwise(int_term(sign * a["d"].try_cast("long")))
         )
         return tag(F.when(a.isNotNull(), out), SK_NUM)
     rank = numeric_rank(a)
