@@ -235,6 +235,79 @@ def _args_compatible(a: Column, b: Column) -> Column:
     )
 
 
+def _const_plain_str(arg) -> "str | None":
+    """The Python string of a constant simple/xsd:string argument."""
+    from ..sparql.algebra import ETerm
+    from ..terms import XSD_STRING
+    if isinstance(arg, ETerm) and isinstance(arg.term, Literal) \
+            and arg.term.language is None \
+            and arg.term.datatype in (None, XSD_STRING):
+        return arg.term.lexical
+    return None
+
+
+def _jvm_pattern(pattern: str):
+    """Compile via java.util.regex (the engine that will run it), or None
+    when no JVM is reachable."""
+    from pyspark.sql import SparkSession
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    return spark._jvm.java.util.regex.Pattern.compile(pattern)
+
+
+def _regex_pattern(args, resolve, pat_idx: int, flags_idx: int):
+    """(pattern Column | None, groupCount | None); None column = the
+    CONSTANT pattern is invalid → expression error, not a query abort
+    (Spark's regexp_* throw SparkRuntimeException for bad patterns).
+
+    Also implements the XPath 'q' flag (match as literal string), which
+    Java has no inline-flag spelling for — the constant pattern is
+    wrapped in \\Q...\\E instead."""
+    pat_c = _const_plain_str(args[pat_idx])
+    flags_c = _const_plain_str(args[flags_idx]) \
+        if len(args) > flags_idx else ""
+    if pat_c is not None and flags_c is not None:
+        if "q" in flags_c:
+            pat_c = "\\Q" + pat_c + "\\E"
+            flags_c = flags_c.replace("q", "")
+        full = f"(?{flags_c}){pat_c}" if flags_c else pat_c
+        try:
+            compiled = _jvm_pattern(full)
+        except Exception:
+            return None, None
+        gc = compiled.matcher("").groupCount() if compiled is not None else None
+        return F.lit(full), gc
+    pat = as_string(compile_expr(args[pat_idx], resolve))
+    if len(args) > flags_idx:
+        flags = as_string(compile_expr(args[flags_idx], resolve))
+        pat = F.concat(F.lit("(?"), flags, F.lit(")"), pat)
+    return pat, None
+
+
+def _replacement_invalid(rep: str, group_count) -> bool:
+    """Java Matcher.replaceAll rejects a bare '$' and group references
+    beyond groupCount (XPath FORX0004) — detect both for constant
+    replacements so they become expression errors."""
+    if group_count is None:
+        return False
+    i = 0
+    while i < len(rep):
+        ch = rep[i]
+        if ch == "\\":
+            i += 2
+            continue
+        if ch == "$":
+            if i + 1 >= len(rep) or not rep[i + 1].isdigit():
+                return True
+            if int(rep[i + 1]) > group_count:
+                return True
+            i += 2
+            continue
+        i += 1
+    return False
+
+
 def _string_predicate(name: str, args: list, resolve: Resolver) -> Column:
     a = compile_expr(args[0], resolve)
     b = compile_expr(args[1], resolve)
@@ -246,10 +319,9 @@ def _string_predicate(name: str, args: list, resolve: Resolver) -> Column:
         return F.when(tag.isNotNull() & rng.isNotNull(), res)
     if name == "REGEX":
         s = as_string(a)
-        pat = as_string(b)
-        if len(args) >= 3:
-            flags = as_string(compile_expr(args[2], resolve))
-            pat = F.concat(F.lit("(?"), flags, F.lit(")"), pat)
+        pat, _ = _regex_pattern(args, resolve, 1, 2)
+        if pat is None:  # constant pattern failed to compile
+            return NULL_BOOL()
         return F.when(s.isNotNull() & pat.isNotNull(), F.regexp_like(s, pat))
     ok = _args_compatible(a, b)
     fn = {"STRSTARTS": lambda x, y: x.startswith(y),
@@ -445,11 +517,13 @@ def _fn_concat(args, resolve):
 
 def _fn_replace(args, resolve):
     c = compile_expr(args[0], resolve)
-    pat = as_string(compile_expr(args[1], resolve))
+    pat, group_count = _regex_pattern(args, resolve, 1, 3)
+    if pat is None:  # constant pattern failed to compile
+        return NULL_TERM()
+    rep_c = _const_plain_str(args[2])
+    if rep_c is not None and _replacement_invalid(rep_c, group_count):
+        return NULL_TERM()  # bare '$' / missing group ref (FORX0004)
     rep = as_string(compile_expr(args[2], resolve))
-    if len(args) >= 4:
-        flags = as_string(compile_expr(args[3], resolve))
-        pat = F.concat(F.lit("(?"), flags, F.lit(")"), pat)
     return _preserve_lang(c, F.regexp_replace(as_string(c), pat, rep))
 
 
@@ -686,7 +760,9 @@ def _cast_fn(name: str):
                 elif sk == tv.K_BOOLEAN:
                     val = F.when(as_boolean(c), 1).otherwise(0).cast(DECIMAL_T)
                 elif sk == tv.SK_PLAIN:
-                    val = c["v"].try_cast(DECIMAL_T)
+                    # XSD decimal lexical has no exponent form; Spark's
+                    # cast accepts one — enforce the lexical grammar
+                    val = F.when(c["v"].rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"), c["v"]).try_cast(DECIMAL_T)
                 else:
                     val = F.lit(None).cast(DECIMAL_T)
                 return decimal_term(val)
@@ -695,7 +771,7 @@ def _cast_fn(name: str):
                 .when(is_numeric(c), c["x"].cast(DECIMAL_T))
                 .when(c["dt"] == XSD_BOOLEAN,
                       F.when(as_boolean(c), 1).otherwise(0).cast(DECIMAL_T))
-                .when(is_plain_string(c), (c["v"]).try_cast(DECIMAL_T))
+                .when(is_plain_string(c), F.when(c["v"].rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"), c["v"]).try_cast(DECIMAL_T))
             )
             return decimal_term(val)
         if target in ("double", "float"):
