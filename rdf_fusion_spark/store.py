@@ -215,6 +215,20 @@ class GraphStore:
             raise ValueError(f"unknown RDF format {format!r}")
         return cls(spark, read_rdf(spark, path, fmt, base))
 
+    @classmethod
+    def load_dir(cls, spark: SparkSession, path: str, format: str = None,
+                 base=None) -> "GraphStore":
+        """Distributed multi-file load: parse every RDF file under `path`
+        (directory or glob) on the executors, one task per file — the
+        scale path for corpora delivered as many Turtle/TriG/RDF-XML
+        files (see sources/bulk.py)."""
+        from .sources.bulk import read_rdf_directory
+        from .sources.formats import format_from_name
+        fmt = format_from_name(format) if format else None
+        if format and fmt is None:
+            raise ValueError(f"unknown RDF format {format!r}")
+        return cls(spark, read_rdf_directory(spark, path, fmt, base))
+
     def dump(self, path: str, format: str = None,
              mode: str = "overwrite") -> None:
         """Serialize the store to an RDF file tree (distributed writers for

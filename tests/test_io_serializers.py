@@ -212,3 +212,26 @@ def test_load_guesses_format(spark, tmp_path):
     f2 = tmp_path / "g.ttl"
     f2.write_text("<http://e/a> <http://e/p> 1, 2 .")
     assert GraphStore.load(spark, str(f2)).quads.count() == 2
+
+
+def test_bulk_directory_load(spark, tmp_path):
+    """Distributed multi-file load: mixed formats, per-file bnode scoping."""
+    from rdf_fusion_spark import GraphStore
+    (tmp_path / "a.ttl").write_text(
+        "@prefix : <http://example/> .\n"
+        ":s1 :p _:b0 .\n_:b0 :q 1 .\n")
+    (tmp_path / "b.ttl").write_text(
+        "@prefix : <http://example/> .\n"
+        ":s2 :p _:b0 .\n_:b0 :q 2 .\n")
+    (tmp_path / "c.nt").write_text(
+        "<http://example/s3> <http://example/p> \"lit\" .\n")
+    st = GraphStore.load_dir(spark, str(tmp_path))
+    assert len(st) == 5
+    res = st.query("""
+        PREFIX : <http://example/>
+        SELECT ?s ?v WHERE { ?s :p ?b . ?b :q ?v }
+    """)
+    got = sorted((r["s"]["v"], r["v"]["v"]) for r in res.df.collect())
+    # _:b0 in a.ttl and _:b0 in b.ttl are DIFFERENT nodes: s1 only
+    # reaches 1, s2 only reaches 2
+    assert got == [("http://example/s1", "1"), ("http://example/s2", "2")]
