@@ -81,10 +81,9 @@ def _term_from_groups(line: Column, base: int) -> Column:
     )
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
-    """Parse an N-Triples/N-Quads file (or directory) into a quads DataFrame
-    (graph = NULL for triples; 4th term becomes the graph for quads)."""
-    lines = spark.read.text(path).select(F.col("value").alias("line"))
+def lines_to_quads(lines: DataFrame) -> DataFrame:
+    """N-Triples/N-Quads lines (column `line`) → quads. Pure Column ops,
+    so it applies unchanged to a STREAMING text source (streaming/ingest)."""
     lines = lines.where(
         (F.trim(F.col("line")) != "") & ~F.trim(F.col("line")).startswith("#"))
     matched = lines.where(F.regexp_like(F.col("line"), F.lit(LINE_RE)))
@@ -100,6 +99,13 @@ def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
         F.when(has_g, g).alias("graph"),
         s.alias("subject"), p.alias("predicate"), o.alias("object"),
     )
+
+
+def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+    """Parse an N-Triples/N-Quads file (or directory) into a quads DataFrame
+    (graph = NULL for triples; 4th term becomes the graph for quads)."""
+    return lines_to_quads(
+        spark.read.text(path).select(F.col("value").alias("line")))
 
 
 def format_term(c: Column) -> Column:

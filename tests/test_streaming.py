@@ -80,3 +80,35 @@ def test_sessionize_runs(spark, events_path, tmp_path):
                      output_mode="append")
     rows = spark.table("sessions")
     assert rows.where(F.col("n_events") >= 1).count() >= 0  # executed cleanly
+
+
+def test_streaming_rdf_ingest(spark, tmp_path):
+    """Continuous N-Triples ingestion: files dropped into a landing dir
+    stream into a parquet store exactly once; late-arriving files are
+    picked up by a catch-up drain of the SAME checkpoint."""
+    from rdf_fusion_spark import GraphStore
+    from rdf_fusion_spark.streaming.ingest import (
+        ingest_to_parquet,
+        stream_ntriples,
+    )
+    land = tmp_path / "landing"
+    land.mkdir()
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+    (land / "one.nt").write_text(
+        "<http://example/a> <http://example/p> \"1\" .\n"
+        "<http://example/b> <http://example/p> \"2\" .\n")
+    ingest_to_parquet(stream_ntriples(spark, str(land)), store, ckpt,
+                      available_now=True)
+    st = GraphStore.from_parquet(spark, store)
+    assert len(st) == 2
+    # a new file lands; the same checkpoint ingests ONLY the new rows
+    (land / "two.nq").write_text(
+        "<http://example/c> <http://example/p> \"3\" <http://example/g> .\n")
+    ingest_to_parquet(stream_ntriples(spark, str(land)), store, ckpt,
+                      available_now=True)
+    st2 = GraphStore.from_parquet(spark, store)
+    assert len(st2) == 3
+    res = st2.query(
+        "SELECT ?s WHERE { GRAPH <http://example/g> { ?s ?p ?o } }")
+    assert [r["s"]["v"] for r in res.df.collect()] == ["http://example/c"]
