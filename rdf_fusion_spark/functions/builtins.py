@@ -640,10 +640,16 @@ def _fn_tz(args, resolve):
 
 def _fn_timezone(args, resolve):
     c = compile_expr(args[0], resolve)
-    tz = F.regexp_extract(c["v"], r"(Z|[+-]\d\d:\d\d)$", 1)
+    # tz/hours/mins are each referenced from several WHEN branches below;
+    # interning keeps the compiled tree linear (uninterned, this one
+    # builtin alone emitted a ~19 KB plan and pushed accessor-heavy BINDs
+    # over Janino's 64 KB method limit)
+    tz = _intern(F.regexp_extract(c["v"], r"(Z|[+-]\d\d:\d\d)$", 1))
     sign = F.when(tz.startswith("-"), -1).otherwise(1)
-    hours = F.regexp_extract(tz, r"(\d\d):", 1).try_cast("int") * sign
-    mins = F.regexp_extract(tz, r":(\d\d)$", 1).try_cast("int") * sign
+    hours = _intern(
+        F.regexp_extract(tz, r"(\d\d):", 1).try_cast("int") * sign)
+    mins = _intern(
+        F.regexp_extract(tz, r":(\d\d)$", 1).try_cast("int") * sign)
     lex = (
         F.when(tz == "Z", F.lit("PT0S"))
         .when((hours == 0) & (mins == 0), F.lit("PT0S"))

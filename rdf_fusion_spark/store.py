@@ -144,6 +144,12 @@ class GraphStore:
         self.spark = spark
         self.quads = quads
         _exclude_predicate_pushdown(spark)
+        # every store entry point gets the engine's session settings —
+        # without methodSplitThreshold=128 a BIND-heavy query overflows
+        # Janino's 64 KB method limit and silently runs interpreted
+        # (previously only the relational loaders configured this)
+        from .sources.relational import configure_session
+        configure_session(spark)
 
     # ------------------------------------------------------------------
     # constructors
