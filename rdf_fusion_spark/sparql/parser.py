@@ -155,6 +155,11 @@ class Parser:
         self.base: Optional[str] = None
         self._bnode_n = 0
         self._anon_n = 0
+        # blank-node label scoping (spec §19.6): a label may appear in only
+        # ONE basic graph pattern of the query. Each TriplesBlock inside a
+        # group is its own scope; label -> scope id of first use.
+        self._bnode_block = 0
+        self._bnode_scopes: dict[str, int] = {}
 
     # --- token helpers ---
 
@@ -201,6 +206,38 @@ class Parser:
             return Variable(f"__bn_{label}")
         self._anon_n += 1
         return Variable(f"__anon_{self._anon_n}")
+
+    def _nonneg_int(self, kw: str) -> int:
+        t = self.next()
+        try:
+            n = int(t.value)
+        except ValueError:
+            raise SparqlSyntaxError(
+                f"{kw} requires a non-negative integer, got {t.value!r}")
+        if n < 0:
+            raise SparqlSyntaxError(f"{kw} must be non-negative, got {n}")
+        return n
+
+    def _check_bnode_scope(self, triples: list) -> None:
+        """One TriplesBlock = one blank-node scope (spec §19.6 + the
+        syn-blabel-cross-* negative syntax tests): a `_:label` appearing
+        in two different blocks — across FILTER, OPTIONAL, UNION branches,
+        GRAPH, or nested groups — is a syntax error."""
+        labels = set()
+        for item in triples:
+            for part in (getattr(item, "subject", None),
+                         getattr(item, "predicate", None),
+                         getattr(item, "object", None)):
+                if isinstance(part, Variable) and part.name.startswith("__bn_"):
+                    labels.add(part.name[len("__bn_"):])
+        for lb in labels:
+            prev = self._bnode_scopes.get(lb)
+            if prev is not None and prev != self._bnode_block:
+                raise SparqlSyntaxError(
+                    f"blank node label _:{lb} used in more than one "
+                    "basic graph pattern")
+            self._bnode_scopes[lb] = self._bnode_block
+        self._bnode_block += 1
 
     # --- terms ---
 
@@ -609,9 +646,9 @@ class Parser:
         limit = offset = None
         while self.at_kw("LIMIT", "OFFSET"):
             if self.eat_kw("LIMIT"):
-                limit = int(self.next().value)
+                limit = self._nonneg_int("LIMIT")
             elif self.eat_kw("OFFSET"):
-                offset = int(self.next().value)
+                offset = self._nonneg_int("OFFSET")
 
         # --- aggregate extraction ---
         agg_list: list[tuple[Variable, A.AggCall]] = []
@@ -728,9 +765,9 @@ class Parser:
         # solution modifiers (LIMIT etc.) on construct
         while self.at_kw("LIMIT", "OFFSET", "ORDER"):
             if self.eat_kw("LIMIT"):
-                pattern = A.Slice(pattern, 0, int(self.next().value))
+                pattern = A.Slice(pattern, 0, self._nonneg_int("LIMIT"))
             elif self.eat_kw("OFFSET"):
-                pattern = A.Slice(pattern, int(self.next().value), None)
+                pattern = A.Slice(pattern, self._nonneg_int("OFFSET"), None)
             else:
                 break
         return A.ConstructQuery(template=template, pattern=pattern, dataset=dataset)
@@ -871,6 +908,7 @@ class Parser:
                         continue
                 break
             # split into plain triples and path patterns
+            self._check_bnode_scope(triples)
             plain = [x for x in triples if isinstance(x, A.TriplePattern)]
             paths = [x for x in triples if isinstance(x, A.PathPattern)]
             if plain:
