@@ -109,6 +109,55 @@ def extract_features(df: DataFrame, batch_decoder: Optional[Decoder] = None
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+Resizer = Callable[[bytes, str, int, int], Optional[bytes]]
+
+
+def _default_resizer(payload: bytes, mime: str, w: int, h: int
+                     ) -> Optional[bytes]:
+    raise NotImplementedError(
+        "image resizing requires an image library not present in this "
+        "runtime; pass a real resizer (PIL.Image.resize + re-encode) or "
+        "the deterministic fake from tests"
+    )
+
+
+def deterministic_fake_resizer(payload: bytes, mime: str, w: int, h: int
+                               ) -> Optional[bytes]:
+    """Test resizer: deterministically scales the byte stream to w*h bytes
+    (repeat-truncate) — stands in for decode→resize→re-encode."""
+    if payload is None or len(payload) == 0:
+        return None
+    target = max(1, w * h)
+    reps = target // len(payload) + 1
+    return (payload * reps)[:target]
+
+
+def resize_images(df: DataFrame, width: int, height: int,
+                  resizer: Optional[Resizer] = None) -> DataFrame:
+    """Resize image payloads to (width, height) via mapInPandas.
+
+    Returns MEDIA_SCHEMA rows with the payload replaced by the re-encoded
+    bytes and width/height metadata updated; non-image rows pass through
+    unchanged. Arrow-batched; combine with repartition_by_bytes upstream
+    so decode memory stays bounded per partition.
+    """
+    rs = resizer or _default_resizer
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            is_img = out["kind"] == "image"
+            out.loc[is_img, "payload"] = [
+                rs(p, m, width, height)
+                for p, m in zip(out.loc[is_img, "payload"],
+                                out.loc[is_img, "mime"])]
+            out.loc[is_img, "width"] = width
+            out.loc[is_img, "height"] = height
+            yield out
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts_ms) to
     decode — the schedule is computed relationally (explode over a

@@ -26,7 +26,11 @@ from ..terms import (
     term_struct,
 )
 
-_IRI = r"<([^>]*)>"
+# IRIREF per the N-Triples grammar: ABSOLUTE (scheme required) and no
+# control/space/angle/quote/brace/pipe/caret/backtick/backslash chars —
+# `<foo>`, `<2http://x>`, `<b@d://x>` are all syntax errors, not data
+_IRI = (r'<([A-Za-z][A-Za-z0-9+.\-]*:'
+        r'(?:[^\x00-\x20<>"{}|^`\\]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*)>')
 _BNODE = r"_:(\S+)"
 _LIT = r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?'
 _TERM = f"(?:{_IRI}|{_BNODE}|{_LIT})"
@@ -81,12 +85,24 @@ def _term_from_groups(line: Column, base: int) -> Column:
     )
 
 
-def lines_to_quads(lines: DataFrame) -> DataFrame:
+def lines_to_quads(lines: DataFrame, strict: bool = True) -> DataFrame:
     """N-Triples/N-Quads lines (column `line`) → quads. Pure Column ops,
-    so it applies unchanged to a STREAMING text source (streaming/ingest)."""
+    so it applies unchanged to a STREAMING text source (streaming/ingest).
+
+    strict=True (default) raises on the first malformed line — silently
+    dropping corrupt lines from a 100 TB dump is data loss, not leniency.
+    strict=False skips malformed lines (salvage/quarantine loading)."""
     lines = lines.where(
         (F.trim(F.col("line")) != "") & ~F.trim(F.col("line")).startswith("#"))
-    matched = lines.where(F.regexp_like(F.col("line"), F.lit(LINE_RE)))
+    ok = F.regexp_like(F.col("line"), F.lit(LINE_RE))
+    if strict:
+        lines = lines.select(
+            F.when(ok, F.col("line")).otherwise(F.raise_error(F.concat(
+                F.lit("malformed N-Triples/N-Quads line: "), F.col("line")
+            ))).alias("line"))
+        matched = lines
+    else:
+        matched = lines.where(ok)
     s = _term_from_groups(F.col("line"), 1)
     p = _term_from_groups(F.col("line"), 1 + _G)
     o = _term_from_groups(F.col("line"), 1 + 2 * _G)
@@ -101,11 +117,13 @@ def lines_to_quads(lines: DataFrame) -> DataFrame:
     )
 
 
-def read_ntriples(spark: SparkSession, path: str) -> DataFrame:
+def read_ntriples(spark: SparkSession, path: str,
+                  strict: bool = True) -> DataFrame:
     """Parse an N-Triples/N-Quads file (or directory) into a quads DataFrame
     (graph = NULL for triples; 4th term becomes the graph for quads)."""
     return lines_to_quads(
-        spark.read.text(path).select(F.col("value").alias("line")))
+        spark.read.text(path).select(F.col("value").alias("line")),
+        strict=strict)
 
 
 def format_term(c: Column) -> Column:

@@ -45,6 +45,10 @@ _STRING_ESCAPES = {
     '"': '"', "'": "'", "\\": "\\",
 }
 
+_LONG_STRING_RE = re.compile(
+    r"\"\"\"(?:[^\"\\]|\\.|\"(?!\"\"))*\"\"\""
+    r"|'''(?:[^'\\]|\\.|'(?!''))*'''")
+
 # longest-match token alternatives, tried in order
 _TOKEN_RE = re.compile(r"""
     (?P<ws>\s+|\#[^\n]*)
@@ -90,8 +94,82 @@ def _unescape_string(body: str) -> str:
             out.append(_safe_chr(int(body[i + 2:i + 10], 16)))
             i += 10
         else:
-            out.append(_STRING_ESCAPES.get(nxt, nxt))
+            if nxt not in _STRING_ESCAPES:
+                raise TurtleParseError(f"invalid string escape \\{nxt}")
+            out.append(_STRING_ESCAPES[nxt])
             i += 2
+    return "".join(out)
+
+
+_URI_SPLIT_RE = re.compile(
+    r"^(?:([A-Za-z][A-Za-z0-9+.-]*):)?(?://([^/?#]*))?"
+    r"([^?#]*)(?:\?([^#]*))?(?:#(.*))?$", re.DOTALL)
+
+
+def _remove_dot_segments(path: str) -> str:
+    """RFC 3986 §5.2.4."""
+    out: list[str] = []
+    inp = path
+    while inp:
+        if inp.startswith("../"):
+            inp = inp[3:]
+        elif inp.startswith("./"):
+            inp = inp[2:]
+        elif inp.startswith("/./"):
+            inp = "/" + inp[3:]
+        elif inp == "/.":
+            inp = "/"
+        elif inp.startswith("/../"):
+            inp = "/" + inp[4:]
+            if out:
+                out.pop()
+        elif inp == "/..":
+            inp = "/"
+            if out:
+                out.pop()
+        elif inp in (".", ".."):
+            inp = ""
+        else:
+            m = re.match(r"^/?[^/]*", inp)
+            out.append(m.group(0))
+            inp = inp[m.end():]
+    return "".join(out)
+
+
+def _rfc3986_resolve(base: str, ref: str) -> str:
+    """RFC 3986 §5.2 reference resolution (spec-literal transform;
+    the serd good suite's test-uri exercises 48 edge cases of this)."""
+    rs, ra, rp, rq, rf = _URI_SPLIT_RE.match(ref).groups()
+    bs, ba, bp, bq, _ = _URI_SPLIT_RE.match(base).groups()
+    if rs is not None:
+        ts, ta, tp, tq = rs, ra, _remove_dot_segments(rp), rq
+    elif ra is not None:
+        ts, ta, tp, tq = bs, ra, _remove_dot_segments(rp), rq
+    elif rp == "":
+        ts, ta, tp = bs, ba, bp
+        tq = rq if rq is not None else bq
+    else:
+        if rp.startswith("/"):
+            tp = _remove_dot_segments(rp)
+        else:
+            if ba is not None and bp == "":
+                merged = "/" + rp
+            elif "/" in bp:
+                merged = bp[:bp.rfind("/") + 1] + rp
+            else:
+                merged = rp
+            tp = _remove_dot_segments(merged)
+        ts, ta, tq = bs, ba, rq
+    out = []
+    if ts is not None:
+        out.append(ts + ":")
+    if ta is not None:
+        out.append("//" + ta)
+    out.append(tp)
+    if tq is not None:
+        out.append("?" + tq)
+    if rf is not None:
+        out.append("#" + rf)
     return "".join(out)
 
 
@@ -121,6 +199,18 @@ class _Parser:
 
     def _next_token(self) -> Optional[tuple[str, str]]:
         while self.pos < len(self.text):
+            # longest-match rule: text opening with a long-quote delimiter
+            # MUST tokenize as a long literal — without this, `""""` would
+            # backtrack into two empty short strings and parse "validly"
+            head = self.text[self.pos:self.pos + 3]
+            if head in ('"""', "'''"):
+                m = _LONG_STRING_RE.match(self.text, self.pos)
+                if m is None:
+                    raise TurtleParseError(
+                        f"unterminated long string literal at "
+                        f"{self.text[self.pos:self.pos + 40]!r}")
+                self.pos = m.end()
+                return "string", m.group()
             m = _TOKEN_RE.match(self.text, self.pos)
             if m is None:
                 raise TurtleParseError(
@@ -190,18 +280,7 @@ class _Parser:
         iri = _unescape_iri(iri)
         if re.match(r"^[A-Za-z][A-Za-z0-9+.-]*:", iri):
             return iri  # absolute
-        base = self.base
-        if iri == "":
-            return base
-        if iri.startswith("#"):
-            return re.sub(r"#.*$", "", base) + iri
-        if iri.startswith("/"):
-            m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*://[^/]*)", base)
-            return (m.group(1) if m else base) + iri
-        # relative path: replace everything after the last '/'
-        if "/" in base:
-            return base.rsplit("/", 1)[0] + "/" + iri
-        return base + iri
+        return _rfc3986_resolve(self.base, iri)
 
     def _fresh_bnode(self) -> BlankNode:
         self._bnode_n += 1

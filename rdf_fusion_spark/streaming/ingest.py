@@ -18,14 +18,19 @@ from pyspark.sql import functions as F
 
 
 def stream_ntriples(spark: SparkSession, path: str,
-                    max_files_per_trigger: int = None) -> DataFrame:
-    """Streaming quads from a directory of N-Triples/N-Quads files."""
+                    max_files_per_trigger: int = None,
+                    strict: bool = False) -> DataFrame:
+    """Streaming quads from a directory of N-Triples/N-Quads files.
+
+    Defaults to strict=False: one corrupt line in a landing file would
+    otherwise fail the whole long-running stream — skip-and-continue is
+    the usual ingestion policy (pass strict=True to fail fast instead)."""
     from ..sources.ntriples import lines_to_quads
     reader = spark.readStream
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     lines = reader.text(path).select(F.col("value").alias("line"))
-    return lines_to_quads(lines)
+    return lines_to_quads(lines, strict=strict)
 
 
 def ingest_to_parquet(quads: DataFrame, store_path: str, checkpoint: str,

@@ -230,21 +230,47 @@ def _rows_match(got: dict, exp: dict, bij: dict) -> Optional[dict]:
     return new
 
 
-def bag_equal(got: list[dict], exp: list[dict], bij: Optional[dict] = None
-              ) -> bool:
-    """Multiset equality of binding rows under some bnode bijection."""
-    if bij is None:
-        bij = {}
-    if len(got) != len(exp):
-        return False
+def _has_bnode(row: dict) -> bool:
+    return any(isinstance(v, BlankNode) for v in row.values())
+
+
+def _bag_equal_rec(got: list[dict], exp: list[dict], bij: dict) -> bool:
     if not got:
         return True
     g0 = got[0]
     for i, e in enumerate(exp):
         new = _rows_match(g0, e, bij)
-        if new is not None and bag_equal(got[1:], exp[:i] + exp[i + 1:], new):
+        if new is not None and _bag_equal_rec(
+                got[1:], exp[:i] + exp[i + 1:], new):
             return True
     return False
+
+
+def bag_equal(got: list[dict], exp: list[dict], bij: Optional[dict] = None
+              ) -> bool:
+    """Multiset equality of binding rows under some bnode bijection.
+
+    Bnode-free rows are compared as plain multisets first; backtracking
+    search runs only over the bnode-containing remainder (a 10,000-triple
+    ground graph would otherwise blow the recursion limit)."""
+    if bij is None:
+        bij = {}
+    if len(got) != len(exp):
+        return False
+    g_ground = [r for r in got if not _has_bnode(r)]
+    e_ground = [r for r in exp if not _has_bnode(r)]
+    if len(g_ground) != len(e_ground):
+        return False
+
+    def mkey(r):
+        return tuple(sorted((k, str(v)) for k, v in r.items()))
+
+    from collections import Counter
+    if Counter(map(mkey, g_ground)) != Counter(map(mkey, e_ground)):
+        return False
+    g_b = [r for r in got if _has_bnode(r)]
+    e_b = [r for r in exp if _has_bnode(r)]
+    return _bag_equal_rec(g_b, e_b, bij)
 
 
 def graphs_equal(got: list[tuple], exp: list[tuple]) -> bool:

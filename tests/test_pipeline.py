@@ -127,6 +127,25 @@ def test_frame_sample_plan(media):
     assert all(r["media_id"] == 2 for r in rows)
 
 
+def test_resize_images(media):
+    out = {r["media_id"]: r for r in multimodal.resize_images(
+        media, 3, 2, resizer=multimodal.deterministic_fake_resizer).collect()}
+    # image rows: payload re-encoded to w*h bytes, metadata updated
+    assert len(out[0]["payload"]) == 6
+    assert bytes(out[0]["payload"]) == b"\x01\x02\x03\x04\x01\x02"
+    assert (out[0]["width"], out[0]["height"]) == (3, 2)
+    # NULL image payload stays NULL (resizer contract), metadata still set
+    assert out[3]["payload"] is None
+    # non-image rows pass through untouched
+    assert len(out[1]["payload"]) == 100 and out[1]["sample_rate"] == 16000
+    assert (out[2]["width"], out[2]["height"]) == (8, 8)
+
+
+def test_resize_default_resizer_is_stub(media):
+    with pytest.raises(Exception):
+        multimodal.resize_images(media.limit(1), 3, 2).collect()
+
+
 def test_repartition_by_bytes(media):
     df = multimodal.repartition_by_bytes(media, target_bytes=50)
     assert df.rdd.getNumPartitions() >= 2

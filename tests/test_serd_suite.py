@@ -1,0 +1,168 @@
+"""Serd Turtle/TriG/N-Triples syntax suites bundled with the reference
+(/root/reference/testsuite/serd-tests/{good,bad}), run against this repo's
+parsers. Pure-Python — no Spark session needed (the distributed N-Triples
+reader shares its LINE_RE grammar with the local check used here).
+
+Eval cases parse the .ttl/.trig action and compare against the expected
+.nt/.nq under a blank-node bijection (testsuite.runner.graphs_equal).
+Negative cases must raise. Exclusions mirror the reference's style:
+serd-specific extensions that are not W3C Turtle are skipped with reasons.
+"""
+
+import os
+import re
+
+import pytest
+
+from rdf_fusion_spark.sources.ntriples import LINE_RE
+from rdf_fusion_spark.sources.trig import parse_trig
+from rdf_fusion_spark.sources.turtle import parse_turtle
+from rdf_fusion_spark.terms import BlankNode, Literal, NamedNode
+from rdf_fusion_spark.testsuite.runner import bag_equal, graphs_equal
+from rdf_fusion_spark.testsuite.vocab import MF, RDF
+
+SERD = "/root/reference/testsuite/serd-tests"
+BASE = "http://drobilla.net/sw/serd/test"
+
+EXCLUSIONS = {
+    # serd's `_:name == <iri>` named-blank syntax is a serd extension,
+    # not part of W3C Turtle
+    "test-ext-namedblank-iri": "serd extension: named blank node (==)",
+    "test-ext-namedblank-prefix": "serd extension: named blank node (==)",
+    # W3C Turtle allows any distinct labels; the clash is with serd's own
+    # generated ids, an implementation detail this engine does not share
+    "bad-id-clash": "serd-specific: clash with serd's generated bnode ids",
+}
+
+
+def _load_cases(which: str):
+    """Walk mf:entries of a serd manifest with this repo's own Turtle
+    parser (dogfooding) — honors the manifest's commented-out entries."""
+    mpath = os.path.join(SERD, which, "manifest.ttl")
+    if not os.path.exists(mpath):
+        return []
+    triples = parse_turtle(open(mpath, encoding="utf-8").read(),
+                           base=f"{BASE}/{which}/manifest.ttl")
+    spo = {}
+    for s, p, o in triples:
+        spo.setdefault((s, p.iri), []).append(o)
+
+    def obj(s, p):
+        v = spo.get((s, p), [])
+        return v[0] if v else None
+
+    # manifest subject: the doc IRI (the <> node)
+    root = NamedNode(f"{BASE}/{which}/manifest.ttl")
+    head = obj(root, MF + "entries")
+    cases = []
+    while head is not None and not (
+            isinstance(head, NamedNode) and head.iri == RDF + "nil"):
+        entry = obj(head, RDF + "first")
+        head = obj(head, RDF + "rest")
+        if entry is None:
+            continue
+        typ = obj(entry, RDF + "type")
+        name = obj(entry, MF + "name")
+        action = obj(entry, MF + "action")
+        result = obj(entry, MF + "result")
+        cases.append((
+            typ.iri.rsplit("#", 1)[-1],
+            name.lexical if isinstance(name, Literal) else str(name),
+            action.iri if isinstance(action, NamedNode) else None,
+            result.iri if isinstance(result, NamedNode) else None,
+        ))
+    return cases
+
+
+def _local(iri: str, which: str) -> str:
+    return os.path.join(SERD, which, iri.rsplit("/", 1)[-1])
+
+
+_NQ_TERM = {"iri": 1, "bnode": 2, "lit": 3, "lang": 4, "dt": 5}
+
+
+def _parse_nq_line(line: str):
+    m = re.match(LINE_RE, line)
+    assert m, f"unparseable expected line: {line!r}"
+
+    def unesc_iri(s):
+        return re.sub(r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})",
+                      lambda m: chr(int(m.group(1) or m.group(2), 16)), s)
+
+    def term(base):
+        iri, bn, lit, lang, dt = (m.group(base + i) for i in range(5))
+        if iri is not None:
+            return NamedNode(unesc_iri(iri))
+        if bn is not None:
+            return BlankNode(bn)
+        esc = {"t": "\t", "b": "\b", "n": "\n", "r": "\r", "f": "\f",
+               '"': '"', "'": "'", "\\": "\\"}
+        lex = re.sub(
+            r"\\u([0-9A-Fa-f]{4})|\\U([0-9A-Fa-f]{8})|\\(.)",
+            lambda m: (chr(int(m.group(1) or m.group(2), 16))
+                       if m.group(3) is None else esc[m.group(3)]),
+            lit)
+        if dt is not None:
+            return Literal(lex, datatype=unesc_iri(dt))
+        return Literal(lex, language=lang)  # defaults to xsd:string
+
+    s, p, o = term(1), term(6), term(11)
+    g = term(16) if m.group(16) or m.group(17) else None
+    return g, s, p, o
+
+
+def _parse_nq(path: str):
+    out = []
+    for line in open(path, encoding="utf-8"):
+        line = line.strip()
+        if not line or line.startswith("#"):
+            continue
+        out.append(_parse_nq_line(line))
+    return out
+
+
+GOOD = _load_cases("good")
+BAD = _load_cases("bad")
+
+
+@pytest.mark.parametrize("case", GOOD, ids=[c[1] for c in GOOD])
+def test_serd_good(case):
+    typ, name, action, result = case
+    if name in EXCLUSIONS:
+        pytest.skip(EXCLUSIONS[name])
+    apath = _local(action, "good")
+    text = open(apath, encoding="utf-8").read()
+    if typ == "TestTrigEval":
+        got = parse_trig(text, base=action)
+        exp = _parse_nq(_local(result, "good"))
+        gq = [{"g": g, "s": s, "p": p, "o": o} for g, s, p, o in got]
+        eq = [{"g": g, "s": s, "p": p, "o": o} for g, s, p, o in exp]
+        assert bag_equal(gq, eq), f"{name}: quad sets differ"
+        return
+    got = parse_turtle(text, base=action)
+    if result is None:
+        return  # positive-syntax only
+    exp = [(s, p, o) for _, s, p, o in _parse_nq(_local(result, "good"))]
+    assert graphs_equal(got, exp), (
+        f"{name}: got {len(got)} triples != expected {len(exp)}")
+
+
+@pytest.mark.parametrize("case", BAD, ids=[c[1] for c in BAD])
+def test_serd_bad(case):
+    typ, name, action, _ = case
+    if name in EXCLUSIONS:
+        pytest.skip(EXCLUSIONS[name])
+    apath = _local(action, "bad")
+    try:
+        text = open(apath, encoding="utf-8").read()
+    except UnicodeDecodeError:
+        return  # invalid encoding is itself a rejection
+    if typ == "TestNTriplesNegativeSyntax":
+        lines = [ln.strip() for ln in text.splitlines()
+                 if ln.strip() and not ln.strip().startswith("#")]
+        assert any(not re.match(LINE_RE, ln) for ln in lines), (
+            f"{name}: every line matched the N-Triples grammar")
+        return
+    parser = parse_trig if typ == "TestTrigNegativeSyntax" else parse_turtle
+    with pytest.raises(Exception):
+        parser(text, base=action)
