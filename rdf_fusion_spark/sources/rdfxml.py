@@ -287,6 +287,9 @@ class _Handler(xml.sax.handler.ContentHandler):
             return
         if prop.object_seen:
             raise RdfXmlParseError("multiple objects in one property element")
+        if "".join(prop.text).strip():
+            raise RdfXmlParseError(
+                "property element mixes text and node content")
         # the node frame just pushed is stack[-1]; its property is stack[-2],
         # whose parent node is stack[-3]
         parent = self.stack[-3]
@@ -299,7 +302,12 @@ class _Handler(xml.sax.handler.ContentHandler):
                 content.replace("&", "&amp;").replace("<", "&lt;"))
             return
         if self.stack and self.stack[-1].kind == "prop":
-            self.stack[-1].text.append(content)
+            f = self.stack[-1]
+            if f.object_seen and content.strip() \
+                    and f.parse_type is None:
+                raise RdfXmlParseError(
+                    "property element mixes node and text content")
+            f.text.append(content)
 
 
 def parse_rdfxml(text: str, base: Optional[str] = None

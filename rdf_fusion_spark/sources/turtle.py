@@ -45,6 +45,10 @@ _STRING_ESCAPES = {
     '"': '"', "'": "'", "\\": "\\",
 }
 
+# BCP 47 well-formedness (subtag length bounds): RDF requires language
+# tags to be well-formed; a 14-char primary subtag is a syntax error
+_BCP47_RE = re.compile(r"^[A-Za-z]{1,8}(-[A-Za-z0-9]{1,8})*$")
+
 _LONG_STRING_RE = re.compile(
     r"\"\"\"(?:[^\"\\]|\\.|\"(?!\"\"))*\"\"\""
     r"|'''(?:[^'\\]|\\.|'(?!''))*'''")
@@ -71,6 +75,13 @@ _TOKEN_RE = re.compile(r"""
 """, re.VERBOSE)
 
 
+def _hex_cp(s: str, width: int) -> int:
+    # int(x, 16) accepts "+1f4" / " 1f4" — the grammar does not
+    if len(s) != width or not re.fullmatch(r"[0-9A-Fa-f]+", s):
+        raise TurtleParseError(f"invalid unicode escape digits {s!r}")
+    return int(s, 16)
+
+
 def _safe_chr(cp: int) -> str:
     if cp > 0x10FFFF:
         raise TurtleParseError(f"unicode escape out of range: {cp:#x}")
@@ -88,10 +99,10 @@ def _unescape_string(body: str) -> str:
             continue
         nxt = body[i + 1]
         if nxt == "u":
-            out.append(_safe_chr(int(body[i + 2:i + 6], 16)))
+            out.append(_safe_chr(_hex_cp(body[i + 2:i + 6], 4)))
             i += 6
         elif nxt == "U":
-            out.append(_safe_chr(int(body[i + 2:i + 10], 16)))
+            out.append(_safe_chr(_hex_cp(body[i + 2:i + 10], 8)))
             i += 10
         else:
             if nxt not in _STRING_ESCAPES:
@@ -374,9 +385,15 @@ class _Parser:
                 break
         lex = _unescape_string(body)
         t = self.peek()
-        if t is not None and t[0] == "langtag":
+        # `@base` / `@prefix` directly after a string are language tags,
+        # not directives (the tokenizer can't know; the grammar can)
+        if t is not None and (t[0] == "langtag" or (
+                t[0] == "directive" and t[1] in ("@base", "@prefix"))):
             self.take()
-            return Literal(lex, language=t[1][1:])
+            lang = t[1][1:]
+            if not _BCP47_RE.match(lang):
+                raise TurtleParseError(f"ill-formed language tag @{lang}")
+            return Literal(lex, language=lang)
         if t is not None and t[1] == "^^":
             self.take()
             return Literal(lex, self._iri_like().iri)
