@@ -275,14 +275,17 @@ def _regex_pattern(args, resolve, pat_idx: int, flags_idx: int):
         try:
             compiled = _jvm_pattern(full)
         except Exception:
-            return None, None
-        gc = compiled.matcher("").groupCount() if compiled is not None else None
-        return F.lit(full), gc
+            return None, None, None
+        gc, m_empty = None, None
+        if compiled is not None:
+            gc = compiled.matcher("").groupCount()
+            m_empty = bool(compiled.matcher("").find())
+        return F.lit(full), gc, m_empty
     pat = as_string(compile_expr(args[pat_idx], resolve))
     if len(args) > flags_idx:
         flags = as_string(compile_expr(args[flags_idx], resolve))
         pat = F.concat(F.lit("(?"), flags, F.lit(")"), pat)
-    return pat, None
+    return pat, None, None
 
 
 def _replacement_invalid(rep: str, group_count) -> bool:
@@ -319,7 +322,7 @@ def _string_predicate(name: str, args: list, resolve: Resolver) -> Column:
         return F.when(tag.isNotNull() & rng.isNotNull(), res)
     if name == "REGEX":
         s = as_string(a)
-        pat, _ = _regex_pattern(args, resolve, 1, 2)
+        pat, _, _ = _regex_pattern(args, resolve, 1, 2)
         if pat is None:  # constant pattern failed to compile
             return NULL_BOOL()
         return F.when(s.isNotNull() & pat.isNotNull(), F.regexp_like(s, pat))
@@ -517,14 +520,23 @@ def _fn_concat(args, resolve):
 
 def _fn_replace(args, resolve):
     c = compile_expr(args[0], resolve)
-    pat, group_count = _regex_pattern(args, resolve, 1, 3)
+    pat, group_count, matches_empty = _regex_pattern(args, resolve, 1, 3)
     if pat is None:  # constant pattern failed to compile
+        return NULL_TERM()
+    if matches_empty:
+        # XPath fn:replace FORX0003: a pattern that matches the
+        # zero-length string is an error, not Java's interleaving
         return NULL_TERM()
     rep_c = _const_plain_str(args[2])
     if rep_c is not None and _replacement_invalid(rep_c, group_count):
         return NULL_TERM()  # bare '$' / missing group ref (FORX0004)
     rep = as_string(compile_expr(args[2], resolve))
-    return _preserve_lang(c, F.regexp_replace(as_string(c), pat, rep))
+    out = _preserve_lang(c, F.regexp_replace(as_string(c), pat, rep))
+    if matches_empty is None:
+        # dynamic pattern: the FORX0003 zero-length-match check must
+        # run per row
+        out = F.when(~F.regexp_like(F.lit(""), pat), out)
+    return out
 
 
 def _fn_encode_for_uri(args, resolve):

@@ -523,7 +523,11 @@ def rdf_equal(a: Column, b: Column) -> Column:
         elif sa == SK_PLAIN and sb == SK_PLAIN:
             body = a["v"] == b["v"]
         elif sa == K_DATETIME and sb == K_DATETIME:
-            body = a["ts"] == b["ts"]
+            # xsd:dateTime/date/time share the ts view but are DISTINCT
+            # value spaces: cross-type comparison is a type error
+            # (reference: typed_value.rs compares DateTime only with
+            # DateTime, Date only with Date)
+            body = F.when(a["dt"] == b["dt"], a["ts"] == b["ts"])
         elif sa == K_BOOLEAN and sb == K_BOOLEAN:
             body = as_boolean(a) == as_boolean(b)
         elif sa == K_DURATION and sb == K_DURATION:
@@ -544,7 +548,8 @@ def rdf_equal(a: Column, b: Column) -> Column:
     both_lang = ((a["k"] == K_STRING) & (b["k"] == K_STRING)
                  & a["lang"].isNotNull() & b["lang"].isNotNull())
     both_bool = (a["k"] == K_BOOLEAN) & (b["k"] == K_BOOLEAN)
-    both_dt = (a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
+    both_dt = ((a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
+               & (a["dt"] == b["dt"]))
     both_dur = (a["k"] == K_DURATION) & (b["k"] == K_DURATION)
     return (
         F.when(a.isNull() | b.isNull(), F.lit(None).cast("boolean"))
@@ -600,7 +605,8 @@ def rdf_compare(a: Column, b: Column) -> Column:
         elif sa == K_BOOLEAN and sb == K_BOOLEAN:
             body = cmp3(as_boolean(a).cast("int"), as_boolean(b).cast("int"))
         elif sa == K_DATETIME and sb == K_DATETIME:
-            body = cmp3(a["ts"], b["ts"])
+            # distinct temporal value spaces do not order across types
+            body = F.when(a["dt"] == b["dt"], cmp3(a["ts"], b["ts"]))
         elif sa == K_DURATION and sb == K_DURATION:
             body = _duration_cmp3(a, b)
         elif sa == K_STRING or sb == K_STRING:
@@ -613,7 +619,8 @@ def rdf_compare(a: Column, b: Column) -> Column:
     both_num = is_numeric(a) & is_numeric(b)
     both_str = is_plain_string(a) & is_plain_string(b)
     both_bool = (a["k"] == K_BOOLEAN) & (b["k"] == K_BOOLEAN)
-    both_dt = (a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
+    both_dt = ((a["k"] == K_DATETIME) & (b["k"] == K_DATETIME)
+               & (a["dt"] == b["dt"]))
     both_dur = (a["k"] == K_DURATION) & (b["k"] == K_DURATION)
     # rdf:langString with the SAME language tag compares by codepoints
     # (oxigraph-tests cmp_langString; different tags stay an error)
