@@ -258,6 +258,13 @@ def _apply(store, op) -> None:
         return
     if isinstance(op, A.ClearOp):
         base = _plain_quads(store)
+        if op.drop and not op.silent and isinstance(op.target, NamedNode):
+            # DROP of a non-existent graph is an error unless SILENT; in
+            # this storage a graph exists iff it has quads (store.py)
+            if base.where(_graph_filter(op.target)).isEmpty():
+                raise UpdateError(
+                    f"graph {op.target.iri} does not exist (DROP without "
+                    "SILENT)")
         store.quads = base.where(~_graph_filter(op.target)) \
             .localCheckpoint(eager=True)
         return

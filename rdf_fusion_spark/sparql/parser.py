@@ -147,6 +147,17 @@ _AGGREGATES = {"COUNT", "SUM", "MIN", "MAX", "AVG", "SAMPLE", "GROUP_CONCAT"}
 # Parser
 # ---------------------------------------------------------------------------
 
+def _contains_agg(e) -> bool:
+    """True if the expression tree contains an aggregate call. Does not
+    descend into EXISTS patterns — aggregates inside a nested subquery
+    are scoped there and legal."""
+    if isinstance(e, A.AggCall):
+        return True
+    if isinstance(e, A.ECall):
+        return any(_contains_agg(x) for x in e.args)
+    return False
+
+
 class Parser:
     def __init__(self, text: str):
         self.toks = tokenize(text)
@@ -547,15 +558,29 @@ class Parser:
         if self.eat_op("*"):
             star = True
         else:
+            seen_proj: set[str] = set()
             while True:
                 if self.peek().kind == "VAR":
-                    proj.append(self.parse_var())
+                    v = self.parse_var()
+                    # spec §18.2.4.4: (expr AS ?v) may not reuse a name;
+                    # a plain variable may repeat (legal, if pointless)
+                    if any(isinstance(p, tuple) and p[0].name == v.name
+                           for p in proj):
+                        raise SparqlSyntaxError(
+                            f"?{v.name} already assigned in SELECT")
+                    seen_proj.add(v.name)
+                    proj.append(v)
                 elif self.at_op("("):
                     self.next()
                     e = self.parse_expression()
                     self.expect_kw("AS")
                     v = self.parse_var()
                     self.expect_op(")")
+                    if v.name in seen_proj:
+                        raise SparqlSyntaxError(
+                            f"(... AS ?{v.name}) reuses a variable already "
+                            "in the SELECT clause")
+                    seen_proj.add(v.name)
                     proj.append((v, e))
                 else:
                     break
@@ -615,7 +640,7 @@ class Parser:
             while self.at_op("(") or (
                     self.peek().kind == "KEYWORD_OR_NAME"
                     and self.peek().value.upper() in (_BUILTIN_FNS | _AGGREGATES)):
-                having_exprs.append(self.parse_constraint())
+                having_exprs.append(self.parse_constraint(allow_aggs=True))
 
         order_conds: list[A.OrderCondition] = []
         if self.at_kw("ORDER"):
@@ -731,10 +756,17 @@ class Parser:
         self.expect_op(")")
         return e
 
-    def parse_constraint(self):
+    def parse_constraint(self, allow_aggs: bool = False):
         if self.at_op("("):
-            return self.parse_bracketted()
-        return self.parse_primary_expression()
+            e = self.parse_bracketted()
+        else:
+            e = self.parse_primary_expression()
+        # spec §19.8 Aggregate projection restriction: aggregates may
+        # appear only in SELECT expressions, HAVING, and ORDER BY —
+        # never in FILTER constraints
+        if not allow_aggs and _contains_agg(e):
+            raise SparqlSyntaxError("aggregate call not allowed in FILTER")
+        return e
 
     # ------------------------------------------------------------------
     # other query forms
@@ -875,6 +907,9 @@ class Parser:
                 if acc is not None and v.name in A.pattern_variables(acc):
                     raise SparqlSyntaxError(
                         f"BIND would rebind in-scope variable ?{v.name}")
+                if _contains_agg(e):
+                    raise SparqlSyntaxError(
+                        "aggregate call not allowed in BIND")
                 acc = A.Extend(acc if acc is not None else A.BGP([]), v, e)
                 self.eat_op(".")
                 continue

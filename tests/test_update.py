@@ -184,3 +184,19 @@ def test_validate_rejects_malformed(spark):
         COL_SUBJECT, F.lit(None).cast(st.quads.schema[COL_SUBJECT].dataType))
     with pytest.raises(ValueError, match="malformed"):
         st.validate()
+
+
+def test_drop_missing_graph_errors_unless_silent(spark):
+    from rdf_fusion_spark.plans.update import UpdateError
+    store = GraphStore.from_python_quads(spark, [
+        (None, NamedNode(EX + "a"), NamedNode(EX + "p"), Literal("1"))])
+    # SILENT: no-op on a non-existent graph
+    store.update(f"DROP SILENT GRAPH <{EX}nope>")
+    # without SILENT: an error (a graph exists iff it has quads)
+    with pytest.raises(UpdateError, match="does not exist"):
+        store.update(f"DROP GRAPH <{EX}nope>")
+    # an existing graph drops fine without SILENT
+    g = NamedNode(EX + "g")
+    store.update(f"INSERT DATA {{ GRAPH <{EX}g> {{ <{EX}x> <{EX}p> 1 }} }}")
+    store.update(f"DROP GRAPH <{EX}g>")
+    assert not store.contains_named_graph(g)
