@@ -107,10 +107,27 @@ def _jaccard(a: Column, b: Column) -> Column:
     return inter / union
 
 
+# jaccard_pairs is O(n²) by construction; refuse corpora where the pair
+# space exceeds ~10^10 comparisons — that workload belongs to
+# minhash_lsh_pairs. Enforced, not just documented (round-3 verdict #6).
+JACCARD_MAX_DOCS = 100_000
+
+
 def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
-                  id_col: str = "doc_id") -> DataFrame:
+                  id_col: str = "doc_id",
+                  max_docs: int = JACCARD_MAX_DOCS) -> DataFrame:
     """Brute-force all-pairs n-gram Jaccard — the small-corpus baseline and
-    the verification oracle for LSH. O(n²): use minhash_lsh_pairs at scale."""
+    the verification oracle for LSH. O(n²): use minhash_lsh_pairs at scale.
+
+    Raises ValueError above `max_docs` documents: an all-pairs join over a
+    large corpus is a silent cluster-killer, and every at-scale use case is
+    served by minhash_lsh_pairs (same threshold semantics, banded LSH)."""
+    n = df.count()
+    if n > max_docs:
+        raise ValueError(
+            f"jaccard_pairs is all-pairs O(n²) and the corpus has {n:,} "
+            f"documents (> {max_docs:,}); use minhash_lsh_pairs for "
+            "at-scale near-duplicate detection")
     s = df.select(F.col(id_col).alias("id"),
                   shingles_col(F.col(text_col)).alias("sh"))
     a, b = s.alias("a"), s.alias("b")
@@ -142,14 +159,30 @@ def minhash_signature(df: DataFrame, text_col: str = "text",
     return s.select("id", "sh", *sigs)
 
 
+# LSH bucket-skew cap: a bucket with m members yields m(m-1)/2 candidate
+# pairs, so one duplicate-heavy mega-bucket (every member shares a band
+# key) can turn a single task into an hours-long straggler. Buckets are
+# deterministically truncated to this many members (rank by id within the
+# bucket; the SAME members survive in every band, so a capped cluster
+# still pairs its first `cap` members with each other). Dropped mass is
+# LOGGED, never silent. Exact-duplicate mega-clusters should be removed by
+# exact_duplicates() upstream (pipeline/recipes.py does) — the cap is the
+# backstop for near-dup-heavy corpora.
+LSH_BUCKET_CAP = 4096
+
+_log = __import__("logging").getLogger(__name__)
+
+
 def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
-                      id_col: str = "doc_id") -> DataFrame:
+                      id_col: str = "doc_id",
+                      bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
     """Banded-LSH near-duplicate pairs with exact-Jaccard verification.
 
     Plan shape at scale: one scan computes signatures; explode to b rows per
     doc; ONE shuffle on (band_idx, band_key) joins same-bucket docs; the
     quadratic blow-up is confined to individual buckets (skew-bounded by
-    band width). No all-pairs join ever materializes.
+    band width plus the `bucket_cap` truncation; pass None to disable).
+    No all-pairs join ever materializes.
     """
     # Materialize the signature table ONCE: it feeds both sides of the
     # band self-join and both shingle-map joins, and without a persist
@@ -184,6 +217,24 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     exploded = sig.select("id", F.explode(bands).alias("b")) \
         .select("id", F.col("b.band_idx").alias("band_idx"),
                 F.col("b.band_key").alias("band_key"))
+    if bucket_cap is not None:
+        # rank within each bucket (the window shuffles on exactly the join
+        # keys, so the self-join below reuses the partitioning); keep the
+        # first `bucket_cap` ids. One extra count job reports dropped mass
+        # — a silent cap would read as full coverage when it isn't.
+        from pyspark import StorageLevel
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_idx", "band_key").orderBy("id")
+        ranked = exploded.withColumn("__rn", F.row_number().over(w)) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
+        if n_dropped:
+            _log.warning(
+                "minhash_lsh_pairs: %d (doc, band) bucket memberships "
+                "beyond the %d-per-bucket cap were dropped (duplicate-"
+                "heavy corpus; run exact dedup upstream to remove "
+                "identical-text mega-clusters)", n_dropped, bucket_cap)
+        exploded = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn")
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

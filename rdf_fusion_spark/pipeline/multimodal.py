@@ -147,12 +147,21 @@ def resize_images(df: DataFrame, width: int, height: int,
         for pdf in batches:
             out = pdf.copy()
             is_img = out["kind"] == "image"
-            out.loc[is_img, "payload"] = [
+            resized = [
                 rs(p, m, width, height)
                 for p, m in zip(out.loc[is_img, "payload"],
                                 out.loc[is_img, "mime"])]
-            out.loc[is_img, "width"] = width
-            out.loc[is_img, "height"] = height
+            out.loc[is_img, "payload"] = resized
+            # only claim the new dimensions where the resize actually
+            # produced bytes; a failed/empty payload keeps NULL metadata
+            ok_idx = [i for i, r in zip(out.index[is_img], resized)
+                      if r is not None]
+            out.loc[ok_idx, "width"] = width
+            out.loc[ok_idx, "height"] = height
+            bad_idx = [i for i, r in zip(out.index[is_img], resized)
+                       if r is None]
+            out.loc[bad_idx, "width"] = None
+            out.loc[bad_idx, "height"] = None
             yield out
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)

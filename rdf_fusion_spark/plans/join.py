@@ -37,6 +37,32 @@ from pyspark.sql import functions as F
 # pairs are materialized, so keep k small (k=3 → at most 8 equi joins).
 _SPLIT_UNION_MAX_NULLABLE = 3
 
+# Guard-breach journal: each time a join falls past the k≤3 guard to the
+# IS_COMPATIBLE theta fallback (the one remaining nested-loop-prone path),
+# the offending vars are recorded here; the translator snapshots the list
+# into QueryExplanation so assert_scale_safe can NAME the vars instead of
+# dumping an anonymous BroadcastNestedLoopJoin.
+_GUARD_BREACHES: list = []
+
+
+def reset_guard_breaches() -> None:
+    _GUARD_BREACHES.clear()
+
+
+def guard_breaches() -> list:
+    return list(_GUARD_BREACHES)
+
+
+def _record_breach(op: str, left: "Solution", right: "Solution",
+                   shared: list) -> None:
+    _GUARD_BREACHES.append({
+        "op": op,
+        "shared_vars": list(shared),
+        "nullable_shared": sorted(
+            v for v in shared
+            if v not in left.bound or v not in right.bound),
+    })
+
 # Term-dictionary hypothesis flag (reference credits u32 ObjectIds with
 # "quadrupled" join-heavy queries, lib/encoding/src/object_id/encoding.rs:
 # 42-46): join IRI keys on xxhash64 longs with exact string equality as the
@@ -149,7 +175,6 @@ def _split_union_join(
     """
     nl = [v for v in shared if v not in left.bound]
     nr = [v for v in shared if v not in right.bound]
-    always = [v for v in shared if v in left.bound and v in right.bound]
     out_vars = sorted(left.maybe | right.maybe)
 
     def project(L, R, joined):
@@ -283,6 +308,8 @@ def join_solutions(
                                  filter_expr, compile_bool)
 
     # general path: aliased theta join + coalesce projection
+    if shared and not all_bound:
+        _record_breach("join", left, right, shared)
     L = left.df.alias("l")
     R = right.df.alias("r")
 
@@ -359,7 +386,6 @@ def minus_solutions(left: Solution, right: Solution) -> Solution:
         # is a hash anti join; the slices union back losslessly.
         nl = [v for v in shared if v not in left.bound]
         nr = [v for v in shared if v not in right.bound]
-        always = [v for v in shared if v in left.bound and v in right.bound]
         right_slices = list(_null_patterns(right.df, nr))
         parts = []
         for sl, ldf in _null_patterns(left.df, nl):
@@ -378,6 +404,7 @@ def minus_solutions(left: Solution, right: Solution) -> Solution:
         df = reduce(lambda a, b: a.unionByName(b), parts)
         return replace(left, df=df)
 
+    _record_breach("minus", left, right, shared)
     cond = F.lit(True)
     any_both = F.lit(False)
     for v in shared:
@@ -418,7 +445,6 @@ def exists_join(left: Solution, right: Solution, negated: bool) -> Solution:
         # (limit(1) marker), never an n×m loop.
         nl = [v for v in shared if v not in left.bound]
         nr = [v for v in shared if v not in right.bound]
-        always = [v for v in shared if v in left.bound and v in right.bound]
         right_slices = list(_null_patterns(right.df, nr))
         parts = []
         for sl, ldf in _null_patterns(left.df, nl):
@@ -443,6 +469,7 @@ def exists_join(left: Solution, right: Solution, negated: bool) -> Solution:
         df = reduce(lambda a, b: a.unionByName(b), parts)
         return replace(left, df=df)
 
+    _record_breach("exists", left, right, shared)
     cond = F.lit(True)
     for v in shared:
         cond = cond & _compat(L[v], R[v])

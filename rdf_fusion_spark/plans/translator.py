@@ -31,6 +31,7 @@ from ..terms import (
     Variable,
     term_lit,
 )
+from . import join as _join
 from .join import Solution, exists_join, join_solutions, minus_solutions
 
 TERM_DDL = B.TERM_DDL
@@ -1293,6 +1294,11 @@ class QueryExplanation:
     parsed_logical_plan: str
     optimized_logical_plan: str
     physical_plan: str
+    # joins that fell past the split-union k≤3 guard to the IS_COMPATIBLE
+    # theta fallback: [{"op": ..., "shared_vars": [...],
+    # "nullable_shared": [...]}, ...] — the vars responsible for any
+    # nested-loop operator below
+    split_union_guard_breaches: list = field(default_factory=list)
 
     _NESTED_LOOP = ("BroadcastNestedLoopJoin", "CartesianProduct")
 
@@ -1302,17 +1308,30 @@ class QueryExplanation:
     def assert_scale_safe(self) -> None:
         found = self.nested_loop_joins()
         if found:
+            detail = ""
+            if self.split_union_guard_breaches:
+                vars_ = sorted({v for b in self.split_union_guard_breaches
+                                for v in b["nullable_shared"]})
+                ops = sorted({b["op"]
+                              for b in self.split_union_guard_breaches})
+                detail = (
+                    f" (split-union guard breached by {ops} on nullable "
+                    f"shared vars {vars_}: more than "
+                    f"{_join._SPLIT_UNION_MAX_NULLABLE} statically-nullable "
+                    "shared vars forces the compatibility theta join)")
             raise AssertionError(
-                f"plan contains nested-loop operators {found}:\n"
+                f"plan contains nested-loop operators {found}{detail}:\n"
                 + self.physical_plan)
 
 
-def _explain(df: DataFrame) -> QueryExplanation:
+def _explain(df: DataFrame, breaches: Optional[list] = None
+             ) -> QueryExplanation:
     qe = df._jdf.queryExecution()
     return QueryExplanation(
         parsed_logical_plan=qe.logical().toString(),
         optimized_logical_plan=qe.optimizedPlan().toString(),
         physical_plan=qe.executedPlan().toString(),
+        split_union_guard_breaches=list(breaches or []),
     )
 
 
@@ -1320,9 +1339,10 @@ def _explain(df: DataFrame) -> QueryExplanation:
 class SelectResult:
     df: DataFrame
     variables: list
+    guard_breaches: list = field(default_factory=list)
 
     def explanation(self) -> QueryExplanation:
-        return _explain(self.df)
+        return _explain(self.df, self.guard_breaches)
 
 
 @dataclass
@@ -1333,9 +1353,10 @@ class AskResult:
 @dataclass
 class GraphResult:
     df: DataFrame  # columns subject, predicate, object (term structs)
+    guard_breaches: list = field(default_factory=list)
 
     def explanation(self) -> QueryExplanation:
-        return _explain(self.df)
+        return _explain(self.df, self.guard_breaches)
 
 
 def _now_literal() -> Literal:
@@ -1364,6 +1385,7 @@ def _dataset_ctx(store: GraphStore, dataset) -> Ctx:
 
 def evaluate_query(store: GraphStore, q):
     ctx = _dataset_ctx(store, getattr(q, "dataset", None))
+    _join.reset_guard_breaches()
 
     if isinstance(q, A.SelectQuery):
         sol = translate(q.pattern, ctx)
@@ -1371,7 +1393,8 @@ def evaluate_query(store: GraphStore, q):
         vars_ = sorted(sol.maybe)
         if isinstance(q.pattern, (A.Project, A.Distinct, A.Reduced, A.Slice, A.OrderBy)):
             vars_ = _projected_vars(q.pattern) or vars_
-        return SelectResult(df=sol.df, variables=vars_)
+        return SelectResult(df=sol.df, variables=vars_,
+                            guard_breaches=_join.guard_breaches())
 
     if isinstance(q, A.AskQuery):
         sol = translate(q.pattern, ctx)
@@ -1426,7 +1449,8 @@ def evaluate_query(store: GraphStore, q):
                 T.StructField("subject", _TT), T.StructField("predicate", _TT),
                 T.StructField("object", _TT)])
             out = store.spark.createDataFrame([], schema)
-        return GraphResult(df=out.dropDuplicates())
+        return GraphResult(df=out.dropDuplicates(),
+                           guard_breaches=_join.guard_breaches())
 
     if isinstance(q, A.DescribeQuery):
         # reference approximation: return all triples whose subject is a
@@ -1496,7 +1520,8 @@ def evaluate_query(store: GraphStore, q):
                 break
             out = out.unionByName(new).dropDuplicates()
             described = out.select("subject").distinct()
-        return GraphResult(df=out)
+        return GraphResult(df=out,
+                           guard_breaches=_join.guard_breaches())
 
     raise NotImplementedError(f"query form {type(q).__name__}")
 

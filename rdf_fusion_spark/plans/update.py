@@ -260,13 +260,22 @@ def _apply(store, op) -> None:
         base = _plain_quads(store)
         if op.drop and not op.silent and isinstance(op.target, NamedNode):
             # DROP of a non-existent graph is an error unless SILENT; in
-            # this storage a graph exists iff it has quads (store.py)
-            if base.where(_graph_filter(op.target)).isEmpty():
-                raise UpdateError(
-                    f"graph {op.target.iri} does not exist (DROP without "
-                    "SILENT)")
-        store.quads = base.where(~_graph_filter(op.target)) \
-            .localCheckpoint(eager=True)
+            # this storage a graph exists iff it has quads (store.py).
+            # Cache the base so the existence probe and the delete share
+            # one source scan instead of two.
+            base = base.persist()
+            try:
+                if base.where(_graph_filter(op.target)).isEmpty():
+                    raise UpdateError(
+                        f"graph {op.target.iri} does not exist (DROP "
+                        "without SILENT)")
+                store.quads = base.where(~_graph_filter(op.target)) \
+                    .localCheckpoint(eager=True)
+            finally:
+                base.unpersist()
+        else:
+            store.quads = base.where(~_graph_filter(op.target)) \
+                .localCheckpoint(eager=True)
         return
     if isinstance(op, A.CreateOp):
         # quad stores do not track empty graphs (same behavior as the

@@ -6,9 +6,10 @@ codegen. Serializer: term formatting as Column expressions + `write.text`.
 
 reference: Store::load_from_reader (lib/rdf-fusion/src/store.rs:477-558)
 and the oxrdfio parsers; here the grammar subset is line-based N-Triples /
-N-Quads (the reference's default interchange format). Escapes handled:
-\\\\ \\" \\n \\r \\t; \\uXXXX sequences are preserved verbatim (documented
-limitation — pre-normalize exotic dumps).
+N-Quads (the reference's default interchange format). Escapes handled in
+full: ECHAR (\\t \\b \\n \\r \\f \\" \\' \\\\) and UCHAR
+(\\uXXXX / \\UXXXXXXXX), decoded left-to-right in a single pass so terms
+are byte-identical to the same terms parsed from Turtle or SPARQL.
 """
 
 from __future__ import annotations
@@ -32,7 +33,11 @@ from ..terms import (
 _IRI = (r'<([A-Za-z][A-Za-z0-9+.\-]*:'
         r'(?:[^\x00-\x20<>"{}|^`\\]|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*)>')
 _BNODE = r"_:(\S+)"
-_LIT = r'"((?:[^"\\]|\\.)*)"(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?'
+# literal body: unescaped chars | ECHAR | UCHAR — `\z` / `\uXYZW` are
+# syntax errors (caught by the line regex in strict mode), not data
+_LIT = (r'"((?:[^"\\]|\\[tbnrf"\'\\]'
+        r'|\\u[0-9A-Fa-f]{4}|\\U[0-9A-Fa-f]{8})*)"'
+        r'(?:@([A-Za-z0-9-]+)|\^\^<([^>]*)>)?')
 _TERM = f"(?:{_IRI}|{_BNODE}|{_LIT})"
 # groups per term: 1=iri, 2=bnode, 3=lit value, 4=lang, 5=dt
 _G = 5
@@ -40,13 +45,54 @@ LINE_RE = (r"^\s*" + _TERM + r"\s+" + _TERM + r"\s+" + _TERM
            + r"(?:\s+" + _TERM + r")?\s*\.\s*$")
 
 
+_BIG = 1 << 30  # "rest of string" length for substring
+
+
+def _uchar(hexstr: Column) -> Column:
+    """Hex codepoint → the character, JVM-side (pad to a UTF-32 code unit;
+    Java's UTF-32 decoder is big-endian when there is no BOM)."""
+    return F.decode(F.unhex(F.lpad(F.upper(hexstr), 8, "0")), "UTF-32")
+
+
 def _unescape(c: Column) -> Column:
-    c = F.replace(c, F.lit("\\t"), F.lit("\t"))
-    c = F.replace(c, F.lit("\\r"), F.lit("\r"))
-    c = F.replace(c, F.lit("\\n"), F.lit("\n"))
-    c = F.replace(c, F.lit('\\"'), F.lit('"'))
-    c = F.replace(c, F.lit("\\\\"), F.lit("\\"))
-    return c
+    """Single left-to-right escape decode (ECHAR + \\uXXXX/\\UXXXXXXXX) as
+    pure Column expressions: split on backslash, then a stateful fold where
+    an empty segment means an escaped backslash (which makes the following
+    segment literal text). Sequential global replaces would mis-decode
+    e.g. `a\\\\nb` (escaped backslash + literal n) as backslash + newline."""
+    segs = F.split(c, r"\\", -1)  # Java-regex for one literal backslash
+
+    def merge(st: Column, seg: Column) -> Column:
+        head = F.substring(seg, 1, 1)
+        mapped = (
+            F.when(head == "t", F.lit("\t"))
+            .when(head == "b", F.lit("\b"))
+            .when(head == "n", F.lit("\n"))
+            .when(head == "r", F.lit("\r"))
+            .when(head == "f", F.lit("\f"))
+            .otherwise(head)  # \" \' decode to themselves
+        )
+        out = (
+            F.when(st["lit"], F.concat(st["acc"], seg))
+            .when(seg == "", F.concat(st["acc"], F.lit("\\")))
+            .when(head == "u", F.concat(st["acc"], _uchar(F.substring(seg, 2, 4)),
+                                        F.substring(seg, 6, _BIG)))
+            .when(head == "U", F.concat(st["acc"], _uchar(F.substring(seg, 2, 8)),
+                                        F.substring(seg, 10, _BIG)))
+            .otherwise(F.concat(st["acc"], mapped, F.substring(seg, 2, _BIG)))
+        )
+        next_lit = (~st["lit"]) & (seg == "")
+        return F.struct(out.alias("acc"), next_lit.alias("lit"))
+
+    folded = F.aggregate(
+        segs,
+        # lit=True so the first segment (text before any backslash) is
+        # consumed verbatim, not decoded as an escape
+        F.struct(F.lit("").alias("acc"), F.lit(True).alias("lit")),
+        merge,
+        lambda st: st["acc"],
+    )
+    return F.when(c.contains("\\"), folded).otherwise(c)
 
 
 def _escape(c: Column) -> Column:
@@ -58,13 +104,9 @@ def _escape(c: Column) -> Column:
     return c
 
 
-def _term_from_groups(line: Column, base: int) -> Column:
-    """Decode one term from regex groups base..base+4 (NULL if absent)."""
-    iri = F.regexp_extract(line, LINE_RE, base)
-    bnode = F.regexp_extract(line, LINE_RE, base + 1)
-    lit = F.regexp_extract(line, LINE_RE, base + 2)
-    lang = F.regexp_extract(line, LINE_RE, base + 3)
-    dt = F.regexp_extract(line, LINE_RE, base + 4)
+def _term_from_cols(iri: Column, bnode: Column, lit: Column,
+                    lang: Column, dt: Column) -> Column:
+    """Decode one term from its five pre-extracted group columns."""
     # regexp_extract yields '' for non-participating groups; literals are
     # detected by the quote character still present in the raw line match —
     # distinguish '' (empty literal) from absent via iri/bnode emptiness.
@@ -74,11 +116,14 @@ def _term_from_groups(line: Column, base: int) -> Column:
     lang_n = F.when(lang != "", F.lower(lang))
     dt_n = (
         F.when(lang != "", F.lit(RDF_LANG_STRING))
-        .when(dt != "", dt)
+        .when(dt != "", _unescape(dt))
         .otherwise(F.lit(XSD_STRING))
     )
     return (
-        F.when(is_iri, term_struct(F.lit(TT_IRI), iri))
+        # IRIs may carry \uXXXX/\UXXXXXXXX escapes (the grammar permits no
+        # other backslash) — decode so they join byte-identically with the
+        # same IRI parsed from Turtle/SPARQL
+        F.when(is_iri, term_struct(F.lit(TT_IRI), _unescape(iri)))
         .when(is_bnode, term_struct(F.lit(TT_BNODE), bnode))
         .when(has_lit, term_struct(F.lit(TT_LITERAL), _unescape(lit),
                                    dt_n, lang_n))
@@ -103,17 +148,29 @@ def lines_to_quads(lines: DataFrame, strict: bool = True) -> DataFrame:
         matched = lines
     else:
         matched = lines.where(ok)
-    s = _term_from_groups(F.col("line"), 1)
-    p = _term_from_groups(F.col("line"), 1 + _G)
-    o = _term_from_groups(F.col("line"), 1 + 2 * _G)
-    g = _term_from_groups(F.col("line"), 1 + 3 * _G)
+    # extract all 20 groups ONCE into an intermediate projection — each
+    # term references its 5 group columns, so the (large) LINE_RE appears
+    # 20 times total instead of being re-inlined into every branch of the
+    # term CASEs (Catalyst keeps the projection because the extracts are
+    # non-cheap and multiply referenced)
+    names = ["iri", "bnode", "lit", "lang", "dt"]
+    groups = matched.select(*[
+        F.regexp_extract(F.col("line"), LINE_RE, base + i).alias(f"{n}{t}")
+        for t, base in enumerate([1, 1 + _G, 1 + 2 * _G, 1 + 3 * _G])
+        for i, n in enumerate(names)
+    ])
+
+    def term(t: int) -> Column:
+        return _term_from_cols(*[F.col(f"{n}{t}") for n in names])
+
     # a non-participating 4th term yields an all-empty IRI branch: detect by
     # raw absence of a 4th term in the line (graph col NULL)
-    has_g = F.regexp_extract(F.col("line"), LINE_RE, 1 + 3 * _G) != ""
-    has_g = has_g | (F.regexp_extract(F.col("line"), LINE_RE, 2 + 3 * _G) != "")
-    return matched.select(
-        F.when(has_g, g).alias("graph"),
-        s.alias("subject"), p.alias("predicate"), o.alias("object"),
+    has_g = (F.col("iri3") != "") | (F.col("bnode3") != "")
+    return groups.select(
+        F.when(has_g, term(3)).alias("graph"),
+        term(0).alias("subject"),
+        term(1).alias("predicate"),
+        term(2).alias("object"),
     )
 
 

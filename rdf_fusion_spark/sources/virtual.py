@@ -105,6 +105,7 @@ class VirtualRelationalStore(GraphStore):
     @quads.setter
     def quads(self, value):  # GraphStore.__init__ compatibility
         self._quads = value
+        self._cached_len = None
 
     # ------------------------------------------------------------------
 

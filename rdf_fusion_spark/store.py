@@ -142,7 +142,7 @@ class GraphStore:
     _pred_partitioned = False
     def __init__(self, spark: SparkSession, quads: DataFrame):
         self.spark = spark
-        self.quads = quads
+        self.quads = quads  # property setter resets _cached_len
         _exclude_predicate_pushdown(spark)
         # every store entry point gets the engine's session settings —
         # without methodSplitThreshold=128 a BIND-heavy query overflows
@@ -374,8 +374,21 @@ class GraphStore:
                 df = df.where(term_matches(F.col(colname), t))
         return df
 
+    @property
+    def quads(self) -> DataFrame:
+        return self._quads
+
+    @quads.setter
+    def quads(self, df: DataFrame) -> None:
+        self._quads = df
+        # any mutation invalidates the cached count (web index / metadata
+        # consumers read _cached_len instead of scanning the store)
+        self._cached_len = None
+
     def __len__(self) -> int:
-        return self.quads.count()
+        if self._cached_len is None:
+            self._cached_len = self.quads.count()
+        return self._cached_len
 
     def contains(self, subject: Term, predicate: Term, obj: Term,
                  graph: Union[Term, None, str] = "any") -> bool:

@@ -181,10 +181,14 @@ class SparqlHttpServer:
                     return self._send(200, body.encode(),
                                       ctype + "; charset=utf-8")
                 if path == "/":
+                    # no store scan per index hit: report the quad count
+                    # only when it is already known (cached by a prior
+                    # len()); a cold store reports null rather than
+                    # triggering a full count job on every GET /
                     body = json.dumps({
                         "service": "rdf_fusion_spark SPARQL endpoint",
                         "endpoints": {"query": "/query", "data": "/store"},
-                        "quads": server.store.quads.count(),
+                        "quads": getattr(server.store, "_cached_len", None),
                     })
                     return self._send(200, body.encode(), "application/json")
                 return self._bad("not found", 404)

@@ -90,3 +90,37 @@ def test_pipeline_plans_have_no_nested_loops(spark, name):
     df = EQ.queries()[name](spark, SF_DIR)
     ex = _explain(df)
     ex.assert_scale_safe()
+
+
+def test_guard_breach_named_in_explanation(spark):
+    """>3 statically-nullable shared vars falls past the split-union guard
+    to the IS_COMPATIBLE theta join — the explanation must NAME the vars
+    (round-3 verdict item 8)."""
+    from rdf_fusion_spark import GraphStore
+
+    nt = "\n".join(
+        f"<http://ex/s{i}> <http://ex/p{j}> <http://ex/o{i}{j}> ."
+        for i in range(3) for j in range(4)) + "\n"
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    open(os.path.join(d, "g.nt"), "w").write(nt)
+    st = GraphStore.load(spark, os.path.join(d, "g.nt"))
+    # two UNION arms each bind a different subset of ?a ?b ?c ?d → all four
+    # are statically nullable on both sides of the join
+    q = """
+    SELECT * WHERE {
+      { { ?s <http://ex/p0> ?a . ?s <http://ex/p1> ?b }
+        UNION { ?s <http://ex/p2> ?c . ?s <http://ex/p3> ?d } }
+      { { ?t <http://ex/p0> ?a . ?t <http://ex/p1> ?b }
+        UNION { ?t <http://ex/p2> ?c . ?t <http://ex/p3> ?d } }
+    }
+    """
+    res = st.query(q)
+    assert res.guard_breaches, "expected a recorded guard breach"
+    br = res.guard_breaches[0]
+    assert set(br["nullable_shared"]) == {"a", "b", "c", "d"}
+    ex = res.explanation()
+    assert ex.split_union_guard_breaches
+    if ex.nested_loop_joins():
+        with pytest.raises(AssertionError, match="nullable shared vars"):
+            ex.assert_scale_safe()

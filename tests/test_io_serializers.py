@@ -235,3 +235,51 @@ def test_bulk_directory_load(spark, tmp_path):
     # _:b0 in a.ttl and _:b0 in b.ttl are DIFFERENT nodes: s1 only
     # reaches 1, s2 only reaches 2
     assert got == [("http://example/s1", "1"), ("http://example/s2", "2")]
+
+
+# escape-heavy content, expressed in both N-Triples and Turtle syntax —
+# the PRODUCTION spark reader (read_ntriples) must produce terms
+# byte-identical to the driver-side Turtle parser so sameTerm/joins work
+# across load paths (round-4 ADVICE item: UCHAR + left-to-right ECHAR)
+ESC_NT = (
+    '<http://ex/\\u00e9> <http://ex/p> "caf\\u00e9 \\U0001F600" .\n'
+    '<http://ex/s> <http://ex/p> "a\\\\nb" .\n'          # \\ then literal n
+    '<http://ex/s> <http://ex/p> "tab\\there\\b\\f" .\n'
+    '<http://ex/s> <http://ex/p> "x"^^<http://ex/\\u0064t> .\n'
+)
+ESC_TTL = (
+    '<http://ex/\\u00e9> <http://ex/p> "caf\\u00e9 \\U0001F600" .\n'
+    '<http://ex/s> <http://ex/p> "a\\\\nb" .\n'
+    '<http://ex/s> <http://ex/p> "tab\\there\\b\\f" .\n'
+    '<http://ex/s> <http://ex/p> "x"^^<http://ex/\\u0064t> .\n'
+)
+
+
+def test_ntriples_escapes_match_turtle_parser(spark, tmp_path):
+    from rdf_fusion_spark.sources.turtle import parse_turtle
+    from rdf_fusion_spark.terms import Literal, NamedNode
+
+    p = tmp_path / "esc.nt"
+    p.write_text(ESC_NT, encoding="utf-8")
+    got = sorted(
+        (r["subject"]["v"], r["object"]["v"], r["object"]["dt"])
+        for r in read_ntriples(spark, str(p)).collect())
+    exp = sorted(
+        (s.iri, o.lexical, o.datatype)
+        for s, _, o in parse_turtle(ESC_TTL)
+        if isinstance(s, NamedNode) and isinstance(o, Literal))
+    assert got == exp
+    # spot-check actual decoded values (not just cross-parser agreement)
+    values = [v for _, v, _ in got]
+    assert "café \U0001F600" in values
+    assert "a\\nb" in values          # escaped backslash + literal 'n'
+    assert "tab\there\b\f" in values
+    assert ("http://ex/s", "x", "http://ex/dt") in got
+    assert any(s == "http://ex/é" for s, _, _ in got)
+
+
+def test_ntriples_strict_rejects_bad_escape(spark, tmp_path):
+    p = tmp_path / "bad.nt"
+    p.write_text('<http://ex/s> <http://ex/p> "bad\\z" .\n', encoding="utf-8")
+    with pytest.raises(Exception, match="malformed"):
+        read_ntriples(spark, str(p)).collect()

@@ -234,3 +234,50 @@ def test_weighted_sample_deterministic_and_calibrated(spark):
         .where("sample_keep").count() == 2000
     assert curation.weighted_sample(docs, F.lit(0.0)) \
         .where("sample_keep").count() == 0
+
+
+def test_jaccard_pairs_refuses_large_corpus(spark):
+    """The all-pairs oracle is guarded, not just documented (r3 verdict #6)."""
+    big = spark.range(0, 501).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("doc number "), F.col("id")).alias("text"))
+    with pytest.raises(ValueError, match="minhash_lsh_pairs"):
+        dedup.jaccard_pairs(big, 0.8, max_docs=500)
+    # under the cap it still works
+    small = big.limit(10)
+    dedup.jaccard_pairs(small, 0.8, max_docs=500).collect()
+
+
+def test_lsh_bucket_cap_bounds_mega_bucket(spark, caplog):
+    """A 10k-copy document creates a mega-bucket in EVERY band; the cap
+    must bound candidate pairs to ~cap²/2 instead of 10k²/2 ≈ 5·10⁷
+    (r3 verdict #2: no multi-hour straggler task)."""
+    import logging
+    n = 10_000
+    dup = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same text repeated in every single copy of this "
+              "document corpus").alias("text"))
+    distinct_docs = spark.createDataFrame(
+        [(n + 1, "an unrelated document about entirely different topics"),
+         (n + 2, "another distinct text that shares nothing with others")],
+        ["doc_id", "text"])
+    corpus = dup.unionByName(distinct_docs)
+    cap = 16
+    with caplog.at_level(logging.WARNING,
+                         logger="rdf_fusion_spark.pipeline.dedup"):
+        pairs = dedup.minhash_lsh_pairs(corpus, 0.9, bucket_cap=cap)
+        n_pairs = pairs.count()
+    # only the first `cap` members (by id) of the mega-cluster pair up
+    assert n_pairs == cap * (cap - 1) // 2
+    ids = {i for r in pairs.collect() for i in (r["id_a"], r["id_b"])}
+    assert ids == set(range(cap))
+    # dropped mass is logged, never silent
+    assert any("cap were dropped" in m for m in caplog.messages)
+
+
+def test_lsh_bucket_cap_no_effect_below_cap(docs):
+    capped = dedup.minhash_lsh_pairs(docs, 0.8)
+    uncapped = dedup.minhash_lsh_pairs(docs, 0.8, bucket_cap=None)
+    assert sorted(map(tuple, capped.collect())) == \
+        sorted(map(tuple, uncapped.collect()))
