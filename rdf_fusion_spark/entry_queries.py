@@ -1621,6 +1621,256 @@ _q(
     """,
 )
 
+# ---------------------------------------------------------------------------
+# Reference benchmark workload mirrors (round-4 verdict #1). The reference's
+# perf identity is BSBM Explore/BI and WindFarm
+# (bench/tests/query_results/queries/{explore-q5,bi-q3,
+# wind-farm-production-query2,wind-farm-grouped-production-query3}.sparql,
+# drivers bench/src/benchmarks/). These gate the same query SHAPES on the
+# relational-RDF warehouse: products→part, reviews→orders,
+# site/turbine/timeseries chain→region/nation/customer/orders.
+# ---------------------------------------------------------------------------
+
+# BSBM Explore Q5: "find products similar to X" — constant-subject star
+# self-joined against a variable-subject star, two numeric range bands,
+# self-exclusion, DISTINCT + ORDER + LIMIT. (?product tiebreak added for a
+# deterministic LIMIT cut; BSBM labels are non-unique.)
+_q(
+    "q_bsbm_explore_q5",
+    """
+    SELECT DISTINCT ?product ?label WHERE {
+      ?product p:p_name ?label .
+      <x:p:42> p:p_type ?feature .
+      ?product p:p_type ?feature .
+      <x:p:42> p:p_size ?origSize .
+      ?product p:p_size ?simSize .
+      <x:p:42> p:p_retailprice ?origPrice .
+      ?product p:p_retailprice ?simPrice .
+      FILTER(!(<x:p:42> = ?product)
+             && ?simSize  < ?origSize + 5    && ?simSize  > ?origSize - 5
+             && ?simPrice < ?origPrice + 170.0 && ?simPrice > ?origPrice - 170.0)
+    }
+    ORDER BY ASC(?label) ?product
+    LIMIT 5
+    """,
+    [("product", "str"), ("label", "str")],
+    """
+    SELECT DISTINCT 'x:p:' || CAST(p.p_partkey AS VARCHAR) AS product,
+           p.p_name AS label
+    FROM part p, part x
+    WHERE x.p_partkey = 42 AND p.p_partkey <> 42
+      AND p.p_type = x.p_type
+      AND p.p_size  < x.p_size + 5     AND p.p_size  > x.p_size - 5
+      AND p.p_retailprice < x.p_retailprice + 170.0
+      AND p.p_retailprice > x.p_retailprice - 170.0
+    ORDER BY label, product
+    LIMIT 5
+    """,
+)
+
+# BSBM BI Q3: review-count ratio between two adjacent windows — two nested
+# GROUP-BY subqueries (each with the BI Q3 count-alias + BIND-rename
+# indirection), post-aggregate FILTER (HAVING shape), ratio BIND, ORDER BY
+# the ratio DESC + LIMIT. reviews→orders, product→customer.
+_q(
+    "q_bsbm_bi_q3",
+    """
+    SELECT ?cust ?ratio WHERE {
+      {
+        SELECT ?cust ?monthCount WHERE {
+          {
+            SELECT (COUNT(?o) AS ?cnt) ?cust WHERE {
+              ?o o:o_custkey ?cust .
+              ?o o:o_orderdate ?date .
+              FILTER(?date >= "1996-01-01T00:00:00"^^xsd:dateTime
+                  && ?date <  "1996-07-01T00:00:00"^^xsd:dateTime)
+            }
+            GROUP BY ?cust
+          }
+          BIND(?cnt AS ?monthCount)
+        }
+      }
+      {
+        SELECT ?cust ?monthBeforeCount WHERE {
+          {
+            SELECT (COUNT(?o2) AS ?cnt2) ?cust WHERE {
+              ?o2 o:o_custkey ?cust .
+              ?o2 o:o_orderdate ?date2 .
+              FILTER(?date2 >= "1995-07-01T00:00:00"^^xsd:dateTime
+                  && ?date2 <  "1996-01-01T00:00:00"^^xsd:dateTime)
+            }
+            GROUP BY ?cust
+          }
+          FILTER(?cnt2 > "0"^^xsd:integer)
+          BIND(?cnt2 AS ?monthBeforeCount)
+        }
+      }
+      BIND(xsd:double(?monthCount) / ?monthBeforeCount AS ?ratio)
+    }
+    ORDER BY DESC(?ratio) ASC(?cust)
+    LIMIT 10
+    """,
+    [("cust", "str"), ("ratio", "double6")],
+    """
+    WITH month_cnt AS (
+      SELECT o_custkey, COUNT(*) AS month_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-07-01'
+      GROUP BY o_custkey
+    ),
+    before_cnt AS (
+      SELECT o_custkey, COUNT(*) AS month_before_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-07-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+      HAVING COUNT(*) > 0
+    )
+    SELECT 'x:c:' || CAST(m.o_custkey AS VARCHAR) AS cust,
+           ROUND(CAST(m.month_count AS DOUBLE) / b.month_before_count, 6)
+             AS ratio
+    FROM month_cnt m JOIN before_cnt b ON m.o_custkey = b.o_custkey
+    ORDER BY CAST(m.month_count AS DOUBLE) / b.month_before_count DESC,
+             cust ASC
+    LIMIT 10
+    """,
+)
+
+# WindFarm production query 2: deep entity-chain traversal (site→aspect→
+# turbine→generator→timeseries→datapoint becomes region→nation→customer→
+# order) ending in raw time-series points, rdf:type anchors, label IN-list
+# + equality filters, ORDER + LIMIT. ?ord appended to ORDER BY (non-
+# projected tiebreak) for a deterministic LIMIT cut.
+_q(
+    "q_windfarm_production",
+    """
+    SELECT ?nation_label ?cust_label ?t ?val WHERE {
+      ?r a <x:class:region> .
+      ?r r:r_name ?region_label .
+      ?n n:n_regionkey ?r .
+      ?n n:n_name ?nation_label .
+      ?c a <x:class:customer> .
+      ?c c:c_nationkey ?n .
+      ?c c:c_name ?cust_label .
+      ?ord o:o_custkey ?c .
+      ?ord o:o_orderdate ?t .
+      ?ord o:o_totalprice ?val .
+      FILTER(?nation_label IN ("NATION_2", "NATION_7", "NATION_12",
+                               "NATION_17", "NATION_22")
+             && ?region_label = "ASIA")
+    }
+    ORDER BY ?nation_label ?cust_label ?t ?val ?ord
+    LIMIT 10
+    """,
+    [("nation_label", "str"), ("cust_label", "str"),
+     ("t", "timestamp"), ("val", "double")],
+    """
+    SELECT n_name AS nation_label, c_name AS cust_label,
+           o_orderdate AS t, o_totalprice AS val
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    WHERE r_name = 'ASIA'
+      AND n_name IN ('NATION_2','NATION_7','NATION_12',
+                     'NATION_17','NATION_22')
+    ORDER BY nation_label, cust_label, t, val,
+             'x:o:' || CAST(o_orderkey AS VARCHAR)
+    LIMIT 10
+    """,
+)
+
+# WindFarm grouped production query 3: the same chain + temporal bucketing
+# BINDs as GROUP BY keys + AVG over the series + window FILTER + ORDER +
+# LIMIT (year/month buckets stand in for the turbine data's minute_10 —
+# o_orderdate is date-resolution; the sub-hour variant is
+# q_windfarm_minute10 below on the events series).
+_q(
+    "q_windfarm_grouped",
+    """
+    SELECT ?nation_label ?year ?month
+           (xsd:double(AVG(xsd:decimal(?val))) AS ?avg_val)
+           (COUNT(?ord) AS ?n_points)
+    WHERE {
+      ?r a <x:class:region> .
+      ?r r:r_name "ASIA" .
+      ?n n:n_regionkey ?r .
+      ?n n:n_name ?nation_label .
+      ?c c:c_nationkey ?n .
+      ?ord o:o_custkey ?c .
+      ?ord o:o_orderdate ?t .
+      ?ord o:o_totalprice ?val .
+      BIND(MONTH(?t) AS ?month)
+      BIND(YEAR(?t) AS ?year)
+      FILTER(?t >= "1996-01-01T00:00:00"^^xsd:dateTime
+          && ?t <= "1997-12-31T00:00:00"^^xsd:dateTime)
+    }
+    GROUP BY ?nation_label ?year ?month
+    ORDER BY ?nation_label ?year ?month
+    LIMIT 10
+    """,
+    [("nation_label", "str"), ("year", "long"), ("month", "long"),
+     ("avg_val", "double6"), ("n_points", "long")],
+    f"""
+    SELECT n_name AS nation_label,
+           CAST(EXTRACT(year  FROM o_orderdate) AS BIGINT) AS year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+           ROUND(CAST(CAST(AVG({_dec('o_totalprice')}) AS VARCHAR)
+                 AS DOUBLE), 6) AS avg_val,
+           COUNT(*) AS n_points
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31'
+    GROUP BY n_name, year, month
+    ORDER BY nation_label, year, month
+    LIMIT 10
+    """,
+)
+
+# WindFarm grouped query 3's sub-hour bucketing on a real time series: the
+# events table plays the data points; hour + 10-minute buckets computed
+# exactly as the reference query does — BIND(10 * FLOOR(minutes(?t)/10.0)).
+_q(
+    "q_windfarm_minute10",
+    """
+    SELECT ?hour ?minute_10
+           (xsd:double(AVG(xsd:decimal(?val))) AS ?avg_val)
+           (COUNT(?e) AS ?n_points)
+    WHERE {
+      ?e e:ts ?t .
+      ?e e:value ?val .
+      ?e e:event_type "click" .
+      BIND(10 * FLOOR(MINUTES(?t) / 10.0) AS ?minute_10)
+      BIND(HOURS(?t) AS ?hour)
+      FILTER(?t >= "2024-01-01T00:00:00"^^xsd:dateTime
+          && ?t <  "2024-01-02T00:00:00"^^xsd:dateTime)
+    }
+    GROUP BY ?hour ?minute_10
+    ORDER BY ?hour ?minute_10
+    """,
+    [("hour", "long"), ("minute_10", "long"),
+     ("avg_val", "double6"), ("n_points", "long")],
+    f"""
+    SELECT CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour,
+           CAST(10 * FLOOR(EXTRACT(minute FROM ts) / 10.0) AS BIGINT)
+             AS minute_10,
+           ROUND(CAST(CAST(AVG({_dec('value')}) AS VARCHAR) AS DOUBLE), 6)
+             AS avg_val,
+           COUNT(*) AS n_points
+    FROM events
+    WHERE event_type = 'click'
+      AND ts >= TIMESTAMP '2024-01-01'
+      AND ts <  TIMESTAMP '2024-01-02'
+    GROUP BY hour, minute_10
+    ORDER BY hour, minute_10
+    """,
+)
+
 
 def _pipe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import top_words

@@ -158,6 +158,33 @@ def _expr_vars(e) -> set:
     return set()
 
 
+def _order_deferrable(conds: list, names: set) -> bool:
+    """True iff every ORDER BY expression provably references only
+    projected variables — then the sort may be deferred past the
+    projection (and past an enclosing DISTINCT). Opaque expression nodes
+    (EXISTS, aggregates) are conservatively non-deferrable."""
+    def walk(e) -> Optional[set]:
+        if isinstance(e, A.EVar):
+            return {e.name}
+        if isinstance(e, A.ETerm):
+            return set()
+        if isinstance(e, A.ECall):
+            out: set = set()
+            for a in e.args:
+                sub = walk(a)
+                if sub is None:
+                    return None
+                out |= sub
+            return out
+        return None  # EExists / AggCall / unknown: not analyzable
+
+    for c in conds:
+        vs = walk(c.expr)
+        if vs is None or vs - names:
+            return False
+    return True
+
+
 def _sk_of_term(t) -> Optional[int]:
     from ..terms import BlankNode, static_kind_for_datatype
     if isinstance(t, NamedNode):
@@ -1027,17 +1054,23 @@ def _static_kind_of_row(row) -> Optional[int]:
 
 def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
     sol = translate(p.inner, ctx)
-    # ORDER BY must see pre-projection scope (its expressions may reference
-    # variables the projection drops); the sort survives the projection
-    # because a narrow select preserves row order.
-    sol = _apply_order(sol, ctx)
     names = [v.name for v in p.variables]
+    # ORDER BY whose expressions reference variables the projection DROPS
+    # must sort pre-projection (the narrow select preserves row order).
+    # Otherwise keep it pending: an enclosing DISTINCT dedupes unordered
+    # rows first and the sort is applied after (the spec's order-preserving
+    # DISTINCT — a Spark dropDuplicates after an orderBy destroys the
+    # order, which mis-cut a LIMIT under SELECT DISTINCT ... ORDER BY).
+    pending = sol.pending_order
+    if pending and not _order_deferrable(pending, set(names)):
+        sol = _apply_order(sol, ctx)
     cols = [
         (sol.df[n].alias(n) if n in sol.maybe else NULL_TERM().alias(n))
         for n in names
     ]
     df = sol.df.select(*cols)
     return Solution(df=df, bound=sol.bound & set(names), maybe=set(names),
+                    pending_order=sol.pending_order,
                     kinds={v: k for v, k in sol.kinds.items() if v in names
                            and v in sol.maybe})
 

@@ -213,3 +213,53 @@ def test_large_daytime_duration_literal(spark):
     rows = store.query(q).df.collect()
     assert rows[0]["d"]["v"] == "P2000000D"
     assert rows[0]["d"]["d"] == 2000000 * 86400
+
+
+def test_distinct_preserves_order_before_limit(spark):
+    """SELECT DISTINCT ... ORDER BY ... LIMIT must cut the ORDERED distinct
+    rows — Spark's dropDuplicates after an orderBy destroys row order, so
+    the engine defers the sort past the dedupe (round-4 regression: BSBM
+    Explore Q5 mirror returned arbitrary rows)."""
+    from rdf_fusion_spark import GraphStore
+    nt = "".join(
+        f'<http://ex/s{i}> <http://ex/p> "{chr(122 - i)}" .\n'
+        f'<http://ex/t{i}> <http://ex/p> "{chr(122 - i)}" .\n'
+        for i in range(10))
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    open(os.path.join(d, "g.nt"), "w").write(nt)
+    st = GraphStore.load(spark, os.path.join(d, "g.nt"))
+    res = st.query("""
+        SELECT DISTINCT ?v WHERE { ?s <http://ex/p> ?v } ORDER BY ?v LIMIT 3
+    """)
+    got = [r["v"]["v"] for r in res.df.collect()]
+    assert got == ["q", "r", "s"]  # the 3 smallest, in order
+
+    # DESC variant, and ORDER BY an expression over a projected var
+    res = st.query("""
+        SELECT DISTINCT ?v WHERE { ?s <http://ex/p> ?v }
+        ORDER BY DESC(STR(?v)) LIMIT 2
+    """)
+    got = [r["v"]["v"] for r in res.df.collect()]
+    assert got == ["z", "y"]
+
+
+def test_order_by_dropped_var_still_applies(spark):
+    """ORDER BY over a variable the projection drops must still sort."""
+    from rdf_fusion_spark import GraphStore
+    nt = "".join(
+        f'<http://ex/s{i}> <http://ex/name> "n{i}" .\n'
+        f'<http://ex/s{i}> <http://ex/rank> '
+        f'"{9 - i}"^^<http://www.w3.org/2001/XMLSchema#integer> .\n'
+        for i in range(5))
+    import os, tempfile
+    d = tempfile.mkdtemp()
+    open(os.path.join(d, "g.nt"), "w").write(nt)
+    st = GraphStore.load(spark, os.path.join(d, "g.nt"))
+    res = st.query("""
+        SELECT ?name WHERE {
+          ?s <http://ex/name> ?name . ?s <http://ex/rank> ?rank .
+        } ORDER BY ?rank LIMIT 2
+    """)
+    got = [r["name"]["v"] for r in res.df.collect()]
+    assert got == ["n4", "n3"]  # rank 5,6 are the smallest
