@@ -758,18 +758,11 @@ def _pipe_ann_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pipe_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table seeded sign-LSH top-k (16 tables x 4 bits — measured
+    recall@3 ≈ 0.9 vs the exact oracle on this corpus, BASELINE.md r4)."""
     from .pipeline.similarity import lsh_bucket_topk
     embs = _embs(spark, sf_dir)
     out = lsh_bucket_topk(embs, embs.where(F.col("vec_id") < ANN_NUM_QUERIES), ANN_K)
-    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
-                      "neighbor_id", "cosine")
-
-
-def _pipe_ann_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .pipeline.similarity import lsh_bucket_topk
-    embs = _embs(spark, sf_dir)
-    out = lsh_bucket_topk(embs, embs.where(F.col("vec_id") < ANN_NUM_QUERIES),
-                          ANN_K, multiprobe=True)
     return out.select("query_id", F.col("rank").cast("long").alias("rank"),
                       "neighbor_id", "cosine")
 
@@ -831,7 +824,8 @@ def _pipeline_oracles() -> dict[str, str]:
     from .pipeline.curation import PACK_BUDGET_TOKENS as PACK_BUDGET_SQL
     from .pipeline.curation import PACK_NUM_SHARDS as PACK_NUM_SHARDS_SQL
     from .pipeline.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
-    from .pipeline.similarity import IVF_NLIST
+    from .pipeline.similarity import (IVF_KMEANS_ITERS, IVF_NLIST,
+                                      IVF_NPROBE)
     from .pipeline.text import LID_FLOOR, LID_MARKERS, TOKEN_RE
     from .pipeline.text import ROLL_B as ROLL_B_SQL
     from .pipeline.text import ROLL_P as ROLL_P_SQL
@@ -898,9 +892,56 @@ def _pipeline_oracles() -> dict[str, str]:
           FROM s)
     WHERE rnk <= {k}
     """
-    bucket_expr = "||".join(
-        f"(CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END)"
-        for i in range(8))
+    # seeded random-hyperplane sign buckets, weights identical to
+    # pipeline/similarity.py:hyperplane_weights (exact k/1024 literals;
+    # left-associative sum matches the Spark fold order bit-for-bit)
+    from .pipeline.similarity import (EMB_NEARDUP_TABLES, LSH_TOPK_BITS,
+                                      LSH_TOPK_TABLES, SIGN_BITS,
+                                      hyperplane_weights)
+
+    def _hp_bucket_sql(bits: int, table: int, col: str = "embedding") -> str:
+        return "||".join(
+            "(CASE WHEN 0.0 + "
+            + " + ".join(f"({w!r})*{col}[{j + 1}]::DOUBLE"
+                         for j, w in enumerate(row))
+            + " >= 0 THEN '1' ELSE '0' END)"
+            for row in hyperplane_weights(bits, table=table))
+
+    def _tables_sql(src: str, id_alias: str, bits: int, n: int) -> str:
+        """UNION ALL of per-table (id, t, b) bucket rows over CTE `src`."""
+        return "\n          UNION ALL ".join(
+            f"SELECT {id_alias}, {t} AS t, {_hp_bucket_sql(bits, t)} AS b"
+            f" FROM {src}"
+            for t in range(n))
+
+    def _kmeans_sql(nlist: int = IVF_NLIST, iters: int = IVF_KMEANS_ITERS,
+                    dim: int = 64) -> str:
+        """Unrolled deterministic k-means CTEs over CTE `v` (vec_id, e):
+        mirrors pipeline/similarity.py:kmeans_centroids — init = lowest-id
+        vectors, per-coordinate ROUND(AVG, 6) means (absorbs engine float
+        summation order), empty clusters keep the previous centroid."""
+        parts = [f"cent0 AS (SELECT vec_id AS cid, e AS ce FROM v"
+                 f" WHERE vec_id < {nlist})"]
+        for it in range(1, iters + 1):
+            prev = f"cent{it - 1}"
+            cos = _COS_SQL.format(a='v.e', b='c.ce')
+            parts.append(f"""a{it} AS (
+          SELECT vec_id, e, cid AS cluster FROM (
+            SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id
+                     ORDER BY {cos} DESC, c.cid) AS rn
+            FROM v CROSS JOIN {prev} c) WHERE rn = 1)""")
+            parts.append(f"""m{it} AS (
+          SELECT cluster, d.dim, ROUND(AVG(e[d.dim]), 6) AS mval
+          FROM a{it}, (SELECT unnest(generate_series(1, {dim})) AS dim) d
+          GROUP BY cluster, d.dim)""")
+            parts.append(f"""cm{it} AS (
+          SELECT cluster AS cid, list(mval ORDER BY dim) AS ce
+          FROM m{it} GROUP BY cluster)""")
+            parts.append(f"""cent{it} AS (
+          SELECT p.cid, COALESCE(n.ce, p.ce) AS ce
+          FROM {prev} p LEFT JOIN cm{it} n ON p.cid = n.cid)""")
+        return ",\n        ".join(parts)
 
     out = {
         "q_text_stats": f"""
@@ -1077,25 +1118,26 @@ def _pipeline_oracles() -> dict[str, str]:
             qfilter="", qwhere=f" WHERE vec_id < {ANN_NUM_QUERIES}",
             cfilter="", bucket_join="", k=ANN_K),
         "q_ann_lsh": f"""
-        WITH q0 AS (SELECT vec_id AS query_id,
-                           list_transform(embedding, x -> x::DOUBLE) AS e,
-                           {bucket_expr} AS b
-                    FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}),
-        q AS (SELECT query_id, e, unnest(list_value(b,
-                {', '.join(
-                    "substr(b,1," + str(i) + ") || "
-                    "(CASE WHEN substr(b," + str(i + 1) + ",1)='1' "
-                    "THEN '0' ELSE '1' END) || substr(b," + str(i + 2) + ")"
-                    for i in range(8))})) AS bucket
-              FROM q0),
+        WITH q AS (SELECT vec_id AS query_id,
+                          list_transform(embedding, x -> x::DOUBLE) AS e,
+                          embedding
+                   FROM embeddings WHERE vec_id < {ANN_NUM_QUERIES}),
         c AS (SELECT vec_id AS neighbor_id,
                      list_transform(embedding, x -> x::DOUBLE) AS e,
-                     {bucket_expr} AS bucket
+                     embedding
               FROM embeddings),
+        qb AS ({_tables_sql('q', 'query_id', LSH_TOPK_BITS,
+                            LSH_TOPK_TABLES)}),
+        cb AS ({_tables_sql('c', 'neighbor_id', LSH_TOPK_BITS,
+                            LSH_TOPK_TABLES)}),
+        cand AS (
+          SELECT DISTINCT query_id, neighbor_id
+          FROM cb JOIN qb USING (t, b) WHERE query_id <> neighbor_id
+        ),
         s AS (
           SELECT query_id, neighbor_id,
                  {_COS_SQL.format(a='q.e', b='c.e')} AS cosine
-          FROM c JOIN q USING (bucket) WHERE query_id <> neighbor_id
+          FROM cand JOIN q USING (query_id) JOIN c USING (neighbor_id)
         )
         SELECT query_id, rnk::BIGINT AS rank, neighbor_id, cosine
         FROM (SELECT query_id, neighbor_id, cosine,
@@ -1108,16 +1150,22 @@ def _pipeline_oracles() -> dict[str, str]:
         "q_ann_ivf": f"""
         WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
                    FROM embeddings),
-        cent AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < {IVF_NLIST}),
-        assign AS (
-          SELECT vec_id, e, cid AS cluster FROM (
+        {_kmeans_sql()},
+        q AS (
+          SELECT vec_id AS query_id, e AS qe, cid AS cluster FROM (
             SELECT v.vec_id, v.e, c.cid,
                    row_number() OVER (PARTITION BY v.vec_id ORDER BY
                      {_COS_SQL.format(a='v.e', b='c.ce')} DESC, c.cid) AS rn
-            FROM v CROSS JOIN cent c) WHERE rn = 1),
-        q AS (SELECT vec_id AS query_id, e AS qe, cluster FROM assign
-              WHERE vec_id < {ANN_NUM_QUERIES}),
-        c AS (SELECT vec_id AS neighbor_id, e AS ne, cluster FROM assign),
+            FROM v CROSS JOIN cent{IVF_KMEANS_ITERS} c
+            WHERE v.vec_id < {ANN_NUM_QUERIES})
+          WHERE rn <= {IVF_NPROBE}),
+        c AS (
+          SELECT vec_id AS neighbor_id, e AS ne, cid AS cluster FROM (
+            SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     {_COS_SQL.format(a='v.e', b='c.ce')} DESC, c.cid) AS rn
+            FROM v CROSS JOIN cent{IVF_KMEANS_ITERS} c)
+          WHERE rn = 1),
         s AS (SELECT query_id, neighbor_id,
                      {_COS_SQL.format(a='qe', b='ne')} AS cosine
               FROM c JOIN q USING (cluster) WHERE query_id <> neighbor_id)
@@ -1131,12 +1179,17 @@ def _pipeline_oracles() -> dict[str, str]:
         "q_dedup_embedding_cosine": f"""
         WITH v AS (SELECT vec_id AS id,
                           list_transform(embedding, x -> x::DOUBLE) AS e,
-                          {bucket_expr} AS bucket
-                   FROM embeddings)
-        SELECT a.id AS id_a, b.id AS id_b,
-               {_COS_SQL.format(a='a.e', b='b.e')} AS cosine
-        FROM v a JOIN v b ON a.bucket = b.bucket AND a.id < b.id
-        WHERE {_COS_SQL.format(a='a.e', b='b.e')} >= {EMB_NEARDUP_THRESHOLD}
+                          embedding
+                   FROM embeddings),
+        tb AS ({_tables_sql('v', 'id', SIGN_BITS, EMB_NEARDUP_TABLES)}),
+        cand AS (
+          SELECT DISTINCT a.id AS id_a, b.id AS id_b
+          FROM tb a JOIN tb b ON a.t = b.t AND a.b = b.b AND a.id < b.id
+        )
+        SELECT id_a, id_b,
+               {_COS_SQL.format(a='va.e', b='vb.e')} AS cosine
+        FROM cand JOIN v va ON id_a = va.id JOIN v vb ON id_b = vb.id
+        WHERE {_COS_SQL.format(a='va.e', b='vb.e')} >= {EMB_NEARDUP_THRESHOLD}
         """,
         "q_text_top_words": f"""
         SELECT word, n_occurrences::BIGINT AS n_occurrences,
@@ -2029,7 +2082,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_clusters": _pipe_dedup_clusters,
     "q_dedup_simhash": _pipe_simhash_pairs,
     "q_ann_cosine_topk": _pipe_ann_cosine,
-    "q_ann_lsh": _pipe_ann_lsh_multiprobe,
+    "q_ann_lsh": _pipe_ann_lsh,
     "q_ann_ivf": _pipe_ann_ivf,
     "q_dedup_embedding_cosine": _pipe_dedup_embedding,
     "q_text_top_words": _pipe_top_words,

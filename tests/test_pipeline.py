@@ -85,9 +85,11 @@ def test_cosine_topk(vectors):
 
 def test_lsh_bucket_topk(vectors):
     out = similarity.lsh_bucket_topk(
-        vectors, vectors.where(F.col("vec_id") == 0), k=3, bits=3).collect()
+        vectors, vectors.where(F.col("vec_id") == 0), k=3,
+        bits=3, num_tables=2, dim=3).collect()
     ids = {r["neighbor_id"] for r in out}
-    # vec 3 has a different sign pattern -> different bucket, never a candidate
+    # vec 3 is the antipode of vec 0: proj(-x) = -proj(x), so its sign
+    # pattern is the complement in EVERY table — never a candidate
     assert 3 not in ids
     assert 1 in ids
 
