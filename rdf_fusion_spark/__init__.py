@@ -7,6 +7,7 @@ optimization, Tungsten execution. Plus large-scale training-data pipeline
 operators (dedup, similarity search, text analysis, multimodal plumbing).
 """
 
+from .plans.builder import PlanBuilder
 from .store import GraphStore, ActiveGraph
 from .terms import (
     NamedNode, BlankNode, Literal, Variable,
@@ -14,7 +15,7 @@ from .terms import (
 )
 
 __all__ = [
-    "GraphStore", "ActiveGraph",
+    "GraphStore", "ActiveGraph", "PlanBuilder",
     "NamedNode", "BlankNode", "Literal", "Variable",
     "TERM_TYPE", "QUADS_SCHEMA",
 ]

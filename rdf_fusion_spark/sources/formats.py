@@ -140,7 +140,10 @@ def serialize_rdf_lines(quads: DataFrame, fmt: RdfFormat) -> DataFrame:
         return quads.select(line.alias("line"))
     if fmt is RDFXML:
         return _rdfxml_lines(quads)
-    # N-Triples / Turtle (every N-Triples doc is valid Turtle)
+    if fmt is TURTLE:
+        from .turtle import quads_to_turtle_lines
+        return quads_to_turtle_lines(quads)
+    # N-Triples
     return quads_to_lines(
         quads.select("subject", "predicate", "object")
         .withColumn("graph", F.lit(None).cast(quads.schema["graph"].dataType)))
@@ -191,5 +194,13 @@ def _rdfxml_lines(quads: DataFrame) -> DataFrame:
         "line string")
     tail = spark.createDataFrame([("</rdf:RDF>",)], "line string")
     # coalesce(1) for the wrapped document: RDF/XML is a document format —
-    # anyone at bulk scale uses the line formats above
-    return head.unionByName(body).unionByName(tail).coalesce(1)
+    # anyone at bulk scale uses the line formats above. Explicit ordering:
+    # union partition order is not guaranteed stable under AQE.
+    head = head.withColumn("__ord", F.lit(0)) \
+        .withColumn("__sub", F.monotonically_increasing_id())
+    body = body.withColumn("__ord", F.lit(1)) \
+        .withColumn("__sub", F.monotonically_increasing_id())
+    tail = tail.withColumn("__ord", F.lit(2)) \
+        .withColumn("__sub", F.monotonically_increasing_id())
+    return (head.unionByName(body).unionByName(tail)
+            .orderBy("__ord", "__sub").select("line").coalesce(1))

@@ -327,11 +327,21 @@ def parse_rdfxml(text: str, base: Optional[str] = None
     return handler.triples
 
 
+def _read_doc(path: str) -> str:
+    """Read a document file, or the concatenation of the part files of a
+    Spark write.text output directory (what dump()/convert produce)."""
+    import glob
+    import os
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "part-*")))
+        return "".join(open(p, encoding="utf-8").read() for p in parts)
+    return open(path, encoding="utf-8").read()
+
+
 def read_rdfxml(spark: SparkSession, path: str,
                 base: Optional[str] = None) -> DataFrame:
     """RDF/XML file → quads DataFrame (default graph)."""
     from ..store import GraphStore
-    with open(path, encoding="utf-8") as f:
-        triples = parse_rdfxml(f.read(), base or f"file://{path}")
+    triples = parse_rdfxml(_read_doc(path), base or f"file://{path}")
     return GraphStore.from_python_quads(
         spark, [(None, s, p, o) for s, p, o in triples]).quads

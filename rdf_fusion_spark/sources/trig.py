@@ -104,10 +104,20 @@ def parse_trig(text: str, base: Optional[str] = None
     return _TrigParser(text, base).parse_quads()
 
 
+def _read_doc(path: str) -> str:
+    """Read a document file, or the concatenation of the part files of a
+    Spark write.text output directory (what dump()/convert produce)."""
+    import glob
+    import os
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "part-*")))
+        return "".join(open(p, encoding="utf-8").read() for p in parts)
+    return open(path, encoding="utf-8").read()
+
+
 def read_trig(spark: SparkSession, path: str,
               base: Optional[str] = None) -> DataFrame:
     """TriG file → quads DataFrame (graph NULL for the default graph)."""
     from ..store import GraphStore
-    with open(path, encoding="utf-8") as f:
-        quads = parse_trig(f.read(), base or f"file://{path}")
+    quads = parse_trig(_read_doc(path), base or f"file://{path}")
     return GraphStore.from_python_quads(spark, quads).quads
