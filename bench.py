@@ -22,7 +22,11 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
 # representative slice of the inventory: scan+agg, star join, top-k,
-# optional, transitive closure, datetime, plus the LLM-pipeline operators
+# optional, transitive closure, datetime, plus the LLM-pipeline operators.
+# The first 15 are the rounds-1..3 set; "comparable_total" in the output
+# is their subtotal so round-over-round numbers stay like-for-like after
+# the round-4 additions below.
+N_COMPARABLE = 15
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q2_join_region_filter",
@@ -113,11 +117,13 @@ def main() -> None:
         sf_val: object = float(sf)
     except ValueError:
         sf_val = sf
+    comparable = sum(per_query.get(n, 0.0) for n in BENCH_QUERIES[:N_COMPARABLE])
     print(json.dumps({
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "comparable_total": round(comparable, 3),
         "sf": sf_val,
     }))
     spark.stop()

@@ -329,6 +329,9 @@ def _pattern_scope(p) -> tuple:
         return b, f
     if isinstance(p, A.ValuesNode):
         return {v.name for v in p.variables}, set()
+    if isinstance(p, A.ServiceNode):
+        # remote evaluation: opaque scope like a sub-select
+        return A.pattern_variables(p.inner), set()
     if isinstance(p, A.Project):
         # sub-select: opaque scope, exposes only its projection
         return {v.name for v in p.variables}, set()
@@ -499,6 +502,8 @@ def translate(p, ctx: Ctx) -> Solution:
         return minus_solutions(l, r)
     if isinstance(p, A.ValuesNode):
         return _translate_values(p, ctx)
+    if isinstance(p, A.ServiceNode):
+        return _translate_service(p, ctx)
     if isinstance(p, A.OrderBy):
         sol = translate(p.inner, ctx)
         return replace(sol, pending_order=list(p.conditions))
@@ -1016,6 +1021,41 @@ def _translate_graph(p: A.GraphNode, ctx: Ctx) -> Solution:
         g = Solution(df=graphs, bound={p.name.name}, maybe={p.name.name})
         sol = join_solutions(sol, g, "inner")
     return sol
+
+
+def _translate_service(p: A.ServiceNode, ctx: Ctx) -> Solution:
+    """SERVICE [SILENT] <iri> { P } (SPARQL 1.1 Federated Query §18.2.5;
+    beyond the reference, which #[ignore]s its service tests): evaluate
+    P on the remote endpoint, then hand the bindings to the local join
+    machinery exactly like an inline VALUES table. SILENT failure is the
+    unit solution per §18.2.5.2."""
+    from ..sparql.service import (ServiceError, fetch_service_bindings,
+                                  service_query_text)
+    from ..store import _term_row
+
+    query = service_query_text(p.prologue, p.raw_text)
+    try:
+        variables, rows = fetch_service_bindings(p.endpoint, query)
+    except ServiceError:
+        if p.silent:
+            return _unit_solution(ctx)
+        raise
+    if not variables:
+        # var-free remote pattern: N unit rows (bag semantics preserved)
+        return Solution(df=ctx.store.spark.range(len(rows)).select(),
+                        bound=set(), maybe=set())
+    tuples = [tuple(_term_row(r[v]) if r.get(v) is not None else None
+                    for v in variables) for r in rows]
+    schema_t = ", ".join(f"`{n}` {TERM_DDL}" for n in variables)
+    df = ctx.store.spark.createDataFrame(tuples, schema_t)
+    bound = {v for j, v in enumerate(variables)
+             if all(t[j] is not None for t in tuples)}
+    kinds = {}
+    for j, v in enumerate(variables):
+        ks = {_static_kind_of_row(t[j]) for t in tuples if t[j] is not None}
+        if len(ks) == 1 and None not in ks:
+            kinds[v] = ks.pop()
+    return Solution(df=df, bound=bound, maybe=set(variables), kinds=kinds)
 
 
 def _translate_values(p: A.ValuesNode, ctx: Ctx) -> Solution:

@@ -194,6 +194,21 @@ class ValuesNode:
 
 
 @dataclass
+class ServiceNode:
+    """SERVICE [SILENT] <endpoint> { pattern } — SPARQL 1.1 Federated
+    Query. `raw_text` is the inner group's source text (braces included);
+    the remote request is rebuilt from it plus the outer query's prologue
+    so prefixed names resolve identically on the remote engine. The
+    reference `#[ignore]`s its service tests (this engine goes further).
+    """
+    endpoint: "Term"          # NamedNode; Variable endpoints unsupported
+    inner: "GraphPattern"     # parsed inner pattern (scope/variable info)
+    raw_text: str             # source text of `{ ... }`
+    prologue: str             # regenerated BASE/PREFIX declarations
+    silent: bool = False
+
+
+@dataclass
 class OrderCondition:
     expr: Expression
     ascending: bool = True
@@ -318,6 +333,8 @@ def pattern_variables(p) -> set[str]:
         return {v.name for v in p.keys} | {v.name for v, _ in p.aggregates}
     if isinstance(p, Lateral):
         return pattern_variables(p.left) | pattern_variables(p.right)
+    if isinstance(p, ServiceNode):
+        return pattern_variables(p.inner)
     raise TypeError(f"unknown pattern: {p!r}")
 
 

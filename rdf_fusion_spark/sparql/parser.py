@@ -8,8 +8,9 @@ with the standard algebra translation (spec §18.2): group graph patterns
 fold into Join/LeftJoin/Filter/Extend/Minus/Union; SELECT clauses fold into
 Group/Extend/OrderBy/Project/Distinct/Slice.
 
-Scope matches the reference engine (SURVEY.md §2.9): no UPDATE, no
-SERVICE, no SPARQL-star.
+Scope exceeds the reference engine (SURVEY.md §2.9): full UPDATE and
+SERVICE (federated query) are parsed here; no SPARQL-star (the reference
+#[ignore]s it too).
 """
 
 from __future__ import annotations
@@ -160,6 +161,7 @@ def _contains_agg(e) -> bool:
 
 class Parser:
     def __init__(self, text: str):
+        self.text = text
         self.toks = tokenize(text)
         self.i = 0
         self.prefixes: dict[str, str] = {}
@@ -918,7 +920,29 @@ class Parser:
                 self.eat_op(".")
                 continue
             if self.at_kw("SERVICE"):
-                raise SparqlSyntaxError("SERVICE is not supported (matches reference scope)")
+                # SPARQL 1.1 Federated Query (beyond the reference, which
+                # #[ignore]s its service suite). The inner group's raw
+                # source is captured so the remote request preserves the
+                # author's pattern verbatim (plus this query's prologue).
+                self.next()
+                silent = self.eat_kw("SILENT")
+                if self.peek().kind == "VAR":
+                    raise SparqlSyntaxError(
+                        "SERVICE with a variable endpoint is not supported")
+                endpoint = self.parse_iri()
+                start = self.peek().pos
+                inner = self.parse_group_graph_pattern()
+                last = self.toks[self.i - 1]
+                raw = self.text[start:last.pos + len(last.value)]
+                pro = []
+                if self.base:
+                    pro.append(f"BASE <{self.base}>")
+                for pfx, iri in self.prefixes.items():
+                    pro.append(f"PREFIX {pfx}: <{iri}>")
+                join(A.ServiceNode(endpoint, inner, raw,
+                                   "\n".join(pro), silent))
+                self.eat_op(".")
+                continue
             if t.kind == "OP" and t.value == "{":
                 # GroupOrUnionGraphPattern
                 g = self.parse_group_graph_pattern()

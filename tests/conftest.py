@@ -7,6 +7,12 @@ def spark():
     s = (
         SparkSession.builder.master("local[4]")
         .appName("rdf_fusion_spark_tests")
+        # one shared JVM serves the whole suite (~2500 stages); the 1g
+        # default heap OOMs late in the run from accumulated codegen /
+        # broadcast / persist state, so size it for the suite and let the
+        # ContextCleaner GC aggressively between tests
+        .config("spark.driver.memory", "4g")
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.shuffle.partitions", "4")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")

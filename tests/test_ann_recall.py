@@ -63,3 +63,15 @@ def test_kmeans_centroids_deterministic(embs):
     assert sorted((r["cid"], tuple(r["cv"])) for r in a) == \
         sorted((r["cid"], tuple(r["cv"])) for r in b)
     assert len(a) == similarity.IVF_NLIST
+
+
+def test_lsh_multiprobe_superset(embs, exact_pairs):
+    """Multi-probe widens each table's candidate set — recall can only
+    improve over the same tables without probes."""
+    from pyspark.sql import functions as F
+    q = embs.where(F.col("vec_id") < NUM_QUERIES)
+    base = _recall(similarity.lsh_bucket_topk(
+        embs, q, K, bits=6, num_tables=4), exact_pairs)
+    probed = _recall(similarity.lsh_bucket_topk(
+        embs, q, K, bits=6, num_tables=4, multiprobe=True), exact_pairs)
+    assert probed >= base
