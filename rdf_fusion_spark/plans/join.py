@@ -256,10 +256,13 @@ def join_solutions(
 
     # fast path: plain equi join, no extra filter → join on names
     if shared and all_bound and filter_expr is None:
-        from ..functions.typed_ops import SK_IRI
-        if all(left.kinds.get(v) == SK_IRI and right.kinds.get(v) == SK_IRI
+        from ..functions.typed_ops import SK_IRI, SK_PLAIN
+        if all(left.kinds.get(v) == right.kinds.get(v)
+               and left.kinds.get(v) in (SK_IRI, SK_PLAIN)
                for v in shared):
-            # IRI-only join keys: sameTerm for IRIs is identity on `v`, so
+            # Narrow-identity join keys: sameTerm for IRIs and plain
+            # xsd:string literals is identity on `v` (both sides must be
+            # the SAME kind — an IRI never equals a literal), so
             # shuffle/hash/compare the ONE string field instead of the
             # 8-field struct (~25% cheaper on join-heavy plans)
             jk = [f"__jk_{v}" for v in shared]
