@@ -1033,6 +1033,20 @@ def _translate_service(p: A.ServiceNode, ctx: Ctx) -> Solution:
                                   service_query_text)
     from ..store import _term_row
 
+    if isinstance(p.endpoint, Variable):
+        # unbound variable endpoint: a per-solution evaluation error —
+        # the solution is dropped, so the branch is EMPTY and the query
+        # continues (oxigraph-tests ask_{union,join}_error_* pin this;
+        # endpoint variables bound by the outer pattern are not seeded
+        # into SERVICE, so every variable endpoint lands here)
+        names = sorted(A.pattern_variables(p.inner))
+        schema_t = ", ".join(f"`{n}` {TERM_DDL}" for n in names) or \
+            f"`__svc_unit` {TERM_DDL}"
+        df = ctx.store.spark.createDataFrame([], schema_t)
+        if not names:
+            df = df.select()
+        return Solution(df=df, bound=set(), maybe=set(names))
+
     query = service_query_text(p.prologue, p.raw_text)
     try:
         variables, rows = fetch_service_bindings(p.endpoint, query)

@@ -61,7 +61,9 @@ _TOKEN_RES = [
     ("INTEGER", r"\d+"),
     ("STRING_LONG", r'"""(?:[^"\\]|\\.|"(?!""))*"""' + "|" + r"'''(?:[^'\\]|\\.|'(?!''))*'''"),
     ("STRING", r'"(?:[^"\\\n]|\\.)*"' + "|" + r"'(?:[^'\\\n]|\\.)*'"),
-    ("VAR", r"[?$][A-Za-z_À-￿][A-Za-z_0-9À-￿]*"),
+    # VARNAME allows a leading digit (grammar: (PN_CHARS_U | [0-9])+...),
+    # e.g. ?1 in the oxigraph service-error tests
+    ("VAR", r"[?$][A-Za-z_0-9À-￿][A-Za-z_0-9À-￿]*"),
     ("LANGTAG", r"@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*"),
     ("BNODE", r"_:[A-Za-z_0-9À-￿][A-Za-z_0-9.À-￿-]*"),
     # prefixed name: prefix part + ':' + optional local part
@@ -927,9 +929,13 @@ class Parser:
                 self.next()
                 silent = self.eat_kw("SILENT")
                 if self.peek().kind == "VAR":
-                    raise SparqlSyntaxError(
-                        "SERVICE with a variable endpoint is not supported")
-                endpoint = self.parse_iri()
+                    # variable endpoint: legal syntax; evaluation yields a
+                    # per-solution error when unbound (oxigraph-tests
+                    # ask_{union,join}_error_*: the branch becomes empty,
+                    # the query does not abort)
+                    endpoint = self.parse_var()
+                else:
+                    endpoint = self.parse_iri()
                 start = self.peek().pos
                 inner = self.parse_group_graph_pattern()
                 last = self.toks[self.i - 1]

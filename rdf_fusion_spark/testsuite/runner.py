@@ -364,7 +364,10 @@ def seq_equal(got: list[dict], exp: list[dict]) -> bool:
 # to the implementation; ours is the consistent total order in
 # functions/sortkeys.py.
 SKIP_SUBSTRINGS = {
-    "SERVICE": "SPARQL Federation — reference ignores (sparql.rs)",
+    # SERVICE is no longer skipped: federation is implemented
+    # (sparql/service.py), and the oxigraph ask_{union,join}_error_*
+    # cases (unbound variable endpoint → per-solution error → empty
+    # branch) run against it
     "SPARQL-star": "reference ignores SPARQL-star (sparql.rs)",
     "literals have an order": "implementation-defined tie-break order",
 }

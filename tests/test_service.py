@@ -100,10 +100,15 @@ def test_service_dead_endpoint_raises_without_silent(local_store):
         local_store.query(q)
 
 
-def test_service_variable_endpoint_rejected(local_store):
-    from rdf_fusion_spark.sparql.parser import SparqlSyntaxError
-    with pytest.raises(SparqlSyntaxError):
-        local_store.query("SELECT * WHERE { SERVICE ?ep { ?s ?p ?o } }")
+def test_service_variable_endpoint_is_empty_branch(local_store):
+    # unbound variable endpoint = per-solution error → empty branch, the
+    # query continues (oxigraph ask_{union,join}_error_* semantics)
+    res = local_store.query(
+        "SELECT * WHERE { SERVICE ?ep { ?s ?p ?o } }")
+    assert res.df.count() == 0
+    ask = local_store.query(
+        "ASK { {} UNION { SERVICE ?ep { ?s ?p ?o } } }")
+    assert ask.value is True
 
 
 def test_service_only_query(local_store, remote):
