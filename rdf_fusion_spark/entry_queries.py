@@ -561,6 +561,45 @@ SELECT DISTINCT 'x:c:' || CAST(o_custkey AS VARCHAR) AS s,
 FROM orders
 """
 
+
+def _run_service_federated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL 1.1 Federated Query, end to end: serve the warehouse graph
+    over this repo's own SPARQL Protocol endpoint, then federate a local
+    customer pattern against the remote nation labels through SERVICE
+    (parser raw-group capture → HTTP client → results reader →
+    compatibility join). Deterministic — the remote is the same data —
+    so it carries a full DuckDB oracle, unlike most engines' untested
+    federation paths (the reference #[ignore]s its service suite)."""
+    from .web import SparqlHttpServer
+    store = get_graph(spark, sf_dir)
+    server = SparqlHttpServer(store, "127.0.0.1", 0)
+    server.start_background()
+    try:
+        res = store.query(PROLOGUE + f"""
+          SELECT ?cust_name ?nation_name WHERE {{
+            ?c c:c_name ?cust_name .
+            ?c c:c_nationkey ?n .
+            ?c c:c_acctbal ?bal .
+            FILTER(?bal >= 9900.0)
+            SERVICE <http://127.0.0.1:{server.port}/query> {{
+              ?n n:n_name ?nation_name .
+            }}
+          }}
+        """)
+        # the SERVICE fetch materializes during translation, so the
+        # returned DataFrame no longer needs the endpoint
+        return res.df.select(_u(F.col("cust_name"), "str").alias("cust_name"),
+                             _u(F.col("nation_name"), "str").alias("nation_name"))
+    finally:
+        server.stop()
+
+
+SERVICE_FEDERATED_ORACLE = """
+SELECT c_name AS cust_name, n_name AS nation_name
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal >= 9900.0
+"""
+
 # ---------------------------------------------------------------------------
 # §2.3 subquery (nested SELECT with aggregation) — BSBM BI shape
 # ---------------------------------------------------------------------------
@@ -2158,6 +2197,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q_construct_triples"] = _run_construct
     out["q_ask_high_balance"] = _run_ask
     out["q_describe_nation"] = _run_describe
+    out["q_service_federated"] = _run_service_federated
     out.update(PIPELINE_QUERIES)
     return {name: fn if name in _NOT_CACHEABLE else _prepared(name, fn)
             for name, fn in out.items()}
@@ -2169,5 +2209,6 @@ def oracle_sql() -> dict[str, str]:
     out["q_construct_triples"] = CONSTRUCT_ORACLE
     out["q_ask_high_balance"] = ASK_ORACLE
     out["q_describe_nation"] = DESCRIBE_ORACLE
+    out["q_service_federated"] = SERVICE_FEDERATED_ORACLE
     out.update(_pipeline_oracles())
     return out
