@@ -29,6 +29,7 @@ MANIFESTS = [
     os.path.join(os.path.dirname(__file__), "data/sparql11/manifest7.ttl"),
     os.path.join(os.path.dirname(__file__), "data/sparql11/manifest8.ttl"),
     os.path.join(os.path.dirname(__file__), "data/sparql11/manifest9.ttl"),
+    os.path.join(os.path.dirname(__file__), "data/sparql11/manifest10.ttl"),
     # re-authored SPARQL 1.1 Update evaluation suite (ut: vocabulary)
     os.path.join(os.path.dirname(__file__), "data/sparql11-update/manifest.ttl"),
 ]
