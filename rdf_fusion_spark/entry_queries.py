@@ -815,7 +815,7 @@ def _pipe_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cache holds the tiny (nlist x dim) checkpointed centroid table."""
     from .pipeline.similarity import ivf_topk, kmeans_centroids
     embs = _embs(spark, sf_dir)
-    key = (id(spark), sf_dir.rstrip("/"))
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
     cent = _IVF_INDEX_CACHE.get(key)
     if cent is None:
         cent = kmeans_centroids(embs)
@@ -2181,7 +2181,9 @@ _NOT_CACHEABLE = {
 def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]
               ) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (id(spark), name, sf_dir.rstrip("/"))
+        # applicationId, not id(spark): object ids can be reused after a
+        # stopped session is GC'd, which would serve a dead plan
+        key = (spark.sparkContext.applicationId, name, sf_dir.rstrip("/"))
         df = _PLAN_CACHE.get(key)
         if df is None:
             df = fn(spark, sf_dir)
