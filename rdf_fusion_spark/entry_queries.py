@@ -2175,6 +2175,10 @@ _NOT_CACHEABLE = {
     # corpus-size guard count run Spark jobs at build — their bench time
     # must include that work every invocation
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_jaccard_pairs",
+    # SERVICE rows are fetched and materialized at build (and the local
+    # endpoint is started/stopped around it) — caching would freeze the
+    # federated bindings and skip the federation work entirely
+    "q_service_federated",
 }
 
 

@@ -122,11 +122,13 @@ def jaccard_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     Raises ValueError above `max_docs` documents: an all-pairs join over a
     large corpus is a silent cluster-killer, and every at-scale use case is
     served by minhash_lsh_pairs (same threshold semantics, banded LSH)."""
-    n = df.count()
+    # bounded guard: count at most max_docs+1 ids rather than
+    # materializing the full upstream pipeline just for the check
+    n = df.select(id_col).limit(max_docs + 1).count()
     if n > max_docs:
         raise ValueError(
-            f"jaccard_pairs is all-pairs O(n²) and the corpus has {n:,} "
-            f"documents (> {max_docs:,}); use minhash_lsh_pairs for "
+            f"jaccard_pairs is all-pairs O(n²) and the corpus has "
+            f"> {max_docs:,} documents; use minhash_lsh_pairs for "
             "at-scale near-duplicate detection")
     s = df.select(F.col(id_col).alias("id"),
                   shingles_col(F.col(text_col)).alias("sh"))

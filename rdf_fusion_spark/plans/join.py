@@ -41,21 +41,32 @@ _SPLIT_UNION_MAX_NULLABLE = 3
 # IS_COMPATIBLE theta fallback (the one remaining nested-loop-prone path),
 # the offending vars are recorded here; the translator snapshots the list
 # into QueryExplanation so assert_scale_safe can NAME the vars instead of
-# dumping an anonymous BroadcastNestedLoopJoin.
-_GUARD_BREACHES: list = []
+# dumping an anonymous BroadcastNestedLoopJoin. Thread-local: a SERVICE
+# query evaluated by the in-process HTTP server (or any concurrent
+# evaluate_query) must not clobber the outer query's journal.
+import threading
+
+_GUARD_TLS = threading.local()
+
+
+def _breaches() -> list:
+    lst = getattr(_GUARD_TLS, "breaches", None)
+    if lst is None:
+        lst = _GUARD_TLS.breaches = []
+    return lst
 
 
 def reset_guard_breaches() -> None:
-    _GUARD_BREACHES.clear()
+    _breaches().clear()
 
 
 def guard_breaches() -> list:
-    return list(_GUARD_BREACHES)
+    return list(_breaches())
 
 
 def _record_breach(op: str, left: "Solution", right: "Solution",
                    shared: list) -> None:
-    _GUARD_BREACHES.append({
+    _breaches().append({
         "op": op,
         "shared_vars": list(shared),
         "nullable_shared": sorted(

@@ -1494,9 +1494,55 @@ def _dataset_ctx(store: GraphStore, dataset) -> Ctx:
                named_graphs=named)
 
 
+def _check_service_endpoints(p) -> None:
+    """A SERVICE endpoint variable that is bound elsewhere in the query
+    (VALUES, a triple pattern, BIND) would need per-binding remote calls —
+    unsupported; raise rather than silently evaluating the branch as
+    empty. Genuinely unbindable endpoint vars (the oxigraph
+    ask_{union,join}_error_* shape) stay per-solution errors → empty."""
+    services: list = []
+
+    def bindable(node) -> set:
+        """Vars any subtree could bind (syntactic over-approximation)."""
+        out: set = set()
+        if isinstance(node, A.ServiceNode):
+            services.append(node)
+        if isinstance(node, A.BGP):
+            for t in node.triples:
+                for x in (t.subject, t.predicate, t.object):
+                    if isinstance(x, Variable):
+                        out.add(x.name)
+        if isinstance(node, A.PathPattern):
+            for x in (node.subject, node.object):
+                if isinstance(x, Variable):
+                    out.add(x.name)
+        if isinstance(node, A.ValuesNode):
+            out |= {v.name for v in node.variables}
+        if isinstance(node, A.Extend):
+            out.add(node.var.name)
+        if isinstance(node, A.GraphNode) and isinstance(node.name, Variable):
+            out.add(node.name.name)
+        for attr in ("left", "right", "inner"):
+            child = getattr(node, attr, None)
+            if child is not None:
+                out |= bindable(child)
+        return out
+
+    all_vars = bindable(p)
+    # snapshot: bindable() below appends nested services while we iterate
+    for svc in list(services):
+        if isinstance(svc.endpoint, Variable) and \
+                svc.endpoint.name in (all_vars - bindable(svc.inner)):
+            raise NotImplementedError(
+                f"SERVICE with a bound variable endpoint "
+                f"?{svc.endpoint.name} is not supported")
+
+
 def evaluate_query(store: GraphStore, q):
     ctx = _dataset_ctx(store, getattr(q, "dataset", None))
     _join.reset_guard_breaches()
+    if getattr(q, "pattern", None) is not None:
+        _check_service_endpoints(q.pattern)
 
     if isinstance(q, A.SelectQuery):
         sol = translate(q.pattern, ctx)

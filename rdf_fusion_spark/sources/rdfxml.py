@@ -327,15 +327,7 @@ def parse_rdfxml(text: str, base: Optional[str] = None
     return handler.triples
 
 
-def _read_doc(path: str) -> str:
-    """Read a document file, or the concatenation of the part files of a
-    Spark write.text output directory (what dump()/convert produce)."""
-    import glob
-    import os
-    if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "part-*")))
-        return "".join(open(p, encoding="utf-8").read() for p in parts)
-    return open(path, encoding="utf-8").read()
+from .docio import read_doc as _read_doc
 
 
 def read_rdfxml(spark: SparkSession, path: str,

@@ -442,15 +442,7 @@ def parse_turtle(text: str, base: Optional[str] = None
     return _Parser(text, base).parse()
 
 
-def _read_doc(path: str) -> str:
-    """Read a document file, or the concatenation of the part files of a
-    Spark write.text output directory (what dump()/convert produce)."""
-    import glob
-    import os
-    if os.path.isdir(path):
-        parts = sorted(glob.glob(os.path.join(path, "part-*")))
-        return "".join(open(p, encoding="utf-8").read() for p in parts)
-    return open(path, encoding="utf-8").read()
+from .docio import read_doc as _read_doc
 
 
 def read_turtle(spark: SparkSession, path: str,
@@ -474,15 +466,25 @@ def read_turtle(spark: SparkSession, path: str,
 _PN_LOCAL_RE = "^[A-Za-z_][A-Za-z0-9_-]*$"
 
 
+_NS_SAMPLE_LIMIT = 100_000
+
+
 def _top_namespaces(triples: DataFrame, max_prefixes: int) -> dict:
     """Most frequent IRI namespaces (up to the last # or /) across
-    s/p/o, assigned deterministic prefixes ns1..nsN (rdf: pinned when
-    rdf:type appears, so `a`-ineligible rdf IRIs still compress)."""
+    s/p/o, assigned deterministic prefixes ns1..nsN.
+
+    Counted over a bounded SAMPLE (first 100k triples): prefix choice
+    only affects compression, never correctness, so the plan-build-time
+    aggregation must not scale with the corpus — before this cap every
+    Turtle serialization (each HTTP content-negotiation response) paid a
+    full 3-way corpus scan."""
     from pyspark.sql import functions as F
+
+    sample = triples.limit(_NS_SAMPLE_LIMIT)
 
     def ns_col(name: str) -> DataFrame:
         c = F.col(name)
-        return (triples.where(c["t"] == 0)
+        return (sample.where(c["t"] == 0)
                 .select(F.regexp_extract(c["v"], r"^(.*[#/])[^#/]*$", 1)
                         .alias("ns")))
 

@@ -140,6 +140,10 @@ class GraphStore:
     # quads carry a `pk` predicate partition column (from_parquet over a
     # predicate-partitioned layout): constant-predicate scans prune on it
     _pred_partitioned = False
+    # class-level default: subclasses that assign _quads directly
+    # (VirtualRelationalStore) bypass the quads setter, and __len__ must
+    # still work
+    _cached_len = None
     def __init__(self, spark: SparkSession, quads: DataFrame):
         self.spark = spark
         self.quads = quads  # property setter resets _cached_len

@@ -100,6 +100,19 @@ def test_service_dead_endpoint_raises_without_silent(local_store):
         local_store.query(q)
 
 
+def test_service_bound_variable_endpoint_raises(local_store, remote):
+    # a var endpoint BOUND elsewhere must raise (per-binding remote calls
+    # are unsupported), never silently evaluate as empty
+    q = f"""
+    SELECT ?s WHERE {{
+      VALUES ?ep {{ <{remote}> }}
+      SERVICE ?ep {{ ?s ?p ?o }}
+    }}
+    """
+    with pytest.raises(NotImplementedError, match="bound variable endpoint"):
+        local_store.query(q)
+
+
 def test_service_variable_endpoint_is_empty_branch(local_store):
     # unbound variable endpoint = per-solution error → empty branch, the
     # query continues (oxigraph ask_{union,join}_error_* semantics)
