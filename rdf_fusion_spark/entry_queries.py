@@ -1976,6 +1976,66 @@ _q(
 )
 
 
+def _pipe_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the customer→supplier trade graph (edges = distinct
+    (o_custkey, l_suppkey) via lineitem⋈orders) — the pipeline-side graph
+    analytics operator (pipeline/graphs.py). Node ids are namespaced
+    ('c:'/'s:') since the key spaces overlap. Deterministic across
+    engines: decimal-exact contribution sums, IEEE double steps in fixed
+    order; the oracle unrolls one CTE per iteration."""
+    from .pipeline.graphs import pagerank
+    from .sources.relational import read_table
+    li = read_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    od = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    e = (li.join(od, li["l_orderkey"] == od["o_orderkey"])
+         .select(F.concat(F.lit("c:"), F.col("o_custkey").cast("string"))
+                 .alias("src"),
+                 F.concat(F.lit("s:"), F.col("l_suppkey").cast("string"))
+                 .alias("dst")))
+    r = pagerank(e)
+    rank6 = F.round(F.col("rank"), 9)
+    return (r.select(F.col("node"), rank6.alias("rank"))
+            .orderBy(F.desc("rank"), F.asc("node")).limit(20))
+
+
+def _pagerank_oracle() -> str:
+    from .pipeline.graphs import PAGERANK_DAMPING, PAGERANK_ITERS
+    d = PAGERANK_DAMPING
+    # DOUBLE casts everywhere: DuckDB parses bare 1.0/0.85 as DECIMAL,
+    # whose exact arithmetic diverges from the engine's IEEE doubles
+    base = f"((CAST(1.0 AS DOUBLE) - CAST({d} AS DOUBLE)) / (SELECT n FROM params))"
+    prev = "r0"
+    iters_sql = []
+    for i in range(1, PAGERANK_ITERS + 1):
+        iters_sql.append(f"""r{i} AS (
+  SELECT nodes.node,
+         {base} + CAST({d} AS DOUBLE) *
+           COALESCE(CAST(c.s AS DOUBLE), CAST(0.0 AS DOUBLE)) AS rank
+  FROM nodes LEFT JOIN (
+    SELECT e.dst AS node,
+           SUM(CAST({prev}.rank / deg.deg AS DECIMAL(38,18))) AS s
+    FROM e JOIN {prev} ON e.src = {prev}.node
+           JOIN deg ON e.src = deg.src
+    GROUP BY e.dst) c ON nodes.node = c.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH e AS (
+  SELECT DISTINCT 'c:' || CAST(o_custkey AS VARCHAR) AS src,
+                  's:' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+params AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY src),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM params) AS rank
+       FROM nodes),
+{",".join(iters_sql)}
+SELECT node, ROUND(rank, 9) AS rank FROM {prev}
+ORDER BY ROUND(rank, 9) DESC, node LIMIT 20
+"""
+
+
 def _pipe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import top_words
     return top_words(_docs(spark, sf_dir), 20).select(
@@ -2144,6 +2204,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_multimodal_features": _pipe_multimodal_features,
     "q_events_json_props": _pipe_events_json,
     "q_embedding_norms": _pipe_embedding_norms,
+    "q_graph_pagerank": _pipe_pagerank,
 }
 
 
@@ -2179,6 +2240,9 @@ _NOT_CACHEABLE = {
     # endpoint is started/stopped around it) — caching would freeze the
     # federated bindings and skip the federation work entirely
     "q_service_federated",
+    # power-iteration loop (node count + per-round checkpoints) runs at
+    # build — a cached result is a materialized ranking, not a plan
+    "q_graph_pagerank",
 }
 
 
@@ -2217,4 +2281,5 @@ def oracle_sql() -> dict[str, str]:
     out["q_describe_nation"] = DESCRIBE_ORACLE
     out["q_service_federated"] = SERVICE_FEDERATED_ORACLE
     out.update(_pipeline_oracles())
+    out["q_graph_pagerank"] = _pagerank_oracle()
     return out

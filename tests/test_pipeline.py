@@ -283,3 +283,25 @@ def test_lsh_bucket_cap_no_effect_below_cap(docs):
     uncapped = dedup.minhash_lsh_pairs(docs, 0.8, bucket_cap=None)
     assert sorted(map(tuple, capped.collect())) == \
         sorted(map(tuple, uncapped.collect()))
+
+
+def test_pagerank_star_graph(spark):
+    """Hub-and-spoke: all spokes point at the hub; the hub must dominate
+    and ranks must be the closed-form power-iteration values."""
+    from rdf_fusion_spark.pipeline.graphs import pagerank
+    edges = spark.createDataFrame(
+        [(f"n{i}", "hub") for i in range(1, 5)], "src string, dst string")
+    r = {row["node"]: row["rank"] for row in pagerank(edges, iters=3).collect()}
+    n = 5
+    spoke = (1 - 0.85) / n          # no in-edges: base only, every round
+    hub = (1 - 0.85) / n + 0.85 * 4 * spoke
+    assert abs(r["hub"] - hub) < 1e-12
+    for i in range(1, 5):
+        assert abs(r[f"n{i}"] - spoke) < 1e-12
+    assert r["hub"] > max(r[f"n{i}"] for i in range(1, 5))
+
+
+def test_pagerank_empty_edges(spark):
+    from rdf_fusion_spark.pipeline.graphs import pagerank
+    e = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(e).count() == 0
