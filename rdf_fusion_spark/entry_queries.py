@@ -2036,6 +2036,51 @@ ORDER BY ROUND(rank, 9) DESC, node LIMIT 20
 """
 
 
+def _pipe_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counts over the supplier co-purchase graph (suppliers
+    sharing an order are connected) — a co-occurrence density signal;
+    integer-exact, so the oracle is a literal SQL mirror."""
+    from .pipeline.graphs import triangles_per_node
+    from .sources.relational import read_table
+    li = read_table(spark, sf_dir, "lineitem") \
+        .select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (a.join(b, "l_orderkey")
+         .where(F.col("a.l_suppkey") < F.col("b.l_suppkey"))
+         .select(F.col("a.l_suppkey").cast("string").alias("src"),
+                 F.col("b.l_suppkey").cast("string").alias("dst")))
+    t = triangles_per_node(e)
+    return (t.select(F.col("node"), F.col("triangles").cast("long")
+                     .alias("triangles"))
+            .orderBy(F.desc("triangles"), F.asc("node")).limit(20))
+
+
+TRIANGLES_ORACLE = """
+WITH und AS (
+  SELECT DISTINCT CAST(a.l_suppkey AS VARCHAR) AS a,
+                  CAST(b.l_suppkey AS VARCHAR) AS b
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_suppkey < b.l_suppkey
+),
+cand AS (
+  SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM und WHERE a <> b
+),
+canon AS (SELECT DISTINCT a, b FROM cand),
+tri AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM canon e1 JOIN canon e2 ON e1.b = e2.a
+       JOIN canon e3 ON e3.a = e1.a AND e3.b = e2.b
+),
+corners AS (
+  SELECT x AS node FROM tri UNION ALL
+  SELECT y FROM tri UNION ALL
+  SELECT z FROM tri
+)
+SELECT node, COUNT(*) AS triangles FROM corners
+GROUP BY node ORDER BY triangles DESC, node LIMIT 20
+"""
+
+
 def _pipe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import top_words
     return top_words(_docs(spark, sf_dir), 20).select(
@@ -2205,6 +2250,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_json_props": _pipe_events_json,
     "q_embedding_norms": _pipe_embedding_norms,
     "q_graph_pagerank": _pipe_pagerank,
+    "q_graph_triangles": _pipe_triangles,
 }
 
 
@@ -2282,4 +2328,5 @@ def oracle_sql() -> dict[str, str]:
     out["q_service_federated"] = SERVICE_FEDERATED_ORACLE
     out.update(_pipeline_oracles())
     out["q_graph_pagerank"] = _pagerank_oracle()
+    out["q_graph_triangles"] = TRIANGLES_ORACLE
     return out

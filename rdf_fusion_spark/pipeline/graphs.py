@@ -64,3 +64,31 @@ def pagerank(edges: DataFrame, iters: int = PAGERANK_ITERS,
                           ).alias("rank"))
                  .localCheckpoint(eager=True))
     return ranks
+
+
+def triangles_per_node(edges: DataFrame, src: str = "src",
+                       dst: str = "dst") -> DataFrame:
+    """(node, triangles): how many triangles each node participates in,
+    treating the edge list as UNDIRECTED (self-loops and duplicate /
+    reverse edges collapse).
+
+    Plan: canonicalize to a<b ordered pairs, then the classic two-hop
+    join — e(a,b) ⋈ e(b,c) ⋈ e(a,c) with a<b<c counts each triangle
+    exactly once; every corner then gets credit via one explode +
+    hash aggregate. All joins are equi-joins on node ids. Skew note: a
+    degree-d hub contributes O(d²) wedge candidates — the classic
+    triangle-count hot spot; at 100 TB shard hubs first (the same
+    degree-cap discipline as the LSH bucket cap).
+    """
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("a"),
+                        F.greatest(F.col(src), F.col(dst)).alias("b"))
+           .where(F.col("a") != F.col("b"))
+           .distinct())
+    e1 = und.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = und.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    e3 = und.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = (e1.join(e2, "y")          # wedge x<y<z via (x,y),(y,z)
+           .join(e3, ["x", "z"]))    # close it with (x,z)
+    corners = tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+    return corners.groupBy("node").agg(
+        F.count(F.lit(1)).alias("triangles"))

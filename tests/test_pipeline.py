@@ -305,3 +305,15 @@ def test_pagerank_empty_edges(spark):
     from rdf_fusion_spark.pipeline.graphs import pagerank
     e = spark.createDataFrame([], "src string, dst string")
     assert pagerank(e).count() == 0
+
+
+def test_triangles_known_graph(spark):
+    """One triangle a-b-c plus a pendant edge c-d; reverse/duplicate
+    edges and a self-loop must collapse."""
+    from rdf_fusion_spark.pipeline.graphs import triangles_per_node
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "a"), ("b", "c"), ("a", "c"),
+         ("c", "d"), ("d", "d")], "src string, dst string")
+    got = {r["node"]: r["triangles"]
+           for r in triangles_per_node(e).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
