@@ -1006,6 +1006,18 @@ def _pipeline_oracles() -> dict[str, str]:
                    AS fingerprint
         FROM documents
         """,
+        "q_text_token_percentiles": f"""
+        SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
+               COUNT(*)::BIGINT AS n_docs,
+               ROUND(quantile_cont(n_tokens, 0.5), 6) AS p50,
+               ROUND(quantile_cont(n_tokens, 0.9), 6) AS p90,
+               ROUND(quantile_cont(n_tokens, 0.99), 6) AS p99
+        FROM (SELECT doc_id,
+                     len(regexp_extract_all(text, '{token_re_sql}'))::DOUBLE
+                         AS n_tokens
+              FROM documents)
+        GROUP BY shard ORDER BY shard
+        """,
         "q_text_language_id": f"""
         WITH lid AS (
           SELECT doc_id, {lid_case} AS lang_pred, ratio_en
@@ -2081,6 +2093,22 @@ GROUP BY node ORDER BY triangles DESC, node LIMIT 20
 """
 
 
+def _pipe_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard token-count distribution (p50/p90/p99) — the corpus
+    length-profile report every training-data pipeline runs before
+    packing/chunking decisions. Spark's exact interpolated `percentile`
+    matches DuckDB's quantile_cont convention (index p·(n−1), linear)."""
+    from .pipeline.text import with_text_stats
+    d = with_text_stats(_docs(spark, sf_dir))
+    t = F.col("n_tokens").cast("double")
+    return (d.groupBy((F.col("doc_id") % 4).cast("long").alias("shard"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.percentile(t, F.lit(0.5)), 6).alias("p50"),
+                 F.round(F.percentile(t, F.lit(0.9)), 6).alias("p90"),
+                 F.round(F.percentile(t, F.lit(0.99)), 6).alias("p99"))
+            .orderBy("shard"))
+
+
 def _pipe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import top_words
     return top_words(_docs(spark, sf_dir), 20).select(
@@ -2251,6 +2279,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_embedding_norms": _pipe_embedding_norms,
     "q_graph_pagerank": _pipe_pagerank,
     "q_graph_triangles": _pipe_triangles,
+    "q_text_token_percentiles": _pipe_token_percentiles,
 }
 
 
