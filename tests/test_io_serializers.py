@@ -352,3 +352,40 @@ def test_cli_convert_ttl_and_rdf(spark, tmp_path):
         exp = sorted((r.subject.v, r.predicate.v, r.object.v)
                      for r in quads.collect())
         assert got == exp, ext
+
+
+def test_turtle_writer_fuzz_roundtrip(spark, tmp_path):
+    """Seeded random terms — quotes, newlines, tabs, backslashes,
+    astral-plane unicode, language tags, numeric datatypes — survive a
+    full dump('x.ttl') → reader round trip."""
+    import random
+
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+    from rdf_fusion_spark.sources.turtle import parse_turtle
+    from rdf_fusion_spark.sources.docio import read_doc
+
+    rng = random.Random(20260814)
+    payloads = ['plain', 'quo"te', "line\nbreak", "tab\there",
+                "back\\slash", "astral \U0001F600 plane", "ünïcode",
+                "  leading spaces", 'both "q" and \\n mix\n']
+    XSD = "http://www.w3.org/2001/XMLSchema#"
+    quads = []
+    for i in range(60):
+        s = NamedNode(f"http://fuzz.example/s{rng.randrange(10)}")
+        p = NamedNode(f"http://fuzz.example/p{rng.randrange(5)}")
+        kind = rng.randrange(4)
+        if kind == 0:
+            o = NamedNode(f"http://fuzz.example/o{i}")
+        elif kind == 1:
+            o = Literal(rng.choice(payloads))
+        elif kind == 2:
+            o = Literal(rng.choice(payloads), language=rng.choice(["en", "de-AT"]))
+        else:
+            o = Literal(str(rng.randrange(-50, 50)), datatype=XSD + "integer")
+        quads.append((None, s, p, o))
+    st = GraphStore.from_python_quads(spark, quads)
+    out = str(tmp_path / "fuzz.ttl")
+    st.dump(out, "turtle")
+    back = set(parse_turtle(read_doc(out)))
+    orig = {(s, p, o) for _, s, p, o in quads}
+    assert back == orig
