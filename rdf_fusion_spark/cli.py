@@ -1,13 +1,15 @@
-"""Command-line toolkit: `serve` (SPARQL HTTP server) and `convert`
-(RDF format conversion).
+"""Command-line toolkit: `serve` (SPARQL HTTP server), `query` (offline
+SPARQL over local files) and `convert` (RDF format conversion).
 
-reference: cli/src/cli.rs:6-90 — the same two subcommands, re-expressed
-over Spark: serve hosts a GraphStore (optionally the virtual relational
-warehouse), convert streams between any two registered RDF formats
-(distributed for file→file on line formats, driver-side for stdin/stdout).
+reference: cli/src/cli.rs:6-90 — serve/convert re-expressed over Spark
+(serve hosts a GraphStore, optionally the virtual relational warehouse;
+convert streams between any two registered RDF formats — distributed for
+file→file on line formats, driver-side for stdin/stdout). `query` adds
+the oxigraph-CLI one-shot query shape on top.
 
     python -m rdf_fusion_spark serve --bind 0.0.0.0:7878 --load data.ttl
     python -m rdf_fusion_spark serve --relational /root/testdata/sf0.01
+    python -m rdf_fusion_spark query --data x.ttl -q 'SELECT * WHERE {?s ?p ?o}'
     python -m rdf_fusion_spark convert -f in.ttl -t out.nt
     cat in.ttl | python -m rdf_fusion_spark convert --from-format ttl \
         --to-format nt
@@ -84,6 +86,53 @@ def cmd_convert(args) -> int:
     return 0
 
 
+def cmd_query(args) -> int:
+    """Offline SPARQL over local files (the oxigraph-CLI `query` shape):
+    load data, run one query, print results in the chosen format."""
+    from pyspark.sql import functions as F
+
+    from .plans.translator import GraphResult
+    from .results import serializers as S
+    from .sources.formats import format_from_name, serialize_rdf_lines
+    from .store import GraphStore
+    from .terms import TERM_DDL
+
+    if args.query_file:
+        query = open(args.query_file, encoding="utf-8").read()
+    elif args.query:
+        query = args.query
+    else:
+        query = sys.stdin.read()
+
+    spark = _spark("rdf-fusion-spark-query")
+    if args.relational:
+        from .sources.virtual import VirtualRelationalStore
+        store = VirtualRelationalStore(spark, args.relational)
+    else:
+        store = GraphStore.empty(spark)
+    for path in args.data or []:
+        loaded = GraphStore.load(spark, path, args.format)
+        store = GraphStore(spark, store.quads.unionByName(loaded.quads))
+    res = store.query(query)
+
+    if isinstance(res, GraphResult):
+        rfmt = format_from_name(args.results_format or "nt")
+        quads = res.df.withColumn("graph", F.lit(None).cast(TERM_DDL)) \
+            .select("graph", "subject", "predicate", "object")
+        for r in serialize_rdf_lines(quads, rfmt).toLocalIterator():
+            print(r["line"])
+        return 0
+    fmt = (args.results_format or "json").lower()
+    ser = {"json": S.to_json, "xml": S.to_xml,
+           "csv": S.to_csv, "tsv": S.to_tsv}.get(fmt)
+    if ser is None:
+        print(f"unknown results format {fmt!r} (json/xml/csv/tsv)",
+              file=sys.stderr)
+        return 2
+    print(ser(res))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser(
         prog="rdf-fusion-spark",
@@ -99,6 +148,19 @@ def main(argv=None) -> int:
                     help="serve the virtual relational store over DIR")
     sv.add_argument("--union-default-graph", action="store_true")
     sv.set_defaults(fn=cmd_serve)
+
+    qp = sub.add_parser("query", help="run a SPARQL query over local files")
+    qp.add_argument("-q", "--query", help="query text (default: stdin)")
+    qp.add_argument("--query-file", help="file containing the query")
+    qp.add_argument("--data", action="append", metavar="FILE",
+                    help="RDF file(s) to query (repeatable)")
+    qp.add_argument("--format", help="format of --data files (default: guess)")
+    qp.add_argument("--relational", metavar="DIR",
+                    help="query the virtual relational store over DIR")
+    qp.add_argument("--results-format",
+                    help="json/xml/csv/tsv for SELECT/ASK; an RDF format "
+                         "for CONSTRUCT/DESCRIBE (default nt)")
+    qp.set_defaults(fn=cmd_query)
 
     cv = sub.add_parser("convert", help="convert between RDF serializations")
     cv.add_argument("-f", "--from-file")

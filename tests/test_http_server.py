@@ -179,3 +179,38 @@ def test_update_endpoint(spark):
         assert vals == ["1", "2"]
     finally:
         server.stop()
+
+
+def test_cli_query_select_and_construct(spark, tmp_path):
+    import io, json
+    from contextlib import redirect_stdout
+    from rdf_fusion_spark.cli import main
+    data = tmp_path / "d.ttl"
+    data.write_text(
+        "@prefix : <http://example.org/> .\n"
+        ':a :name "Alpha" . :b :name "Beta" .\n', encoding="utf-8")
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["query", "--data", str(data),
+                   "-q", "SELECT ?n WHERE { ?s <http://example.org/name> ?n } ORDER BY ?n"])
+    assert rc == 0
+    doc = json.loads(buf.getvalue())
+    assert [b["n"]["value"] for b in doc["results"]["bindings"]] == \
+        ["Alpha", "Beta"]
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["query", "--data", str(data),
+                   "-q", "ASK { <http://example.org/a> ?p ?o }"])
+    assert rc == 0 and json.loads(buf.getvalue())["boolean"] is True
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["query", "--data", str(data),
+                   "-q", "CONSTRUCT { ?s <http://example.org/tag> \"x\" } "
+                         "WHERE { ?s <http://example.org/name> ?n }"])
+    assert rc == 0
+    lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
+    assert len(lines) == 2 and all("<http://example.org/tag>" in ln
+                                   for ln in lines)
