@@ -1006,6 +1006,28 @@ def _pipeline_oracles() -> dict[str, str]:
                    AS fingerprint
         FROM documents
         """,
+        "q_train_val_split": f"""
+        WITH stats AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '{token_re_sql}'))::BIGINT
+                     AS n_tokens
+          FROM documents
+        ),
+        tagged AS (
+          SELECT CASE WHEN {md5i.format('CAST(doc_id AS VARCHAR)')} /
+                       CAST(4294967296.0 AS DOUBLE) < 0.9
+                      THEN 'train' ELSE 'val' END AS split,
+                 CASE WHEN n_tokens < 40 THEN 'short'
+                      WHEN n_tokens < 80 THEN 'medium'
+                      ELSE 'long' END AS band,
+                 n_tokens
+          FROM stats
+        )
+        SELECT split, band, COUNT(*)::BIGINT AS n_docs,
+               ROUND(CAST(SUM(CAST(n_tokens AS DECIMAL(38,18))) AS DOUBLE)
+                     / COUNT(*), 6) AS avg_tokens
+        FROM tagged GROUP BY split, band ORDER BY split, band
+        """,
         "q_text_token_percentiles": f"""
         SELECT CAST(doc_id % 4 AS BIGINT) AS shard,
                COUNT(*)::BIGINT AS n_docs,
@@ -2109,6 +2131,28 @@ def _pipe_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("shard"))
 
 
+def _pipe_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 90/10 train/validation split by id hash, stratified
+    report: per (split, length band) document counts and token means —
+    the held-out-set construction every training pipeline needs, with a
+    split that is reproducible across engines and runs (md5, no RNG)."""
+    from .pipeline.curation import sample_hash
+    from .pipeline.text import with_text_stats
+    d = with_text_stats(_docs(spark, sf_dir))
+    frac = sample_hash(F.col("doc_id")) / F.lit(float(1 << 32))
+    split = F.when(frac < 0.9, F.lit("train")).otherwise(F.lit("val"))
+    band = F.when(F.col("n_tokens") < 40, F.lit("short")) \
+        .when(F.col("n_tokens") < 80, F.lit("medium")).otherwise(F.lit("long"))
+    # decimal-exact sum → double division: order-independent mean that
+    # both engines reproduce bit-for-bit (the q1 discipline)
+    mean = (F.sum(F.col("n_tokens").cast("decimal(38,18)")).cast("double")
+            / F.count(F.lit(1)))
+    return (d.groupBy(split.alias("split"), band.alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(mean, 6).alias("avg_tokens"))
+            .orderBy("split", "band"))
+
+
 def _pipe_top_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .pipeline.text import top_words
     return top_words(_docs(spark, sf_dir), 20).select(
@@ -2280,6 +2324,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_graph_pagerank": _pipe_pagerank,
     "q_graph_triangles": _pipe_triangles,
     "q_text_token_percentiles": _pipe_token_percentiles,
+    "q_train_val_split": _pipe_train_val_split,
 }
 
 
