@@ -78,6 +78,11 @@ PIPELINE_SCALE_SAFE = [
     "q_mix_weighted",
     "q_events_sessionize",
     "q_events_json_props",
+    # round-4 additions: graph analytics + corpus reports
+    "q_graph_pagerank",
+    "q_graph_triangles",
+    "q_text_token_percentiles",
+    "q_train_val_split",
 ]
 
 
