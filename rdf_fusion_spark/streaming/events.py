@@ -120,6 +120,41 @@ def running_user_totals(events: DataFrame) -> DataFrame:
                                     GroupStateTimeout.NoTimeout))
 
 
+def interval_join(left: DataFrame, right: DataFrame,
+                  key: str = "user_id", time_col: str = "ts",
+                  tolerance: str = "10 minutes",
+                  watermark: str = "30 minutes") -> DataFrame:
+    """Watermarked stream-stream interval join: pair each left event with
+    right events of the same key whose timestamp falls in
+    [left.ts, left.ts + tolerance] — the impression→conversion /
+    cause→effect attribution shape.
+
+    Scale notes: both sides carry a watermark so the join state is
+    bounded (Spark drops buffered rows older than watermark+tolerance);
+    the equi key keeps it a hash join with a time-range residual — the
+    only state-safe shape for unbounded streams. Works identically on
+    batch frames (plain range join).
+    """
+    l = left.select(F.col(key).alias("k"),
+                    F.col(time_col).alias("l_ts"),
+                    F.col("event_type").alias("l_type"),
+                    F.col("event_id").alias("l_id"))
+    r = right.select(F.col(key).alias("rk"),
+                     F.col(time_col).alias("r_ts"),
+                     F.col("event_type").alias("r_type"),
+                     F.col("event_id").alias("r_id"))
+    if l.isStreaming:
+        l = l.withWatermark("l_ts", watermark)
+    if r.isStreaming:
+        r = r.withWatermark("r_ts", watermark)
+    cond = ((l["k"] == r["rk"]) &
+            (r["r_ts"] >= l["l_ts"]) &
+            (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {tolerance}")))
+    return (l.join(r, cond)
+            .select(F.col("k").alias(key), "l_id", "l_type", "l_ts",
+                    "r_id", "r_type", "r_ts"))
+
+
 def run_to_memory(stream: DataFrame, name: str, checkpoint: str,
                   output_mode: str = "complete") -> None:
     """Drain a stream with availableNow into an in-memory table `name`
