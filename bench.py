@@ -45,8 +45,11 @@ BENCH_QUERIES = [
     "q_ann_ivf",
     # reference benchmark workload mirrors (BSBM Explore/BI, WindFarm —
     # bench/src/benchmarks/ in the reference)
+    "q_bsbm_explore_q4",
     "q_bsbm_explore_q5",
+    "q_bsbm_explore_q8",
     "q_bsbm_bi_q3",
+    "q_bsbm_bi_q5",
     "q_windfarm_production",
     "q_windfarm_grouped",
     "q_windfarm_minute10",

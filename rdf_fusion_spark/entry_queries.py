@@ -1773,6 +1773,156 @@ _q(
 # self-joined against a variable-subject star, two numeric range bands,
 # self-exclusion, DISTINCT + ORDER + LIMIT. (?product tiebreak added for a
 # deterministic LIMIT cut; BSBM labels are non-unique.)
+# BSBM Explore Q4: UNION of two constant-anchored stars with different
+# numeric range filters, DISTINCT + ORDER + OFFSET + LIMIT
+# (bench/tests/query_results/queries/explore-q4.sparql).
+_q(
+    "q_bsbm_explore_q4",
+    """
+    SELECT DISTINCT ?product ?label WHERE {
+      {
+        ?product p:p_name ?label .
+        ?product p:p_type "MEDIUM" .
+        ?product p:p_size ?size .
+        FILTER(?size > "45"^^xsd:integer)
+      }
+      UNION
+      {
+        ?product p:p_name ?label .
+        ?product p:p_type "MEDIUM" .
+        ?product p:p_retailprice ?price .
+        FILTER(?price > 995.0)
+      }
+    }
+    ORDER BY ASC(?label) ?product
+    OFFSET 5
+    LIMIT 10
+    """,
+    [("product", "str"), ("label", "str")],
+    """
+    SELECT DISTINCT product, label FROM (
+      SELECT 'x:p:' || CAST(p_partkey AS VARCHAR) AS product,
+             p_name AS label
+      FROM part WHERE p_type = 'MEDIUM' AND p_size > 45
+      UNION
+      SELECT 'x:p:' || CAST(p_partkey AS VARCHAR), p_name
+      FROM part WHERE p_type = 'MEDIUM' AND p_retailprice > 995.0
+    )
+    ORDER BY label, product
+    OFFSET 5 LIMIT 10
+    """,
+)
+
+# BSBM Explore Q8: constant-anchored review chain (line items of one
+# part → order → customer name) + four OPTIONALs (two carrying filters,
+# so some stay unbound) + ORDER DESC + LIMIT
+# (bench/tests/query_results/queries/explore-q8.sparql).
+_q(
+    "q_bsbm_explore_q8",
+    """
+    SELECT ?cust_name ?sd ?hi_qty ?hi_price ?tax ?disc WHERE {
+      ?li l:l_partkey <x:p:42> .
+      ?li l:l_orderkey ?ord .
+      ?li l:l_shipdate ?sd .
+      ?ord o:o_custkey ?cust .
+      ?cust c:c_name ?cust_name .
+      OPTIONAL { ?li l:l_quantity ?hi_qty . FILTER(?hi_qty >= 25.0) }
+      OPTIONAL { ?li l:l_extendedprice ?hi_price .
+                 FILTER(?hi_price >= 30000.0) }
+      OPTIONAL { ?li l:l_tax ?tax }
+      OPTIONAL { ?li l:l_discount ?disc . FILTER(?disc > 0.05) }
+    }
+    ORDER BY DESC(?sd) ?cust_name ?tax ?hi_qty ?hi_price ?disc
+    LIMIT 20
+    """,
+    [("cust_name", "str"), ("sd", "timestamp"),
+     ("hi_qty", "double"), ("hi_price", "double"), ("tax", "double"),
+     ("disc", "double")],
+    """
+    SELECT c_name AS cust_name, l_shipdate AS sd,
+           CASE WHEN l_quantity >= 25.0 THEN l_quantity END AS hi_qty,
+           CASE WHEN l_extendedprice >= 30000.0 THEN l_extendedprice END
+               AS hi_price,
+           l_tax AS tax,
+           CASE WHEN l_discount > 0.05 THEN l_discount END AS disc
+    FROM lineitem
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey  = o_custkey
+    WHERE l_partkey = 42
+    ORDER BY sd DESC, cust_name,
+             tax NULLS FIRST, hi_qty NULLS FIRST,
+             hi_price NULLS FIRST, disc NULLS FIRST
+    LIMIT 20
+    """,
+)
+
+# BSBM BI Q5: argmax-per-group — per nation, the part with the MOST line
+# items, plus its average price: three nested GROUP-BY subqueries with
+# BIND renames and an equality FILTER joining count to per-group max
+# (bench/tests/query_results/queries/bi-q5.sparql).
+_q(
+    "q_bsbm_bi_q5",
+    """
+    SELECT ?nname ?part ?n_li ?avg_price WHERE {
+      {
+        SELECT ?nname (MAX(?cnt) AS ?maxCnt) WHERE {
+          {
+            SELECT ?nname ?part (COUNT(?li) AS ?cnt) WHERE {
+              ?li l:l_partkey ?part .
+              ?li l:l_orderkey ?ord .
+              ?ord o:o_custkey ?cust .
+              ?cust c:c_nationkey ?nat .
+              ?nat n:n_name ?nname .
+            }
+            GROUP BY ?nname ?part
+          }
+        }
+        GROUP BY ?nname
+      }
+      {
+        SELECT ?nname ?part ?n_li ?avg_price WHERE {
+          {
+            SELECT ?nname ?part (COUNT(?li2) AS ?c2)
+                   (xsd:double(SUM(xsd:decimal(?price))) / COUNT(?price)
+                    AS ?ap) WHERE {
+              ?li2 l:l_partkey ?part .
+              ?li2 l:l_extendedprice ?price .
+              ?li2 l:l_orderkey ?ord2 .
+              ?ord2 o:o_custkey ?cust2 .
+              ?cust2 c:c_nationkey ?nat2 .
+              ?nat2 n:n_name ?nname .
+            }
+            GROUP BY ?nname ?part
+          }
+          BIND(?c2 AS ?n_li)
+          BIND(ROUND(?ap * 1000000.0) / 1000000.0 AS ?avg_price)
+        }
+      }
+      FILTER(?n_li = ?maxCnt)
+    }
+    ORDER BY ?nname ?part
+    """,
+    [("nname", "str"), ("part", "str"), ("n_li", "long"),
+     ("avg_price", "double")],
+    f"""
+    WITH per AS (
+      SELECT n_name AS nname, 'x:p:' || CAST(l_partkey AS VARCHAR) AS part,
+             COUNT(*) AS n_li,
+             ROUND(CAST(SUM({_dec('l_extendedprice')}) AS DOUBLE)
+                   / COUNT(*) * 1000000.0) / 1000000.0 AS avg_price
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey  = o_custkey
+      JOIN nation   ON n_nationkey = c_nationkey
+      GROUP BY n_name, part
+    ),
+    mx AS (SELECT nname, MAX(n_li) AS max_cnt FROM per GROUP BY nname)
+    SELECT per.nname, per.part, per.n_li, per.avg_price
+    FROM per JOIN mx ON per.nname = mx.nname AND per.n_li = mx.max_cnt
+    ORDER BY per.nname, per.part
+    """,
+)
+
 _q(
     "q_bsbm_explore_q5",
     """
