@@ -73,6 +73,13 @@ class Ctx:
     # else GRAPH may only address/enumerate these
     named_graphs: Optional[list] = None
     counter: list = field(default_factory=lambda: [0])
+    # common-subquery elimination: canonical α-equivalence key of a
+    # sub-SELECT → (translated Solution, its vars in canonical order).
+    # BSBM-BI-style generated queries repeat identical GROUP BY
+    # subqueries verbatim (modulo variable names); translating the
+    # repeat into the SAME DataFrame subtree makes the physical planner
+    # reuse the aggregation exchange instead of recomputing the chain.
+    subquery_cache: dict = field(default_factory=dict)
 
     def fresh(self, tag: str) -> str:
         self.counter[0] += 1
@@ -508,7 +515,7 @@ def translate(p, ctx: Ctx) -> Solution:
         sol = translate(p.inner, ctx)
         return replace(sol, pending_order=list(p.conditions))
     if isinstance(p, A.Project):
-        return _translate_project(p, ctx)
+        return _translate_project_cse(p, ctx)
     if isinstance(p, A.Distinct):
         sol = translate(p.inner, ctx)
         return replace(sol, df=_dedupe_normalized(sol))
@@ -1104,6 +1111,110 @@ def _static_kind_of_row(row) -> Optional[int]:
             return tv.SK_PLAIN
         return k
     return None
+
+
+_NONDET_CALLS = {"RAND", "UUID", "STRUUID", "BNODE"}
+
+
+def _alpha_key(p, idx: dict, order: list):
+    """Canonical serialization of an algebra subtree with variables
+    replaced by first-occurrence indices (α-equivalence key). Returns a
+    hashable tuple, or raises _NotCacheable for subtrees that must
+    evaluate independently per instance (nondeterministic calls,
+    SERVICE)."""
+    def var(v) -> str:
+        if v.name not in idx:
+            idx[v.name] = len(idx)
+            order.append(v.name)
+        return f"?{idx[v.name]}"
+
+    def term(x):
+        if isinstance(x, Variable):
+            return var(x)
+        return repr(x)
+
+    def expr(e):
+        if isinstance(e, A.EVar):
+            return ("v", var(Variable(e.name)))
+        if isinstance(e, A.ETerm):
+            return ("t", repr(e.term))
+        if isinstance(e, A.ECall):
+            if e.name.upper() in _NONDET_CALLS:
+                raise _NotCacheable
+            return ("c", e.name, tuple(expr(a) for a in e.args))
+        if isinstance(e, A.EExists):
+            return ("x", e.negated, _alpha_key(e.pattern, idx, order))
+        if isinstance(e, A.AggCall):
+            return ("g", e.name, e.distinct, e.separator,
+                    expr(e.expr) if e.expr is not None else None)
+        raise _NotCacheable
+
+    t = type(p).__name__
+    if isinstance(p, A.BGP):
+        return (t, tuple((term(x.subject), term(x.predicate), term(x.object))
+                         for x in p.triples))
+    if isinstance(p, A.PathPattern):
+        return (t, term(p.subject), repr(p.path), term(p.object))
+    if isinstance(p, (A.Join, A.LeftJoin, A.Union, A.Minus, A.Lateral)):
+        parts = [_alpha_key(p.left, idx, order)]
+        if isinstance(p, A.LeftJoin) and p.expr is not None:
+            parts.append(expr(p.expr))
+        parts.append(_alpha_key(p.right, idx, order))
+        return (t, *parts)
+    if isinstance(p, A.Filter):
+        return (t, expr(p.expr), _alpha_key(p.inner, idx, order))
+    if isinstance(p, A.Extend):
+        return (t, _alpha_key(p.inner, idx, order), var(p.var), expr(p.expr))
+    if isinstance(p, A.GraphNode):
+        return (t, term(p.name), _alpha_key(p.inner, idx, order))
+    if isinstance(p, A.ValuesNode):
+        return (t, tuple(var(v) for v in p.variables),
+                tuple(tuple(repr(x) for x in row) for row in p.rows))
+    if isinstance(p, A.Project):
+        return (t, _alpha_key(p.inner, idx, order),
+                tuple(var(v) for v in p.variables))
+    if isinstance(p, (A.Distinct, A.Reduced)):
+        return (t, _alpha_key(p.inner, idx, order))
+    if isinstance(p, A.Slice):
+        return (t, p.start, p.length, _alpha_key(p.inner, idx, order))
+    if isinstance(p, A.OrderBy):
+        return (t, tuple((c.ascending, expr(c.expr)) for c in p.conditions),
+                _alpha_key(p.inner, idx, order))
+    if isinstance(p, A.Group):
+        return (t, tuple(var(v) for v in p.keys),
+                tuple((var(v), expr(call)) for v, call in p.aggregates),
+                _alpha_key(p.inner, idx, order))
+    raise _NotCacheable
+
+
+class _NotCacheable(Exception):
+    pass
+
+
+def _translate_project_cse(p: A.Project, ctx: Ctx) -> Solution:
+    """Sub-SELECT translation with common-subquery elimination."""
+    try:
+        idx: dict = {}
+        order: list = []
+        key = _alpha_key(p, idx, order)
+    except _NotCacheable:
+        return _translate_project(p, ctx)
+    hit = ctx.subquery_cache.get(key)
+    names = [v.name for v in p.variables]
+    if hit is not None:
+        sol, cached_proj = hit
+        if not sol.pending_order:
+            # positional rename: projection order is part of the α-key
+            df = sol.df.toDF(*names)
+            ren = dict(zip(cached_proj, names))
+            return Solution(
+                df=df,
+                bound={ren[v] for v in sol.bound if v in ren},
+                maybe=set(names),
+                kinds={ren[v]: k for v, k in sol.kinds.items() if v in ren})
+    sol = _translate_project(p, ctx)
+    ctx.subquery_cache[key] = (sol, names)
+    return sol
 
 
 def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
