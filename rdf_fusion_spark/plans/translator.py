@@ -73,6 +73,11 @@ class Ctx:
     # else GRAPH may only address/enumerate these
     named_graphs: Optional[list] = None
     counter: list = field(default_factory=lambda: [0])
+    # sideways information passing: {subject var → {(pred, const obj)}}
+    # implied by an enclosing pattern; BGPs on virtual stores inject
+    # these as extra scan constraints (sound: rows whose subjects violate
+    # them can never survive the enclosing join)
+    ambient_consts: Optional[dict] = None
     # common-subquery elimination: canonical α-equivalence key of a
     # sub-SELECT → (translated Solution, its vars in canonical order).
     # BSBM-BI-style generated queries repeat identical GROUP BY
@@ -486,7 +491,14 @@ def translate(p, ctx: Ctx) -> Solution:
         return join_solutions(l, r, "inner")
     if isinstance(p, A.LeftJoin):
         l = translate(p.left, ctx)
-        r = translate(p.right, ctx)
+        # sideways information passing: constant (pred, obj) constraints
+        # the LEFT pattern imposes on its subject vars are implied for
+        # every right row that can survive the join — push them into the
+        # OPTIONAL side so its scans prune (virtual stores only; see
+        # _translate_bgp)
+        consts = _collect_subject_consts(p.left)
+        rctx = replace_ctx_consts(ctx, consts) if consts else ctx
+        r = translate(p.right, rctx)
         cb = None
         if p.expr is not None:
             def cb(e, resolve):  # noqa: E306
@@ -778,6 +790,44 @@ def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
     return Solution(df=df, bound=set(vars_), maybe=set(vars_), kinds=kinds)
 
 
+def _collect_subject_consts(p) -> dict:
+    """{subject var → {(pred NamedNode, obj const Term)}} guaranteed by a
+    pattern: constant-predicate/constant-object triples in its
+    conjunctive core. Union branches contribute the intersection;
+    OPTIONAL/MINUS right sides contribute nothing."""
+    if isinstance(p, A.BGP):
+        out: dict = {}
+        for t in p.triples:
+            if isinstance(t.subject, Variable) and \
+                    isinstance(t.predicate, NamedNode) and \
+                    not isinstance(t.object, Variable):
+                out.setdefault(t.subject.name, set()).add(
+                    (t.predicate, t.object))
+        return out
+    if isinstance(p, A.Join):
+        a, b = _collect_subject_consts(p.left), _collect_subject_consts(p.right)
+        for k, v in b.items():
+            a[k] = a.get(k, set()) | v
+        return a
+    if isinstance(p, (A.Filter, A.Extend, A.Distinct, A.Reduced, A.Slice,
+                      A.OrderBy)):
+        return _collect_subject_consts(p.inner)
+    if isinstance(p, (A.LeftJoin, A.Minus, A.Lateral)):
+        return _collect_subject_consts(p.left)
+    if isinstance(p, A.Union):
+        a, b = _collect_subject_consts(p.left), _collect_subject_consts(p.right)
+        return {k: a[k] & b[k] for k in a.keys() & b.keys()
+                if a[k] & b[k]}
+    return {}
+
+
+def replace_ctx_consts(ctx: Ctx, consts: dict) -> Ctx:
+    merged = dict(ctx.ambient_consts or {})
+    for k, v in consts.items():
+        merged[k] = merged.get(k, set()) | v
+    return replace(ctx, ambient_consts=merged)
+
+
 def _translate_bgp(p: A.BGP, ctx: Ctx, pushable: Optional[list] = None,
                    consumed: Optional[list] = None) -> Solution:
     """Star-collapsed, selectivity-ordered BGP join.
@@ -799,6 +849,27 @@ def _translate_bgp(p: A.BGP, ctx: Ctx, pushable: Optional[list] = None,
     (store._exclude_predicate_pushdown)."""
     if not p.triples:
         return _unit_solution(ctx)
+
+    # sideways information passing (see Ctx.ambient_consts): inject the
+    # enclosing pattern's constant constraints for subject vars this BGP
+    # touches, as extra same-subject patterns — the star collapse then
+    # pushes them into the source scan as filters. Virtual stores only:
+    # their subjects are unique by construction, so a redundant pattern
+    # can never duplicate rows (a raw quad bag could carry duplicates).
+    if ctx.ambient_consts and getattr(ctx.store, "star_scan", None):
+        have = {(t.subject.name, t.predicate, t.object)
+                for t in p.triples if isinstance(t.subject, Variable)}
+        extra = []
+        subj_here = {t.subject.name for t in p.triples
+                     if isinstance(t.subject, Variable)}
+        for sname, consts in ctx.ambient_consts.items():
+            if sname in subj_here:
+                for pred, obj in consts:
+                    if (sname, pred, obj) not in have:
+                        extra.append(A.TriplePattern(
+                            Variable(sname), pred, obj))
+        if extra:
+            p = A.BGP(list(p.triples) + extra)
 
     units: list[Solution] = []
     remaining: list[A.TriplePattern] = []
