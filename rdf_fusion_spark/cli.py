@@ -117,6 +117,10 @@ def cmd_query(args) -> int:
 
     if isinstance(res, GraphResult):
         rfmt = format_from_name(args.results_format or "nt")
+        if rfmt is None:
+            print(f"unknown RDF output format {args.results_format!r} "
+                  "for CONSTRUCT/DESCRIBE", file=sys.stderr)
+            return 2
         quads = res.df.withColumn("graph", F.lit(None).cast(TERM_DDL)) \
             .select("graph", "subject", "predicate", "object")
         for r in serialize_rdf_lines(quads, rfmt).toLocalIterator():

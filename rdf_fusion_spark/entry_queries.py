@@ -2246,10 +2246,11 @@ WITH und AS (
   FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
   WHERE a.l_suppkey < b.l_suppkey
 ),
-cand AS (
-  SELECT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM und WHERE a <> b
+-- engine-side canonicalization re-orders by STRING (least/greatest on
+-- varchar); mirror it — numeric a<b does not imply string a<b
+canon AS (
+  SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM und
 ),
-canon AS (SELECT DISTINCT a, b FROM cand),
 tri AS (
   SELECT e1.a AS x, e1.b AS y, e2.b AS z
   FROM canon e1 JOIN canon e2 ON e1.b = e2.a

@@ -1187,7 +1187,7 @@ def _static_kind_of_row(row) -> Optional[int]:
 _NONDET_CALLS = {"RAND", "UUID", "STRUUID", "BNODE"}
 
 
-def _alpha_key(p, idx: dict, order: list):
+def _alpha_key(p, idx: dict):
     """Canonical serialization of an algebra subtree with variables
     replaced by first-occurrence indices (α-equivalence key). Returns a
     hashable tuple, or raises _NotCacheable for subtrees that must
@@ -1196,7 +1196,6 @@ def _alpha_key(p, idx: dict, order: list):
     def var(v) -> str:
         if v.name not in idx:
             idx[v.name] = len(idx)
-            order.append(v.name)
         return f"?{idx[v.name]}"
 
     def term(x):
@@ -1214,7 +1213,7 @@ def _alpha_key(p, idx: dict, order: list):
                 raise _NotCacheable
             return ("c", e.name, tuple(expr(a) for a in e.args))
         if isinstance(e, A.EExists):
-            return ("x", e.negated, _alpha_key(e.pattern, idx, order))
+            return ("x", e.negated, _alpha_key(e.pattern, idx))
         if isinstance(e, A.AggCall):
             return ("g", e.name, e.distinct, e.separator,
                     expr(e.expr) if e.expr is not None else None)
@@ -1227,34 +1226,34 @@ def _alpha_key(p, idx: dict, order: list):
     if isinstance(p, A.PathPattern):
         return (t, term(p.subject), repr(p.path), term(p.object))
     if isinstance(p, (A.Join, A.LeftJoin, A.Union, A.Minus, A.Lateral)):
-        parts = [_alpha_key(p.left, idx, order)]
+        parts = [_alpha_key(p.left, idx)]
         if isinstance(p, A.LeftJoin) and p.expr is not None:
             parts.append(expr(p.expr))
-        parts.append(_alpha_key(p.right, idx, order))
+        parts.append(_alpha_key(p.right, idx))
         return (t, *parts)
     if isinstance(p, A.Filter):
-        return (t, expr(p.expr), _alpha_key(p.inner, idx, order))
+        return (t, expr(p.expr), _alpha_key(p.inner, idx))
     if isinstance(p, A.Extend):
-        return (t, _alpha_key(p.inner, idx, order), var(p.var), expr(p.expr))
+        return (t, _alpha_key(p.inner, idx), var(p.var), expr(p.expr))
     if isinstance(p, A.GraphNode):
-        return (t, term(p.name), _alpha_key(p.inner, idx, order))
+        return (t, term(p.name), _alpha_key(p.inner, idx))
     if isinstance(p, A.ValuesNode):
         return (t, tuple(var(v) for v in p.variables),
                 tuple(tuple(repr(x) for x in row) for row in p.rows))
     if isinstance(p, A.Project):
-        return (t, _alpha_key(p.inner, idx, order),
+        return (t, _alpha_key(p.inner, idx),
                 tuple(var(v) for v in p.variables))
     if isinstance(p, (A.Distinct, A.Reduced)):
-        return (t, _alpha_key(p.inner, idx, order))
+        return (t, _alpha_key(p.inner, idx))
     if isinstance(p, A.Slice):
-        return (t, p.start, p.length, _alpha_key(p.inner, idx, order))
+        return (t, p.start, p.length, _alpha_key(p.inner, idx))
     if isinstance(p, A.OrderBy):
         return (t, tuple((c.ascending, expr(c.expr)) for c in p.conditions),
-                _alpha_key(p.inner, idx, order))
+                _alpha_key(p.inner, idx))
     if isinstance(p, A.Group):
         return (t, tuple(var(v) for v in p.keys),
                 tuple((var(v), expr(call)) for v, call in p.aggregates),
-                _alpha_key(p.inner, idx, order))
+                _alpha_key(p.inner, idx))
     raise _NotCacheable
 
 
@@ -1262,12 +1261,41 @@ class _NotCacheable(Exception):
     pass
 
 
+def _scope_restrict_consts(p: A.Project, ctx: Ctx) -> Ctx:
+    """SPARQL sub-SELECT scoping: inner variables are fresh unless
+    PROJECTED, so ambient constraints for non-projected names must not
+    leak into the subquery (a name-only match would wrongly constrain an
+    unrelated local variable)."""
+    if not ctx.ambient_consts:
+        return ctx
+    keep = {v.name for v in p.variables}
+    kept = {k: v for k, v in ctx.ambient_consts.items() if k in keep}
+    return replace(ctx, ambient_consts=kept or None)
+
+
+def _ctx_fingerprint(ctx: Ctx):
+    """The context components that change what a pattern translates to —
+    MUST be part of the subquery-cache key (the same α-equivalent
+    subquery under GRAPH <g2> or different ambient constraints is a
+    different relation)."""
+    ag = ctx.active_graph
+    consts = ctx.ambient_consts or {}
+    return (
+        ag.kind, tuple(sorted(repr(g) for g in ag.graphs)),
+        ctx.graph_var.name if ctx.graph_var is not None else None,
+        tuple(sorted(repr(g) for g in ctx.named_graphs))
+        if ctx.named_graphs is not None else None,
+        tuple(sorted((v, tuple(sorted(map(repr, cs))))
+                     for v, cs in consts.items())),
+    )
+
+
 def _translate_project_cse(p: A.Project, ctx: Ctx) -> Solution:
     """Sub-SELECT translation with common-subquery elimination."""
+    ctx = _scope_restrict_consts(p, ctx)
     try:
         idx: dict = {}
-        order: list = []
-        key = _alpha_key(p, idx, order)
+        key = (_alpha_key(p, idx), _ctx_fingerprint(ctx))
     except _NotCacheable:
         return _translate_project(p, ctx)
     hit = ctx.subquery_cache.get(key)

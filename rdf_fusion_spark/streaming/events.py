@@ -135,14 +135,16 @@ def interval_join(left: DataFrame, right: DataFrame,
     only state-safe shape for unbounded streams. Works identically on
     batch frames (plain range join).
     """
-    l = left.select(F.col(key).alias("k"),
-                    F.col(time_col).alias("l_ts"),
-                    F.col("event_type").alias("l_type"),
-                    F.col("event_id").alias("l_id"))
-    r = right.select(F.col(key).alias("rk"),
-                     F.col(time_col).alias("r_ts"),
-                     F.col("event_type").alias("r_type"),
-                     F.col("event_id").alias("r_id"))
+    def side(df: DataFrame, prefix: str, kname: str) -> DataFrame:
+        # generic payload: every column except key/time rides along with
+        # a side prefix (the function must not assume the events schema)
+        payload = [c for c in df.columns if c not in (key, time_col)]
+        return df.select(F.col(key).alias(kname),
+                         F.col(time_col).alias(f"{prefix}_ts"),
+                         *[F.col(c).alias(f"{prefix}_{c}") for c in payload])
+
+    l = side(left, "l", "k")
+    r = side(right, "r", "rk")
     if l.isStreaming:
         l = l.withWatermark("l_ts", watermark)
     if r.isStreaming:
@@ -150,9 +152,10 @@ def interval_join(left: DataFrame, right: DataFrame,
     cond = ((l["k"] == r["rk"]) &
             (r["r_ts"] >= l["l_ts"]) &
             (r["r_ts"] <= l["l_ts"] + F.expr(f"INTERVAL {tolerance}")))
-    return (l.join(r, cond)
-            .select(F.col("k").alias(key), "l_id", "l_type", "l_ts",
-                    "r_id", "r_type", "r_ts"))
+    out_cols = [F.col("k").alias(key)] + \
+        [F.col(c) for c in l.columns if c != "k"] + \
+        [F.col(c) for c in r.columns if c != "rk"]
+    return l.join(r, cond).select(*out_cols)
 
 
 def run_to_memory(stream: DataFrame, name: str, checkpoint: str,

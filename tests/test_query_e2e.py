@@ -263,3 +263,47 @@ def test_order_by_dropped_var_still_applies(spark):
     """)
     got = [r["name"]["v"] for r in res.df.collect()]
     assert got == ["n4", "n3"]  # rank 5,6 are the smallest
+
+
+def test_cse_identical_subqueries_in_different_graphs(spark):
+    """Two α-equivalent sub-SELECTs under different GRAPH scopes must NOT
+    share a translation (the subquery-cache key includes the context)."""
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+    EX = "http://example.org/"
+    g1, g2 = NamedNode(EX + "g1"), NamedNode(EX + "g2")
+    st = GraphStore.from_python_quads(spark, [
+        (g1, NamedNode(EX + "a"), NamedNode(EX + "p"), Literal("in-g1")),
+        (g2, NamedNode(EX + "b"), NamedNode(EX + "p"), Literal("in-g2")),
+    ])
+    res = st.query("""
+        PREFIX ex: <http://example.org/>
+        SELECT ?x ?y WHERE {
+          GRAPH ex:g1 { { SELECT ?x WHERE { ?s ex:p ?x } } }
+          GRAPH ex:g2 { { SELECT ?y WHERE { ?t ex:p ?y } } }
+        }
+    """)
+    rows = [{v: term_to_python(r[v]) for v in res.variables}
+            for r in res.df.collect()]
+    assert rows == [{"x": Literal("in-g1"), "y": Literal("in-g2")}]
+
+
+def test_sip_does_not_leak_into_subquery_local_vars(spark):
+    """A non-projected subquery variable sharing a NAME with a constrained
+    outer subject is a fresh variable — ambient constraints must not
+    restrict it (SPARQL sub-SELECT scoping)."""
+    from rdf_fusion_spark.sources.virtual import VirtualRelationalStore
+    st = VirtualRelationalStore(spark, "/root/testdata/sf0.001")
+    # inner ?s is NOT projected → unrelated to outer ?s; the OPTIONAL is
+    # an uncorrelated cross join of region names onto every nation
+    res = st.query("""
+        PREFIX n: <x:n#>
+        PREFIX r: <x:r#>
+        SELECT ?s ?rn WHERE {
+          ?s n:n_name "NATION_0" .
+          OPTIONAL { { SELECT ?rn WHERE { ?s r:r_name ?rn } } }
+        }
+    """)
+    rows = res.df.collect()
+    # 1 nation × 5 regions — a leaked constraint (?s n:n_name ...) into
+    # the subquery would zero out the region scan instead
+    assert len(rows) == 5

@@ -125,10 +125,11 @@ def test_interval_join_stream_matches_batch(spark, events_path, tmp_path):
                               watermark="12 hours")
     SE.run_to_memory(joined, "attrib", str(tmp_path / "ckij"),
                      output_mode="append")
-    got = {(r["l_id"], r["r_id"]) for r in spark.table("attrib").collect()}
+    got = {(r["l_event_id"], r["r_event_id"])
+           for r in spark.table("attrib").collect()}
 
     batch = spark.read.schema(SE.EVENT_SCHEMA).parquet(events_path)
-    want = {(r["l_id"], r["r_id"]) for r in SE.interval_join(
+    want = {(r["l_event_id"], r["r_event_id"]) for r in SE.interval_join(
         batch.where(F.col("event_type") == "click"),
         batch.where(F.col("event_type") == "purchase"),
         tolerance="6 hours").collect()}
