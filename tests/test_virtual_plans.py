@@ -120,3 +120,19 @@ def test_filter_conjunct_pushed_below_bgp_join(store):
     # the filter appears below (later line than) the topmost join
     assert min(filter_lines) > min(join_lines), (
         "acctbal filter was not pushed below the join:\n" + plan[:3000])
+
+
+def test_sip_constraint_reaches_optional_scan(store):
+    """Sideways information passing: the required pattern's constant
+    (l_partkey = 42) must appear as a pushed parquet filter in the
+    OPTIONAL side's scan too — without it each OPTIONAL reads the whole
+    lineitem table."""
+    res = store.query(EQ.PROLOGUE + """
+      SELECT ?sd ?q WHERE {
+        ?li l:l_partkey <x:p:42> .
+        ?li l:l_shipdate ?sd .
+        OPTIONAL { ?li l:l_quantity ?q . FILTER(?q >= 25.0) }
+      }
+    """)
+    plan = plan_of(res.df)
+    assert plan.count("EqualTo(l_partkey,42)") >= 2, plan
