@@ -317,3 +317,27 @@ def test_triangles_known_graph(spark):
     got = {r["node"]: r["triangles"]
            for r in triangles_per_node(e).collect()}
     assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_degree_ordered_matches_bruteforce(spark):
+    """The degree-ordered enumeration must agree with an itertools
+    brute force on a random graph (seeded), including a hub node."""
+    import itertools
+    import random
+    from rdf_fusion_spark.pipeline.graphs import triangles_per_node
+    rng = random.Random(99)
+    nodes = [f"n{i}" for i in range(30)]
+    edges = {tuple(sorted(rng.sample(nodes, 2))) for _ in range(120)}
+    edges |= {tuple(sorted(("hub", n))) for n in nodes[:20]}  # skew
+    eset = set(edges)
+    want: dict = {}
+    allnodes = {x for e in eset for x in e}
+    for a, b, c in itertools.combinations(sorted(allnodes), 3):
+        if (tuple(sorted((a, b))) in eset and tuple(sorted((b, c))) in eset
+                and tuple(sorted((a, c))) in eset):
+            for x in (a, b, c):
+                want[x] = want.get(x, 0) + 1
+    df = spark.createDataFrame(list(eset), "src string, dst string")
+    got = {r["node"]: r["triangles"]
+           for r in triangles_per_node(df).collect()}
+    assert got == want
