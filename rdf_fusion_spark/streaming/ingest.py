@@ -33,6 +33,39 @@ def stream_ntriples(spark: SparkSession, path: str,
     return lines_to_quads(lines, strict=strict)
 
 
+def match_pattern_stream(quads: DataFrame, subject=None, predicate=None,
+                         obj=None) -> DataFrame:
+    """Continuous triple-pattern match over a quad stream: constants
+    filter (leaf comparisons — pushdown-friendly), variables project as
+    binding columns named after the open position. The streaming subset
+    of the engine's scan_pattern; compose with windowed aggregation for
+    continuous monitoring queries (e.g. per-predicate arrival rates)."""
+    from ..terms import term_matches
+
+    cond = F.lit(True)
+    for colname, t in (("subject", subject), ("predicate", predicate),
+                       ("object", obj)):
+        if t is not None:
+            cond = cond & term_matches(F.col(colname), t)
+    out = quads.where(cond)
+    cols = [F.col(c).alias(c) for c, t in
+            (("subject", subject), ("predicate", predicate),
+             ("object", obj)) if t is None]
+    return out.select(*cols) if cols else out.select()
+
+
+def predicate_rates(quads: DataFrame, window: str = "1 minute",
+                    watermark: str = "5 minutes") -> DataFrame:
+    """Continuous per-predicate arrival counts over processing-receipt
+    windows — the monitoring aggregate a landing-zone ingest runs
+    alongside the parquet sink (watermark bounds the window state)."""
+    with_ts = quads.withColumn("__arrival", F.current_timestamp()) \
+        .withWatermark("__arrival", watermark)
+    return (with_ts.groupBy(F.window("__arrival", window).alias("win"),
+                            F.col("predicate")["v"].alias("pred"))
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def ingest_to_parquet(quads: DataFrame, store_path: str, checkpoint: str,
                       available_now: bool = False):
     """Append a streaming quads DataFrame to a parquet store location.

@@ -138,3 +138,28 @@ def test_interval_join_stream_matches_batch(spark, events_path, tmp_path):
     # must agree with batch; on availableNow the final watermark passes
     # the whole fixture, so expect full equality
     assert got == want
+
+
+def test_match_pattern_stream(spark, tmp_path):
+    """Continuous pattern match over ingested N-Triples: constants
+    filter, open positions project as bindings."""
+    from rdf_fusion_spark.streaming.ingest import (match_pattern_stream,
+                                                   stream_ntriples)
+    from rdf_fusion_spark.terms import NamedNode, term_to_python
+    land = tmp_path / "land"
+    land.mkdir()
+    (land / "a.nt").write_text(
+        "<http://e/s1> <http://e/p> <http://e/o1> .\n"
+        "<http://e/s2> <http://e/p> <http://e/o2> .\n"
+        "<http://e/s3> <http://e/q> <http://e/o3> .\n", encoding="utf-8")
+    stream = stream_ntriples(spark, str(land))
+    matched = match_pattern_stream(stream, predicate=NamedNode("http://e/p"))
+    q = (matched.writeStream.format("memory").queryName("pat")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    rows = spark.table("pat").collect()
+    assert {term_to_python(r["subject"]) for r in rows} == \
+        {NamedNode("http://e/s1"), NamedNode("http://e/s2")}
+    assert set(rows[0].asDict()) == {"subject", "object"}
