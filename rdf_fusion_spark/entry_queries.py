@@ -2266,6 +2266,58 @@ GROUP BY node ORDER BY triangles DESC, node LIMIT 20
 """
 
 
+def _pipe_ann_quantized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-k over int8 scalar-quantized embeddings (the
+    memory-bandwidth configuration of the ANN stack — 1/8th the scan
+    bytes, dequantize-on-score). floor(+0.5) quantization is exact IEEE,
+    so the oracle reproduces identical codes and identical cosines."""
+    from .pipeline.similarity import quantized_cosine_topk
+    embs = _embs(spark, sf_dir)
+    out = quantized_cosine_topk(
+        embs, embs.where(F.col("vec_id") < ANN_NUM_QUERIES), ANN_K)
+    return out.select("query_id", F.col("rank").cast("long").alias("rank"),
+                      "neighbor_id", F.round(F.col("cosine"), 9).alias("cosine"))
+
+
+ANN_QUANTIZED_ORACLE = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+  FROM embeddings
+),
+scaled AS (
+  SELECT vec_id, e,
+         CASE WHEN m > 0 THEN m / CAST(127.0 AS DOUBLE)
+              ELSE CAST(1.0 AS DOUBLE) END AS scale
+  FROM (SELECT vec_id, e,
+               list_max(list_transform(e, x -> abs(x))) AS m
+        FROM base)
+),
+deq AS (
+  SELECT vec_id,
+         list_transform(e, x -> floor(x / scale + CAST(0.5 AS DOUBLE))
+                                * scale) AS d
+  FROM scaled
+),
+q AS (SELECT vec_id AS query_id, d FROM deq
+      WHERE vec_id < {ANN_NUM_QUERIES}),
+c AS (SELECT vec_id AS neighbor_id, d FROM deq),
+s AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(q.d, c.d)
+         / (sqrt(list_dot_product(q.d, q.d))
+            * sqrt(list_dot_product(c.d, c.d))) AS cosine
+  FROM q JOIN c ON query_id <> neighbor_id
+)
+SELECT query_id, rnk::BIGINT AS rank, neighbor_id,
+       ROUND(cosine, 9) AS cosine
+FROM (SELECT query_id, neighbor_id, cosine,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, neighbor_id) AS rnk
+      FROM s)
+WHERE rnk <= {ANN_K}
+"""
+
+
 def _pipe_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard token-count distribution (p50/p90/p99) — the corpus
     length-profile report every training-data pipeline runs before
@@ -2476,6 +2528,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_graph_triangles": _pipe_triangles,
     "q_text_token_percentiles": _pipe_token_percentiles,
     "q_train_val_split": _pipe_train_val_split,
+    "q_ann_quantized_topk": _pipe_ann_quantized,
 }
 
 
@@ -2553,5 +2606,6 @@ def oracle_sql() -> dict[str, str]:
     out["q_service_federated"] = SERVICE_FEDERATED_ORACLE
     out.update(_pipeline_oracles())
     out["q_graph_pagerank"] = _pagerank_oracle()
+    out["q_ann_quantized_topk"] = ANN_QUANTIZED_ORACLE
     out["q_graph_triangles"] = TRIANGLES_ORACLE
     return out

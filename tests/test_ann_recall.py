@@ -75,3 +75,12 @@ def test_lsh_multiprobe_superset(embs, exact_pairs):
     probed = _recall(similarity.lsh_bucket_topk(
         embs, q, K, bits=6, num_tables=4, multiprobe=True), exact_pairs)
     assert probed >= base
+
+
+def test_quantized_recall_near_exact(embs, exact_pairs):
+    """int8 scalar quantization must barely perturb the ranking:
+    recall@K vs the full-precision exact top-k stays >= 0.9."""
+    from pyspark.sql import functions as F
+    q = embs.where(F.col("vec_id") < NUM_QUERIES)
+    got = similarity.quantized_cosine_topk(embs, q, K)
+    assert _recall(got, exact_pairs) >= 0.9
