@@ -9,13 +9,22 @@ operators (dedup, similarity search, text analysis, multimodal plumbing).
 
 from .plans.builder import PlanBuilder
 from .store import GraphStore, ActiveGraph
+
+
+def __getattr__(name):
+    # lazy: the DataFrame-mapping store pulls in the scan machinery
+    if name == "VirtualDataFrameStore":
+        from .sources.virtual import VirtualDataFrameStore
+        return VirtualDataFrameStore
+    raise AttributeError(name)
+
 from .terms import (
     NamedNode, BlankNode, Literal, Variable,
     TERM_TYPE, QUADS_SCHEMA,
 )
 
 __all__ = [
-    "GraphStore", "ActiveGraph", "PlanBuilder",
+    "GraphStore", "ActiveGraph", "PlanBuilder", "VirtualDataFrameStore",
     "NamedNode", "BlankNode", "Literal", "Variable",
     "TERM_TYPE", "QUADS_SCHEMA",
 ]

@@ -59,6 +59,36 @@ TPCH_SPEC: dict[str, tuple[str, Sequence[str], dict[str, str]]] = {
 # shuffle — scales to any size; verified collision-free on the test data).
 HASH_SUBJECT_TABLES = {"lineitem"}
 
+# TPCH_SPEC doubles as the GLOBAL mapping registry: the TPC-H warehouse is
+# preloaded, and register_table_mapping() adds any user table (the W3C
+# Direct Mapping idea: row → subject IRI, column → predicate, FK column →
+# entity IRI). VirtualDataFrameStore (sources/virtual.py) builds on this
+# to expose arbitrary DataFrames as a SPARQL-queryable virtual graph.
+MAPPING_SPEC = TPCH_SPEC
+
+
+def register_table_mapping(table: str, code: Optional[str] = None,
+                           key_cols: Optional[Sequence[str]] = None,
+                           fks: Optional[dict] = None,
+                           hash_subject: bool = False) -> None:
+    """Register ANY table into the relational→RDF mapping vocabulary.
+
+    code: short IRI prefix segment (defaults to the table name);
+    key_cols: unique key for subject identity (omit → full-row hash);
+    fks: {column → target table} mapped as entity IRIs.
+    """
+    code = code or table
+    taken = {v[0]: t for t, v in TPCH_SPEC.items()}
+    if code in taken and taken[code] != table:
+        raise ValueError(
+            f"mapping code {code!r} already used by table {taken[code]!r}")
+    for tgt in (fks or {}).values():
+        if tgt not in TPCH_SPEC and tgt != table:
+            raise ValueError(f"fk target table {tgt!r} is not registered")
+    TPCH_SPEC[table] = (code, list(key_cols or []), dict(fks or {}))
+    if hash_subject or not key_cols:
+        HASH_SUBJECT_TABLES.add(table)
+
 
 def configure_session(spark: SparkSession) -> SparkSession:
     """Session settings the engine depends on (all runtime-settable).

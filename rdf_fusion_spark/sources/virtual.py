@@ -482,3 +482,56 @@ class VirtualRelationalStore(GraphStore):
         ot = object_term(table, col_name, df)
         return term_matches(ot, obj) if not isinstance(obj, Variable) \
             else F.lit(True)
+
+
+class VirtualDataFrameStore(VirtualRelationalStore):
+    """SPARQL over arbitrary in-session DataFrames — the W3C-Direct-
+    Mapping generalization of the TPC-H warehouse store: each DataFrame
+    becomes a class of row-subjects with one predicate per column (FK
+    columns become entity IRIs), queried through the same virtual
+    star-scan machinery (no quads ever materialized).
+
+        store = VirtualDataFrameStore(spark,
+            {"people": people_df, "cities": cities_df},
+            keys={"people": ["pid"], "cities": ["cid"]},
+            fks={"people": {"city_id": "cities"}})
+        store.query("SELECT ?n WHERE { ?p <x:people#name> ?n }")
+    """
+
+    def __init__(self, spark: SparkSession, dataframes: dict,
+                 keys: Optional[dict] = None,
+                 fks: Optional[dict] = None,
+                 codes: Optional[dict] = None):
+        from .relational import TPCH_SPEC as SPEC
+        from .relational import register_table_mapping
+        keys = keys or {}
+        # register FK targets first so cross-references validate
+        ordered = sorted(dataframes,
+                         key=lambda t: len((fks or {}).get(t, {})))
+        for t in ordered:
+            if t not in SPEC:
+                register_table_mapping(
+                    t, code=(codes or {}).get(t),
+                    key_cols=keys.get(t),
+                    fks=(fks or {}).get(t))
+        self._dfs = dict(dataframes)
+        super().__init__(spark, sf_dir="", tables=list(dataframes))
+
+    def table_df(self, table: str) -> DataFrame:
+        return self._dfs[table]
+
+    @property
+    def quads(self) -> DataFrame:
+        from .relational import table_to_quads
+        if self._quads is None:
+            out = None
+            for t in self.tables:
+                q = table_to_quads(self._dfs[t], t)
+                out = q if out is None else out.unionByName(q)
+            self._quads = out
+        return self._quads
+
+    @quads.setter
+    def quads(self, value):
+        self._quads = value
+        self._cached_len = None

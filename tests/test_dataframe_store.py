@@ -1,0 +1,78 @@
+"""VirtualDataFrameStore: SPARQL over arbitrary in-session DataFrames
+(the W3C-Direct-Mapping generalization of the TPC-H warehouse mapping)."""
+
+import pytest
+
+from rdf_fusion_spark import VirtualDataFrameStore
+from rdf_fusion_spark.terms import term_to_python
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    people = spark.createDataFrame(
+        [(1, "Ada", 10), (2, "Bob", 20), (3, "Cee", 10)],
+        "pid long, name string, city_id long")
+    cities = spark.createDataFrame(
+        [(10, "Lisbon"), (20, "Porto")], "cid long, cname string")
+    return VirtualDataFrameStore(
+        spark, {"people": people, "cities": cities},
+        keys={"people": ["pid"], "cities": ["cid"]},
+        fks={"people": {"city_id": "cities"}})
+
+
+def test_fk_join_star(store):
+    res = store.query("""
+      SELECT ?n ?cn WHERE {
+        ?p <x:people#name> ?n .
+        ?p <x:people#city_id> ?c .
+        ?c <x:cities#cname> ?cn .
+      } ORDER BY ?n
+    """)
+    rows = [(term_to_python(r["n"]).lexical, term_to_python(r["cn"]).lexical)
+            for r in res.df.collect()]
+    assert rows == [("Ada", "Lisbon"), ("Bob", "Porto"), ("Cee", "Lisbon")]
+
+
+def test_type_anchor_and_aggregate(store):
+    res = store.query("""
+      SELECT ?cn (COUNT(?p) AS ?n) WHERE {
+        ?p a <x:class:people> ; <x:people#city_id> ?c .
+        ?c <x:cities#cname> ?cn .
+      } GROUP BY ?cn ORDER BY ?cn
+    """)
+    rows = [(term_to_python(r["cn"]).lexical,
+             int(term_to_python(r["n"]).lexical)) for r in res.df.collect()]
+    assert rows == [("Lisbon", 2), ("Porto", 1)]
+
+
+def test_plan_is_virtual_star(store):
+    """The star pattern must compile to direct table scans — never a
+    materialized quads union."""
+    import contextlib
+    import io
+    res = store.query(
+        "SELECT ?n WHERE { ?p <x:people#name> ?n ; "
+        "<x:people#city_id> ?c }")
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        res.df.explain(mode="formatted")
+    plan = buf.getvalue()
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan \
+        or "Scan" in plan
+    assert "Union" not in plan, plan
+
+
+def test_graph_enumeration(store):
+    res = store.query(
+        "SELECT DISTINCT ?g WHERE { GRAPH ?g { ?s ?p ?o } } ORDER BY ?g")
+    names = [term_to_python(r["g"]).iri for r in res.df.collect()]
+    assert names == ["x:graph:cities", "x:graph:people"]
+
+
+def test_update_rejected_or_supported(store):
+    # DataFrame-backed stores are read-only views; INSERT mutates the
+    # quads property (materializing) — just assert query-side works and
+    # duplicate registration round-trips
+    from rdf_fusion_spark.sources.relational import register_table_mapping
+    with pytest.raises(ValueError):
+        register_table_mapping("another", code="people")
