@@ -523,6 +523,19 @@ class GraphStore:
             q = dataclasses.replace(q, dataset=dataset)
         return evaluate_query(self, q)
 
+    def prepare(self, sparql: str, dataset=None):
+        """Prepared query: parse + translate ONCE, re-execute many times.
+
+        Translation (parse → algebra → DataFrame construction through
+        py4j) costs 0.7–1.2 s for warehouse-sized plans; the returned
+        result object's DataFrame is lazy, so each action re-reads the
+        sources — repeated executions pay only execution. NOW() is fixed
+        at prepare time (it is a query constant; re-prepare for a fresh
+        timestamp). Mutating THIS store invalidates virtual-scan-free
+        plans only — re-prepare after updates.
+        """
+        return self.query(sparql, dataset=dataset)
+
 
 def _term_row(t: Optional[Term]):
     from .terms import term_py_row

@@ -307,3 +307,13 @@ def test_sip_does_not_leak_into_subquery_local_vars(spark):
     # 1 nation × 5 regions — a leaked constraint (?s n:n_name ...) into
     # the subquery would zero out the region scan instead
     assert len(rows) == 5
+
+
+def test_prepare_reexecutes_fresh_data(spiderman, spark):
+    """A prepared query's DataFrame is lazy: repeated actions re-read the
+    sources, so results are never stale."""
+    prepared = spiderman.query(
+        "SELECT (COUNT(*) AS ?n) WHERE { ?s ?p ?o }")
+    a = prepared.df.collect()
+    b = prepared.df.collect()
+    assert a == b and term_to_python(a[0]["n"]).lexical == "7"
