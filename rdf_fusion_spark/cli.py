@@ -115,6 +115,20 @@ def cmd_query(args) -> int:
         store = GraphStore(spark, store.quads.unionByName(loaded.quads))
     res = store.query(query)
 
+    if args.explain:
+        ex = res.explanation()
+        print("== optimized logical plan ==")
+        print(ex.optimized_logical_plan)
+        print("== physical plan ==")
+        print(ex.physical_plan)
+        if ex.split_union_guard_breaches:
+            print("== split-union guard breaches ==")
+            for b in ex.split_union_guard_breaches:
+                print(b)
+        nl = ex.nested_loop_joins()
+        print(f"nested-loop operators: {nl or 'none'}")
+        return 0
+
     if isinstance(res, GraphResult):
         rfmt = format_from_name(args.results_format or "nt")
         if rfmt is None:
@@ -164,6 +178,9 @@ def main(argv=None) -> int:
     qp.add_argument("--results-format",
                     help="json/xml/csv/tsv for SELECT/ASK; an RDF format "
                          "for CONSTRUCT/DESCRIBE (default nt)")
+    qp.add_argument("--explain", action="store_true",
+                    help="print the query's plan explanation instead of "
+                         "executing it")
     qp.set_defaults(fn=cmd_query)
 
     cv = sub.add_parser("convert", help="convert between RDF serializations")

@@ -214,3 +214,19 @@ def test_cli_query_select_and_construct(spark, tmp_path):
     lines = [ln for ln in buf.getvalue().splitlines() if ln.strip()]
     assert len(lines) == 2 and all("<http://example.org/tag>" in ln
                                    for ln in lines)
+
+
+def test_cli_query_explain(spark, tmp_path):
+    import io
+    from contextlib import redirect_stdout
+    from rdf_fusion_spark.cli import main
+    data = tmp_path / "e.ttl"
+    data.write_text("@prefix : <http://example.org/> .\n:a :p :b .\n",
+                    encoding="utf-8")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rc = main(["query", "--data", str(data), "--explain",
+                   "-q", "SELECT * WHERE { ?s ?p ?o }"])
+    out = buf.getvalue()
+    assert rc == 0
+    assert "physical plan" in out and "nested-loop operators: none" in out
