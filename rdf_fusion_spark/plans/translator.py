@@ -1668,7 +1668,19 @@ class SelectResult:
 
 @dataclass
 class AskResult:
-    value: bool
+    """ASK result. `value` evaluates LAZILY per access (head(1) on the
+    underlying solution), so a prepared ASK re-executes against current
+    data like the other result kinds; `df` exposes the solution relation
+    for explanation/reuse."""
+    df: DataFrame
+    guard_breaches: list = field(default_factory=list)
+
+    @property
+    def value(self) -> bool:
+        return bool(self.df.head(1))
+
+    def explanation(self) -> QueryExplanation:
+        return _explain(self.df, self.guard_breaches)
 
 
 @dataclass
@@ -1765,7 +1777,7 @@ def evaluate_query(store: GraphStore, q):
 
     if isinstance(q, A.AskQuery):
         sol = translate(q.pattern, ctx)
-        return AskResult(value=bool(sol.df.head(1)))
+        return AskResult(df=sol.df, guard_breaches=_join.guard_breaches())
 
     if isinstance(q, A.ConstructQuery):
         sol = translate(q.pattern, ctx)

@@ -59,33 +59,48 @@ TPCH_SPEC: dict[str, tuple[str, Sequence[str], dict[str, str]]] = {
 # shuffle — scales to any size; verified collision-free on the test data).
 HASH_SUBJECT_TABLES = {"lineitem"}
 
-# TPCH_SPEC doubles as the GLOBAL mapping registry: the TPC-H warehouse is
-# preloaded, and register_table_mapping() adds any user table (the W3C
-# Direct Mapping idea: row → subject IRI, column → predicate, FK column →
-# entity IRI). VirtualDataFrameStore (sources/virtual.py) builds on this
-# to expose arbitrary DataFrames as a SPARQL-queryable virtual graph.
-MAPPING_SPEC = TPCH_SPEC
+# The driver warehouse's own table set, FROZEN at import: defaulting
+# `tables=` from the (mutable) registry would let register_table_mapping
+# leak custom tables into every later default-constructed
+# VirtualRelationalStore in the process.
+TPCH_TABLES: tuple = tuple(TPCH_SPEC)
 
 
 def register_table_mapping(table: str, code: Optional[str] = None,
                            key_cols: Optional[Sequence[str]] = None,
                            fks: Optional[dict] = None,
                            hash_subject: bool = False) -> None:
-    """Register ANY table into the relational→RDF mapping vocabulary.
+    """Register ANY table into the relational→RDF mapping vocabulary
+    (process-global, so the IRI mapping is consistent across stores; the
+    W3C Direct Mapping idea: row → subject IRI, column → predicate, FK
+    column → entity IRI).
 
     code: short IRI prefix segment (defaults to the table name);
     key_cols: unique key for subject identity (omit → full-row hash);
     fks: {column → target table} mapped as entity IRIs.
+
+    Re-registering a table with an IDENTICAL spec is a no-op; a
+    conflicting re-registration raises (silent reuse of a stale mapping
+    would mis-derive subjects/predicates from the wrong columns).
     """
     code = code or table
+    entry = (code, list(key_cols or []), dict(fks or {}))
+    if table in TPCH_SPEC:
+        if TPCH_SPEC[table] != entry or \
+                ((hash_subject or not key_cols)
+                 != (table in HASH_SUBJECT_TABLES)):
+            raise ValueError(
+                f"table {table!r} is already registered with a different "
+                f"mapping {TPCH_SPEC[table]!r}; pick another table name")
+        return
     taken = {v[0]: t for t, v in TPCH_SPEC.items()}
-    if code in taken and taken[code] != table:
+    if code in taken:
         raise ValueError(
             f"mapping code {code!r} already used by table {taken[code]!r}")
     for tgt in (fks or {}).values():
         if tgt not in TPCH_SPEC and tgt != table:
             raise ValueError(f"fk target table {tgt!r} is not registered")
-    TPCH_SPEC[table] = (code, list(key_cols or []), dict(fks or {}))
+    TPCH_SPEC[table] = entry
     if hash_subject or not key_cols:
         HASH_SUBJECT_TABLES.add(table)
 
@@ -302,7 +317,7 @@ def load_relational_graph(
 ) -> DataFrame:
     """Union of per-table quads for the driver's synthetic warehouse."""
     configure_session(spark)
-    names = list(tables) if tables else list(TPCH_SPEC)
+    names = list(tables) if tables else list(TPCH_TABLES)
     out: Optional[DataFrame] = None
     for t in names:
         df = read_table(spark, sf_dir, t)

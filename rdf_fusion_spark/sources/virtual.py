@@ -44,6 +44,7 @@ from ..terms import (
 from .relational import (
     HASH_SUBJECT_TABLES,
     TPCH_SPEC,
+    TPCH_TABLES,
     class_iri,
     graph_iri,
     load_relational_graph,
@@ -68,7 +69,7 @@ class VirtualRelationalStore(GraphStore):
                  tables: Optional[Sequence[str]] = None):
         self.spark = spark
         self.sf_dir = sf_dir.rstrip("/")
-        self.tables = list(tables) if tables else list(TPCH_SPEC)
+        self.tables = list(tables) if tables else list(TPCH_TABLES)
         self._table_dfs: dict[str, DataFrame] = {}
         self._quads: Optional[DataFrame] = None
         # predicate IRI → (table, column); class IRI → table
@@ -505,15 +506,25 @@ class VirtualDataFrameStore(VirtualRelationalStore):
         from .relational import TPCH_SPEC as SPEC
         from .relational import register_table_mapping
         keys = keys or {}
-        # register FK targets first so cross-references validate
-        ordered = sorted(dataframes,
-                         key=lambda t: len((fks or {}).get(t, {})))
-        for t in ordered:
-            if t not in SPEC:
-                register_table_mapping(
-                    t, code=(codes or {}).get(t),
-                    key_cols=keys.get(t),
-                    fks=(fks or {}).get(t))
+        # topological registration so FK targets exist before their
+        # referrers (register_table_mapping validates cross-references);
+        # register_table_mapping itself raises on a conflicting re-use of
+        # an existing table name
+        pending = list(dataframes)
+        while pending:
+            progressed = False
+            for t in list(pending):
+                targets = set((fks or {}).get(t, {}).values()) - {t}
+                if all(tg in SPEC or tg not in pending for tg in targets):
+                    register_table_mapping(
+                        t, code=(codes or {}).get(t),
+                        key_cols=keys.get(t),
+                        fks=(fks or {}).get(t))
+                    pending.remove(t)
+                    progressed = True
+            if not progressed:
+                raise ValueError(
+                    f"circular foreign-key references among {pending!r}")
         self._dfs = dict(dataframes)
         super().__init__(spark, sf_dir="", tables=list(dataframes))
 

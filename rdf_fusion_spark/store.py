@@ -531,8 +531,8 @@ class GraphStore:
         result object's DataFrame is lazy, so each action re-reads the
         sources — repeated executions pay only execution. NOW() is fixed
         at prepare time (it is a query constant; re-prepare for a fresh
-        timestamp). Mutating THIS store invalidates virtual-scan-free
-        plans only — re-prepare after updates.
+        timestamp). All result kinds re-execute lazily, including ASK
+        (its `value` property runs the probe per access).
         """
         return self.query(sparql, dataset=dataset)
 

@@ -51,7 +51,12 @@ def match_pattern_stream(quads: DataFrame, subject=None, predicate=None,
     cols = [F.col(c).alias(c) for c, t in
             (("subject", subject), ("predicate", predicate),
              ("object", obj)) if t is None]
-    return out.select(*cols) if cols else out.select()
+    if not cols:
+        # fully-bound pattern ("alert when this triple arrives"): emit a
+        # one-column marker row per match — file sinks reject an empty
+        # schema (same convention as the engine's no-variable matches)
+        return out.select(F.lit(True).alias("__match__"))
+    return out.select(*cols)
 
 
 def predicate_rates(quads: DataFrame, window: str = "1 minute",

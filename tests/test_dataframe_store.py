@@ -57,8 +57,9 @@ def test_plan_is_virtual_star(store):
     with contextlib.redirect_stdout(buf):
         res.df.explain(mode="formatted")
     plan = buf.getvalue()
-    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan \
-        or "Scan" in plan
+    # createDataFrame sources appear as one of these two leaf scans; the
+    # quads union must never appear
+    assert "Scan ExistingRDD" in plan or "LocalTableScan" in plan, plan
     assert "Union" not in plan, plan
 
 
