@@ -108,6 +108,15 @@ class VirtualRelationalStore(GraphStore):
         self._quads = value
         self._cached_len = None
 
+    def update(self, sparql: str) -> None:
+        """Virtual stores are read-only VIEWS of the warehouse: pattern
+        scans compile straight to the source tables, so a mutation of the
+        quads union would be INVISIBLE to queries (silent divergence).
+        Materialize to update."""
+        raise NotImplementedError(
+            "this store is a read-only virtual view; materialize it first "
+            "(GraphStore(spark, store.quads)) to run SPARQL UPDATE")
+
     # ------------------------------------------------------------------
 
     def _graph_ok(self, active_graph: Optional[ActiveGraph]) -> bool:

@@ -136,3 +136,11 @@ def test_sip_constraint_reaches_optional_scan(store):
     """)
     plan = plan_of(res.df)
     assert plan.count("EqualTo(l_partkey,42)") >= 2, plan
+
+
+def test_virtual_store_update_rejected(store):
+    """A virtual store is a read-only view: scans compile to the source
+    tables, so a quads mutation would be silently invisible — UPDATE
+    must refuse instead."""
+    with pytest.raises(NotImplementedError, match="read-only virtual"):
+        store.update('INSERT DATA { <x:r:99> <x:r#r_name> "X" }')
