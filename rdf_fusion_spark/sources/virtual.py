@@ -108,14 +108,23 @@ class VirtualRelationalStore(GraphStore):
         self._quads = value
         self._cached_len = None
 
-    def update(self, sparql: str) -> None:
+    def _read_only(self, *_a, **_k):
         """Virtual stores are read-only VIEWS of the warehouse: pattern
         scans compile straight to the source tables, so a mutation of the
         quads union would be INVISIBLE to queries (silent divergence).
-        Materialize to update."""
+        Materialize to mutate."""
         raise NotImplementedError(
             "this store is a read-only virtual view; materialize it first "
-            "(GraphStore(spark, store.quads)) to run SPARQL UPDATE")
+            "(GraphStore(spark, store.quads)) to mutate")
+
+    update = _read_only
+    insert = _read_only
+    extend = _read_only
+    remove = _read_only
+    clear = _read_only
+    insert_named_graph = _read_only
+    clear_graph = _read_only
+    remove_named_graph = _read_only
 
     # ------------------------------------------------------------------
 

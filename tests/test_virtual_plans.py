@@ -138,9 +138,15 @@ def test_sip_constraint_reaches_optional_scan(store):
     assert plan.count("EqualTo(l_partkey,42)") >= 2, plan
 
 
-def test_virtual_store_update_rejected(store):
+def test_virtual_store_mutations_rejected(store):
     """A virtual store is a read-only view: scans compile to the source
-    tables, so a quads mutation would be silently invisible — UPDATE
-    must refuse instead."""
+    tables, so a quads mutation would be silently invisible — every
+    mutator must refuse instead."""
+    from rdf_fusion_spark import NamedNode
     with pytest.raises(NotImplementedError, match="read-only virtual"):
         store.update('INSERT DATA { <x:r:99> <x:r#r_name> "X" }')
+    with pytest.raises(NotImplementedError, match="read-only virtual"):
+        store.insert((None, NamedNode("x:a"), NamedNode("x:p"),
+                      NamedNode("x:b")))
+    with pytest.raises(NotImplementedError, match="read-only virtual"):
+        store.clear()
