@@ -1006,6 +1006,22 @@ def _pipeline_oracles() -> dict[str, str]:
                    AS fingerprint
         FROM documents
         """,
+        "q_text_repetition": f"""
+        WITH b AS (
+          SELECT doc_id,
+                 list_transform(
+                   generate_series(1, len({words}) - 1),
+                   i -> {words}[i] || ' ' || {words}[i+1]) AS bigrams
+          FROM documents
+        )
+        SELECT doc_id,
+               ROUND(CASE WHEN len(bigrams) > 0
+                     THEN 1.0 - len(list_distinct(bigrams))::DOUBLE
+                          / len(bigrams)::DOUBLE
+                     ELSE 0.0 END, 6) AS repetition_ratio
+        FROM b
+        ORDER BY repetition_ratio DESC, doc_id LIMIT 20
+        """,
         "q_train_val_split": f"""
         WITH stats AS (
           SELECT doc_id,
@@ -2318,6 +2334,16 @@ WHERE rnk <= {ANN_K}
 """
 
 
+def _pipe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 most repetitive documents by intra-doc bigram duplication
+    (the boilerplate/decoding-loop quality signal)."""
+    from .pipeline.text import with_repetition_ratio
+    d = with_repetition_ratio(_docs(spark, sf_dir))
+    return (d.select("doc_id", "repetition_ratio")
+            .orderBy(F.desc("repetition_ratio"), F.asc("doc_id"))
+            .limit(20))
+
+
 def _pipe_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard token-count distribution (p50/p90/p99) — the corpus
     length-profile report every training-data pipeline runs before
@@ -2529,6 +2555,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_token_percentiles": _pipe_token_percentiles,
     "q_train_val_split": _pipe_train_val_split,
     "q_ann_quantized_topk": _pipe_ann_quantized,
+    "q_text_repetition": _pipe_repetition,
 }
 
 

@@ -47,6 +47,28 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def with_repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Intra-document repetition: 1 − distinct/total word bigrams — the
+    boilerplate/loop-generation signal (near-0 for prose, →1 for
+    template spam and decoding loops). Pure column expressions; one
+    pass, no shuffle."""
+    words = words_col(F.col(text_col))
+    n = F.size(words)
+    # guard: sequence(1, 0) counts DOWN in Spark, producing invalid
+    # element_at indices for 1-word docs (ANSI mode raises)
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(
+        idx,
+        lambda i: F.concat_ws(" ", F.element_at(words, i),
+                              F.element_at(words, i + 1)))
+    total = F.size(bigrams)
+    rep = F.when(total > 0,
+                 1.0 - F.size(F.array_distinct(bigrams)).cast("double")
+                 / total.cast("double")).otherwise(F.lit(0.0))
+    return df.select("*", F.round(rep, 6).alias("repetition_ratio"))
+
+
 # stopword list for the quality score (English function words — the
 # "does this read like prose" signal; extend per corpus language mix)
 STOPWORDS = ["the", "a", "an", "of", "and", "or", "is", "are", "to", "in",

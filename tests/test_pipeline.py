@@ -341,3 +341,15 @@ def test_triangles_degree_ordered_matches_bruteforce(spark):
     got = {r["node"]: r["triangles"]
            for r in triangles_per_node(df).collect()}
     assert got == want
+
+
+def test_repetition_ratio_extremes(spark):
+    from rdf_fusion_spark.pipeline.text import with_repetition_ratio
+    df = spark.createDataFrame(
+        [(1, "spam spam spam spam spam"),     # one distinct bigram of 4
+         (2, "all words here are unique now"),
+         (3, "x")],                           # no bigrams → 0.0
+        "doc_id long, text string")
+    got = {r["doc_id"]: r["repetition_ratio"]
+           for r in with_repetition_ratio(df).collect()}
+    assert got[1] == 0.75 and got[2] == 0.0 and got[3] == 0.0
