@@ -57,6 +57,15 @@ def curation_pipeline(
     qual_kept = lang_kept.where(F.col("quality_score") >= min_quality)
     stages.append(("quality_filter", qual_kept))
 
+    # repetition filter: drop boilerplate / decoding-loop documents
+    # (intra-doc bigram duplication above 0.5 — near 0 for prose)
+    from .text import with_repetition_ratio
+    rep_kept = with_repetition_ratio(qual_kept) \
+        .where(F.col("repetition_ratio") <= 0.5) \
+        .drop("repetition_ratio")
+    stages.append(("repetition_filter", rep_kept))
+    qual_kept = rep_kept
+
     # exact dedup: keep each content group's canonical (lowest id) doc
     canon = exact_dedup_groups(qual_kept).select(
         F.col("canonical_id").alias("doc_id"))

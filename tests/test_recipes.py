@@ -37,9 +37,18 @@ def _oracle_funnel(con) -> list:
       SELECT * FROM __base WHERE lang_pred = 'en';
     CREATE OR REPLACE TEMP VIEW __qual AS
       SELECT * FROM __lang WHERE quality_score >= {MIN_QUALITY};
+    CREATE OR REPLACE TEMP VIEW __rep AS
+      SELECT * FROM __qual WHERE (
+        WITH w AS (SELECT string_split(text, ' ') AS ws)
+        SELECT CASE WHEN len(ws) >= 2
+               THEN 1.0 - len(list_distinct(list_transform(
+                        generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i+1])))::DOUBLE
+                    / (len(ws) - 1)::DOUBLE
+               ELSE 0.0 END FROM w) <= 0.5;
     CREATE OR REPLACE TEMP VIEW __ek AS
-      SELECT * FROM __qual WHERE doc_id IN (
-        SELECT MIN(doc_id) FROM __qual GROUP BY md5(text));
+      SELECT * FROM __rep WHERE doc_id IN (
+        SELECT MIN(doc_id) FROM __rep GROUP BY md5(text));
     CREATE OR REPLACE TEMP VIEW __pairs AS {pairs};
     CREATE OR REPLACE TEMP VIEW __nk AS
       SELECT * FROM __ek
@@ -56,7 +65,9 @@ def _oracle_funnel(con) -> list:
     """)
     out = []
     for name, view in [("input", "__base"), ("lang_filter", "__lang"),
-                       ("quality_filter", "__qual"), ("exact_dedup", "__ek"),
+                       ("quality_filter", "__qual"),
+                       ("repetition_filter", "__rep"),
+                       ("exact_dedup", "__ek"),
                        ("near_dedup", "__nk"), ("decontaminate", "__clean"),
                        ("mix_sample", "__sampled")]:
         n, t = con.execute(
