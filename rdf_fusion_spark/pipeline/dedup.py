@@ -236,7 +236,13 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
                 "beyond the %d-per-bucket cap were dropped (duplicate-"
                 "heavy corpus; run exact dedup upstream to remove "
                 "identical-text mega-clusters)", n_dropped, bucket_cap)
-        exploded = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn")
+        # eager checkpoint of the CAPPED table, then release the ranked
+        # cache immediately: the self-join reads the checkpoint blocks, so
+        # repeated calls in a long-lived session don't accumulate pinned
+        # persist blocks (round-5 ADVICE)
+        exploded = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn") \
+            .localCheckpoint(eager=True)
+        ranked.unpersist()
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))

@@ -376,10 +376,41 @@ def _correlated_exists_join(sol: Solution, pattern, negated: bool,
     bindings substituted), then semi/anti join the outer rows on the seed
     key. Every join is a hash join on the integer key."""
     key, seed = _correlated_exists_seed(sol, ctx)
-    matched = _lat(pattern, seed, key, ctx)
+    matched = _lat(pattern, seed, key, _no_consts(ctx))
     keys = matched.df.select(key).dropDuplicates()
     how = "left_anti" if negated else "left_semi"
     return replace(sol, df=seed.df.join(keys, on=key, how=how).drop(key))
+
+
+def _left_join_with_exists(l: Solution, r: Solution, expr, ctx: Ctx
+                           ) -> Solution:
+    """LeftJoin whose condition contains (NOT) EXISTS — e.g.
+    `OPTIONAL { P FILTER NOT EXISTS {...} }`. compile_bool can't express
+    EXISTS as a Column, so decompose per the spec definition
+    LeftJoin(L,R,E) = Filter(E, Join(L,R)) ∪ (L \\ survivors):
+    key L uniquely, inner-join, run the full filter machinery (which
+    handles EXISTS incl. correlated) on the joined solution, then pad the
+    left rows with no surviving match. All joins hash on the integer key."""
+    key = ctx.fresh("lj_id")
+    ldf = l.df.withColumn(key, tv.int_term(F.monotonically_increasing_id()))
+    ldf = ldf.localCheckpoint(eager=True)
+    lsol = replace(l, df=ldf, bound=l.bound | {key}, maybe=l.maybe | {key},
+                   kinds={**l.kinds, key: tv.K_INTEGER})
+    joined = join_solutions(lsol, r, "inner")
+    survivors = _translate_filter(A.Filter(expr, A.BGP([])), ctx, sol=joined)
+    out_vars = sorted((l.maybe | r.maybe))
+    sdf = survivors.df
+    for v in out_vars:
+        if v not in survivors.df.columns:
+            sdf = sdf.withColumn(v, NULL_TERM())
+    matched = survivors.df.select(key).dropDuplicates()
+    pad = ldf.join(matched, on=key, how="left_anti")
+    for v in sorted(set(out_vars) - set(ldf.columns)):
+        pad = pad.withColumn(v, NULL_TERM())
+    df = sdf.select(*out_vars).unionByName(pad.select(*out_vars))
+    from .join import merge_kinds
+    return Solution(df=df, bound=set(l.bound), maybe=l.maybe | r.maybe,
+                    pending_order=l.pending_order, kinds=merge_kinds(l, r))
 
 
 def _has_exists(expr) -> bool:
@@ -396,7 +427,7 @@ def _correlated_exists_marker(sol: Solution, pattern, ctx: Ctx):
     the seed against the distinct matched keys yields the boolean."""
     name = ctx.fresh("exists")
     key, seed = _correlated_exists_seed(sol, ctx)
-    matched = _lat(pattern, seed, key, ctx)
+    matched = _lat(pattern, seed, key, _no_consts(ctx))
     keys = matched.df.select(key).dropDuplicates() \
         .withColumn(f"__m_{name}", F.lit(True))
     df = seed.df.join(keys, on=key, how="left") \
@@ -413,7 +444,7 @@ def _bind_exists_markers(expr, sol: Solution, ctx: Ctx):
         if _exists_correlated(sol, expr.pattern):
             marker, sol = _correlated_exists_marker(sol, expr.pattern, ctx)
         else:
-            right = translate(expr.pattern, replace(ctx))
+            right = translate(expr.pattern, _no_consts(ctx))
             marker, sol = _exists_marker(sol, right, ctx)
         var_expr = A.EVar(marker)
         if expr.negated:
@@ -499,6 +530,8 @@ def translate(p, ctx: Ctx) -> Solution:
         consts = _collect_subject_consts(p.left)
         rctx = replace_ctx_consts(ctx, consts) if consts else ctx
         r = translate(p.right, rctx)
+        if p.expr is not None and _has_exists(p.expr):
+            return _left_join_with_exists(l, r, p.expr, ctx)
         cb = None
         if p.expr is not None:
             def cb(e, resolve):  # noqa: E306
@@ -517,7 +550,7 @@ def translate(p, ctx: Ctx) -> Solution:
         return _apply_extend_chain(p, ctx)
     if isinstance(p, A.Minus):
         l = translate(p.left, ctx)
-        r = translate(p.right, ctx)
+        r = translate(p.right, _no_consts(ctx))
         return minus_solutions(l, r)
     if isinstance(p, A.ValuesNode):
         return _translate_values(p, ctx)
@@ -606,7 +639,7 @@ def _lat(p, seed: Solution, key: str, ctx: Ctx) -> Solution:
         return _apply_extend(p, _lat(p.inner, seed, key, ctx), ctx)
     if isinstance(p, A.Minus):
         return minus_solutions(_lat(p.left, seed, key, ctx),
-                               translate(p.right, ctx))
+                               translate(p.right, _no_consts(ctx)))
     if isinstance(p, A.GraphNode) and isinstance(p.name, NamedNode):
         inner_ctx = replace(ctx, active_graph=ActiveGraph.union([p.name]),
                             graph_var=None)
@@ -828,6 +861,18 @@ def replace_ctx_consts(ctx: Ctx, consts: dict) -> Ctx:
     return replace(ctx, ambient_consts=merged)
 
 
+def _no_consts(ctx: Ctx) -> Ctx:
+    """Drop ambient constant constraints when entering a NEGATION scope
+    (MINUS right side, (NOT) EXISTS pattern). Rows there never join the
+    outer pattern — they only *cancel* other rows — and MINUS/EXISTS
+    compatibility is decided by the scope's own shared variables, not the
+    outer conjunctive context, so pruning them with outer constraints is
+    unsound (it under-cancels). Round-5 ADVICE finding (high)."""
+    if ctx.ambient_consts is None:
+        return ctx
+    return replace(ctx, ambient_consts=None)
+
+
 def _translate_bgp(p: A.BGP, ctx: Ctx, pushable: Optional[list] = None,
                    consumed: Optional[list] = None) -> Solution:
     """Star-collapsed, selectivity-ordered BGP join.
@@ -1004,7 +1049,7 @@ def _translate_filter(p: A.Filter, ctx: Ctx,
             if _exists_correlated(sol, c.pattern):
                 sol = _correlated_exists_join(sol, c.pattern, c.negated, ctx)
             else:
-                r = translate(c.pattern, replace(ctx))
+                r = translate(c.pattern, _no_consts(ctx))
                 sol = exists_join(sol, r, c.negated)
         elif (isinstance(c, A.ECall) and c.name == "!"
               and isinstance(c.args[0], A.EExists)):
@@ -1013,7 +1058,7 @@ def _translate_filter(p: A.Filter, ctx: Ctx,
                 sol = _correlated_exists_join(sol, ex.pattern,
                                               not ex.negated, ctx)
             else:
-                r = translate(ex.pattern, replace(ctx))
+                r = translate(ex.pattern, _no_consts(ctx))
                 sol = exists_join(sol, r, not ex.negated)
         else:
             plain.append(c)

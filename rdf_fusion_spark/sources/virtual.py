@@ -115,7 +115,12 @@ class VirtualRelationalStore(GraphStore):
         Materialize to mutate."""
         raise NotImplementedError(
             "this store is a read-only virtual view; materialize it first "
-            "(GraphStore(spark, store.quads)) to mutate")
+            "to mutate. Note virtual quads live in per-table NAMED graphs "
+            "(x:graph:<table>), so materialize into the DEFAULT graph to "
+            "keep default-graph queries working: GraphStore(spark, "
+            "store.quads.withColumn('g', F.lit(None).cast(store.quads"
+            ".schema['g'].dataType)))  — or query the copy with GRAPH "
+            "<x:graph:TABLE> { ... } patterns")
 
     update = _read_only
     insert = _read_only

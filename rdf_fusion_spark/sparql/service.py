@@ -42,7 +42,7 @@ def fetch_service_bindings(endpoint: NamedNode, query: str,
     """POST `query` to `endpoint`; return (variables, rows) where rows are
     dicts var→Term. Raises ServiceError on any failure (the caller maps
     SILENT to the unit solution per spec §18.2.5.2)."""
-    url = str(endpoint.value if hasattr(endpoint, "value") else endpoint)
+    url = endpoint.iri if hasattr(endpoint, "iri") else str(endpoint)
     req = urllib.request.Request(
         url,
         data=query.encode("utf-8"),

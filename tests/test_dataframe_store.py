@@ -77,3 +77,44 @@ def test_update_rejected_or_supported(store):
     from rdf_fusion_spark.sources.relational import register_table_mapping
     with pytest.raises(ValueError):
         register_table_mapping("another", code="people")
+
+
+@pytest.fixture(scope="module")
+def negation_store(spark):
+    """Fixture for the SIP-into-negation-scope soundness regression: a
+    row matching the outer constraint carries no `v`, another row
+    carries `v` but fails the constraint."""
+    t = spark.createDataFrame(
+        [(1, "yes", None), (2, "no", "a")],
+        "tid long, flag string, v string")
+    return VirtualDataFrameStore(spark, {"t": t}, keys={"t": ["tid"]})
+
+
+def test_sip_not_injected_into_minus_scope(negation_store):
+    """Ambient constants from an OPTIONAL's left side must NOT prune
+    BGPs inside a MINUS right side: those rows only *cancel* other rows
+    (round-5 ADVICE, translator.py SIP). The MINUS operand here matches
+    a row that fails the outer `flag="yes"` constraint — it must still
+    cancel the OPTIONAL row, leaving ?x/?v unbound."""
+    res = negation_store.query("""
+      SELECT ?s ?x ?v WHERE {
+        ?s <x:t#flag> "yes" .
+        OPTIONAL { ?x <x:t#v> ?v . MINUS { ?s2 <x:t#v> ?v } }
+      }
+    """)
+    rows = res.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["x"] is None and rows[0]["v"] is None
+
+
+def test_sip_not_injected_into_not_exists_scope(negation_store):
+    res = negation_store.query("""
+      SELECT ?s ?x ?v WHERE {
+        ?s <x:t#flag> "yes" .
+        OPTIONAL { ?x <x:t#v> ?v .
+                   FILTER NOT EXISTS { ?s2 <x:t#v> ?v } }
+      }
+    """)
+    rows = res.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["x"] is None and rows[0]["v"] is None
