@@ -2175,6 +2175,640 @@ _q(
     """,
 )
 
+# ---------------------------------------------------------------------------
+# Round-5: the REST of the reference's golden benchmark workload
+# (bench/tests/query_results/queries/ holds 28 pinned queries; rounds 3-4
+# mirrored 8, these are the other 20). Same mapping as above: BSBM
+# product→part, offer→lineitem, vendor→supplier, review→orders,
+# reviewer→customer, producer country→supplier nation; WindFarm
+# site→region, turbine→nation, datapoint→order.
+# ---------------------------------------------------------------------------
+
+# WindFarm production query 1 (single-turbine equality filter variant of
+# the chain; wind-farm-production-query1.sparql).
+_WINDFARM_CHAIN = """
+      ?r a <x:class:region> .
+      ?r r:r_name ?region_label .
+      ?n n:n_regionkey ?r .
+      ?n n:n_name ?nation_label .
+      ?c a <x:class:customer> .
+      ?c c:c_nationkey ?n .
+      ?c c:c_name ?cust_label .
+      ?ord o:o_custkey ?c .
+      ?ord o:o_orderdate ?t .
+      ?ord o:o_totalprice ?val .
+"""
+
+_WINDFARM_SQL = """
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+"""
+
+_q(
+    "q_windfarm_production1",
+    f"""
+    SELECT ?nation_label ?cust_label ?t ?val WHERE {{
+      {_WINDFARM_CHAIN}
+      FILTER(?nation_label = "NATION_2" && ?region_label = "ASIA")
+    }}
+    ORDER BY ?nation_label ?cust_label ?t ?val ?ord
+    LIMIT 10
+    """,
+    [("nation_label", "str"), ("cust_label", "str"),
+     ("t", "timestamp"), ("val", "double")],
+    f"""
+    SELECT n_name AS nation_label, c_name AS cust_label,
+           o_orderdate AS t, o_totalprice AS val
+    {_WINDFARM_SQL}
+    WHERE r_name = 'ASIA' AND n_name = 'NATION_2'
+    ORDER BY nation_label, cust_label, t, val,
+             'x:o:' || CAST(o_orderkey AS VARCHAR)
+    LIMIT 10
+    """,
+)
+
+# WindFarm production query 3 (site-only filter; the turbine label is
+# unconstrained — wind-farm-production-query3.sparql).
+_q(
+    "q_windfarm_production3",
+    f"""
+    SELECT ?nation_label ?cust_label ?t ?val WHERE {{
+      {_WINDFARM_CHAIN}
+      FILTER(?region_label = "ASIA")
+    }}
+    ORDER BY ?nation_label ?cust_label ?t ?val ?ord
+    LIMIT 10
+    """,
+    [("nation_label", "str"), ("cust_label", "str"),
+     ("t", "timestamp"), ("val", "double")],
+    f"""
+    SELECT n_name AS nation_label, c_name AS cust_label,
+           o_orderdate AS t, o_totalprice AS val
+    {_WINDFARM_SQL}
+    WHERE r_name = 'ASIA'
+    ORDER BY nation_label, cust_label, t, val,
+             'x:o:' || CAST(o_orderkey AS VARCHAR)
+    LIMIT 10
+    """,
+)
+
+# WindFarm production query 4 (whole-farm scan: NO filter at all —
+# wind-farm-production-query4.sparql; the top-k sort must still prune).
+_q(
+    "q_windfarm_production4",
+    f"""
+    SELECT ?nation_label ?cust_label ?t ?val WHERE {{
+      {_WINDFARM_CHAIN}
+    }}
+    ORDER BY ?nation_label ?cust_label ?t ?val ?ord
+    LIMIT 10
+    """,
+    [("nation_label", "str"), ("cust_label", "str"),
+     ("t", "timestamp"), ("val", "double")],
+    f"""
+    SELECT n_name AS nation_label, c_name AS cust_label,
+           o_orderdate AS t, o_totalprice AS val
+    {_WINDFARM_SQL}
+    ORDER BY nation_label, cust_label, t, val,
+             'x:o:' || CAST(o_orderkey AS VARCHAR)
+    LIMIT 10
+    """,
+)
+
+_WINDFARM_GROUPED_BINDS = """
+      BIND(MONTH(?t) AS ?month)
+      BIND(YEAR(?t) AS ?year)
+"""
+
+# WindFarm grouped production query 1 (single turbine + time window —
+# wind-farm-grouped-production-query1.sparql).
+_q(
+    "q_windfarm_grouped1",
+    f"""
+    SELECT ?nation_label ?year ?month
+           (xsd:double(AVG(xsd:decimal(?val))) AS ?avg_val)
+           (COUNT(?ord) AS ?n_points)
+    WHERE {{
+      {_WINDFARM_CHAIN}
+      {_WINDFARM_GROUPED_BINDS}
+      FILTER(?region_label = "ASIA" && ?nation_label = "NATION_2"
+          && ?t >= "1996-01-01T00:00:00"^^xsd:dateTime
+          && ?t <= "1997-12-31T00:00:00"^^xsd:dateTime)
+    }}
+    GROUP BY ?nation_label ?year ?month
+    ORDER BY ?nation_label ?year ?month
+    LIMIT 10
+    """,
+    [("nation_label", "str"), ("year", "long"), ("month", "long"),
+     ("avg_val", "double6"), ("n_points", "long")],
+    f"""
+    SELECT n_name AS nation_label,
+           CAST(EXTRACT(year  FROM o_orderdate) AS BIGINT) AS year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+           ROUND(CAST(CAST(AVG({_dec('o_totalprice')}) AS VARCHAR)
+                 AS DOUBLE), 6) AS avg_val,
+           COUNT(*) AS n_points
+    {_WINDFARM_SQL}
+    WHERE r_name = 'ASIA' AND n_name = 'NATION_2'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31'
+    GROUP BY n_name, year, month
+    ORDER BY nation_label, year, month
+    LIMIT 10
+    """,
+)
+
+# WindFarm grouped production query 2 (turbine IN-list + window —
+# wind-farm-grouped-production-query2.sparql).
+_q(
+    "q_windfarm_grouped2",
+    f"""
+    SELECT ?nation_label ?year ?month
+           (xsd:double(AVG(xsd:decimal(?val))) AS ?avg_val)
+           (COUNT(?ord) AS ?n_points)
+    WHERE {{
+      {_WINDFARM_CHAIN}
+      {_WINDFARM_GROUPED_BINDS}
+      FILTER(?region_label = "ASIA"
+          && ?nation_label IN ("NATION_2", "NATION_7", "NATION_12",
+                               "NATION_17", "NATION_22")
+          && ?t >= "1996-01-01T00:00:00"^^xsd:dateTime
+          && ?t <= "1997-12-31T00:00:00"^^xsd:dateTime)
+    }}
+    GROUP BY ?nation_label ?year ?month
+    ORDER BY ?nation_label ?year ?month
+    LIMIT 10
+    """,
+    [("nation_label", "str"), ("year", "long"), ("month", "long"),
+     ("avg_val", "double6"), ("n_points", "long")],
+    f"""
+    SELECT n_name AS nation_label,
+           CAST(EXTRACT(year  FROM o_orderdate) AS BIGINT) AS year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+           ROUND(CAST(CAST(AVG({_dec('o_totalprice')}) AS VARCHAR)
+                 AS DOUBLE), 6) AS avg_val,
+           COUNT(*) AS n_points
+    {_WINDFARM_SQL}
+    WHERE r_name = 'ASIA'
+      AND n_name IN ('NATION_2','NATION_7','NATION_12',
+                     'NATION_17','NATION_22')
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31'
+    GROUP BY n_name, year, month
+    ORDER BY nation_label, year, month
+    LIMIT 10
+    """,
+)
+
+# WindFarm grouped production query 4 (window only, every site/turbine —
+# wind-farm-grouped-production-query4.sparql; grouping keeps BOTH labels
+# like the reference's site_label + wtur_label keys).
+_q(
+    "q_windfarm_grouped4",
+    f"""
+    SELECT ?region_label ?nation_label ?year ?month
+           (xsd:double(AVG(xsd:decimal(?val))) AS ?avg_val)
+           (COUNT(?ord) AS ?n_points)
+    WHERE {{
+      {_WINDFARM_CHAIN}
+      {_WINDFARM_GROUPED_BINDS}
+      FILTER(?t >= "1996-01-01T00:00:00"^^xsd:dateTime
+          && ?t <= "1997-12-31T00:00:00"^^xsd:dateTime)
+    }}
+    GROUP BY ?region_label ?nation_label ?year ?month
+    ORDER BY ?region_label ?nation_label ?year ?month
+    LIMIT 10
+    """,
+    [("region_label", "str"), ("nation_label", "str"), ("year", "long"),
+     ("month", "long"), ("avg_val", "double6"), ("n_points", "long")],
+    f"""
+    SELECT r_name AS region_label, n_name AS nation_label,
+           CAST(EXTRACT(year  FROM o_orderdate) AS BIGINT) AS year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+           ROUND(CAST(CAST(AVG({_dec('o_totalprice')}) AS VARCHAR)
+                 AS DOUBLE), 6) AS avg_val,
+           COUNT(*) AS n_points
+    {_WINDFARM_SQL}
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31'
+    GROUP BY r_name, n_name, year, month
+    ORDER BY region_label, nation_label, year, month
+    LIMIT 10
+    """,
+)
+
+# BSBM Explore Q1: type anchor + two constant "features" + numeric range,
+# DISTINCT + ORDER + LIMIT (explore-q1.sparql; the reference's two
+# productFeature constants map to the two categorical part columns).
+# ?product tiebreak: labels are non-unique here.
+_q(
+    "q_bsbm_explore_q1",
+    """
+    SELECT DISTINCT ?product ?label WHERE {
+      ?product p:p_name ?label .
+      ?product a <x:class:part> .
+      ?product p:p_type "STANDARD" .
+      ?product p:p_brand "Brand#3" .
+      ?product p:p_size ?value1 .
+      FILTER(?value1 > "10"^^xsd:integer)
+    }
+    ORDER BY ASC(?label) ?product
+    LIMIT 10
+    """,
+    [("product", "str"), ("label", "str")],
+    """
+    SELECT DISTINCT 'x:p:' || CAST(p_partkey AS VARCHAR) AS product,
+           p_name AS label
+    FROM part
+    WHERE p_type = 'STANDARD' AND p_brand = 'Brand#3' AND p_size > 10
+    ORDER BY label, product
+    LIMIT 10
+    """,
+)
+
+# BSBM Explore Q3: negation-as-OPTIONAL+!BOUND — the OPTIONAL carries a
+# second feature constant; surviving rows are those where it stayed
+# unbound (explore-q3.sparql).
+_q(
+    "q_bsbm_explore_q3",
+    """
+    SELECT ?product ?label WHERE {
+      ?product p:p_name ?label .
+      ?product a <x:class:part> .
+      ?product p:p_type "STANDARD" .
+      ?product p:p_size ?p1 .
+      ?product p:p_retailprice ?p3 .
+      OPTIONAL {
+        ?product p:p_brand "Brand#3" .
+        ?product p:p_name ?testVar .
+      }
+      FILTER(?p1 > "15"^^xsd:integer && ?p3 < 1500.0 && !BOUND(?testVar))
+    }
+    ORDER BY ASC(?label) ?product
+    LIMIT 10
+    """,
+    [("product", "str"), ("label", "str")],
+    """
+    SELECT 'x:p:' || CAST(p_partkey AS VARCHAR) AS product, p_name AS label
+    FROM part
+    WHERE p_type = 'STANDARD' AND p_size > 15 AND p_retailprice < 1500.0
+      AND p_brand <> 'Brand#3'
+    ORDER BY label, product
+    LIMIT 10
+    """,
+)
+
+# BSBM Explore Q10: offer chain with vendor-country anchor, two range
+# filters, DISTINCT, ORDER BY a CAST THROUGH STRING of the price
+# (explore-q10.sparql's xsd:double(STR(?price)) sort key) + LIMIT.
+_q(
+    "q_bsbm_explore_q10",
+    """
+    SELECT DISTINCT ?ord ?price WHERE {
+      ?offer l:l_partkey <x:p:42> .
+      ?offer l:l_suppkey ?vendor .
+      ?vendor s:s_nationkey <x:n:4> .
+      ?offer l:l_quantity ?deliveryDays .
+      ?offer l:l_extendedprice ?price .
+      ?offer l:l_shipdate ?date .
+      ?offer l:l_orderkey ?ord .
+      FILTER(?deliveryDays <= "30"^^xsd:integer
+          && ?date > "1996-06-20T00:00:00"^^xsd:dateTime)
+    }
+    ORDER BY ASC(xsd:double(STR(?price))) ?ord
+    LIMIT 10
+    """,
+    [("ord", "str"), ("price", "double")],
+    """
+    SELECT DISTINCT 'x:o:' || CAST(l_orderkey AS VARCHAR) AS ord,
+           l_extendedprice AS price
+    FROM lineitem
+    JOIN supplier ON s_suppkey = l_suppkey
+    WHERE l_partkey = 42 AND s_nationkey = 4
+      AND l_quantity <= 30
+      AND l_shipdate > TIMESTAMP '1996-06-20'
+    ORDER BY price, ord
+    LIMIT 10
+    """,
+)
+
+# BSBM Explore Q11: VARIABLE-PREDICATE scans in both directions around a
+# constant node — the classic "everything about X" union
+# (explore-q11.sparql). Exercises the virtual store's whole-row predicate
+# enumeration (no constant predicate to anchor on).
+_q(
+    "q_bsbm_explore_q11",
+    """
+    SELECT ?property ?hasValue ?isValueOf WHERE {
+      { <x:n:5> ?property ?hasValue }
+      UNION
+      { ?isValueOf ?property <x:n:5> }
+    }
+    ORDER BY ?property ?hasValue ?isValueOf
+    """,
+    [("property", "str"), ("hasValue", "str"), ("isValueOf", "str")],
+    """
+    SELECT 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS property,
+           'x:class:nation' AS hasValue, CAST(NULL AS VARCHAR) AS isValueOf
+    UNION ALL
+    SELECT 'x:n#n_nationkey', '5', NULL
+    UNION ALL
+    SELECT 'x:n#n_name', n_name, NULL FROM nation WHERE n_nationkey = 5
+    UNION ALL
+    SELECT 'x:n#n_regionkey', 'x:r:' || CAST(n_regionkey AS VARCHAR), NULL
+    FROM nation WHERE n_nationkey = 5
+    UNION ALL
+    SELECT 'x:c#c_nationkey', NULL, 'x:c:' || CAST(c_custkey AS VARCHAR)
+    FROM customer WHERE c_nationkey = 5
+    UNION ALL
+    SELECT 'x:s#s_nationkey', NULL, 'x:s:' || CAST(s_suppkey AS VARCHAR)
+    FROM supplier WHERE s_nationkey = 5
+    """,
+)
+
+
+# BSBM Explore Q2: wide constant-subject star (12 projected attributes in
+# the reference) + FK label hops + three OPTIONALs. Two pinned variants:
+# the reference pins one product whose optional properties exist and one
+# where they don't (explore-q2-{non-,}empty-optional.sparql). Here the
+# "empty" OPTIONALs reference predicates absent from the mapped schema,
+# so they must compile to empty scans, not errors.
+_EXPLORE_Q2_CORE = """
+      <x:o:7> o:o_orderstatus ?status .
+      <x:o:7> o:o_totalprice ?price .
+      <x:o:7> o:o_orderdate ?date .
+      <x:o:7> o:o_orderpriority ?prio .
+      <x:o:7> o:o_custkey ?c .
+      ?c c:c_name ?cust_name .
+      ?c c:c_nationkey ?n .
+      ?n n:n_name ?nat_name .
+"""
+
+_q(
+    "q_bsbm_explore_q2_nonempty",
+    f"""
+    SELECT ?status ?price ?date ?prio ?cust_name ?nat_name
+           ?opt_total ?opt_prio ?opt_seg WHERE {{
+      {_EXPLORE_Q2_CORE}
+      OPTIONAL {{ <x:o:7> o:o_totalprice ?opt_total . }}
+      OPTIONAL {{ <x:o:7> o:o_orderpriority ?opt_prio . }}
+      OPTIONAL {{ ?c c:c_mktsegment ?opt_seg . }}
+    }}
+    ORDER BY ?status ?price ?date ?prio ?cust_name ?nat_name
+             ?opt_total ?opt_prio ?opt_seg
+    """,
+    [("status", "str"), ("price", "double"), ("date", "timestamp"),
+     ("prio", "str"), ("cust_name", "str"), ("nat_name", "str"),
+     ("opt_total", "double"), ("opt_prio", "str"), ("opt_seg", "str")],
+    """
+    SELECT o_orderstatus AS status, o_totalprice AS price,
+           o_orderdate AS date, o_orderpriority AS prio,
+           c_name AS cust_name, n_name AS nat_name,
+           o_totalprice AS opt_total, o_orderpriority AS opt_prio,
+           c_mktsegment AS opt_seg
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderkey = 7
+    """,
+)
+
+_q(
+    "q_bsbm_explore_q2_empty",
+    f"""
+    SELECT ?status ?price ?date ?prio ?cust_name ?nat_name
+           ?comment ?clerk ?shipprio WHERE {{
+      {_EXPLORE_Q2_CORE}
+      OPTIONAL {{ <x:o:7> o:o_comment ?comment . }}
+      OPTIONAL {{ <x:o:7> o:o_clerk ?clerk . }}
+      OPTIONAL {{ <x:o:7> o:o_shippriority ?shipprio . }}
+    }}
+    ORDER BY ?status ?price ?date ?prio ?cust_name ?nat_name
+             ?comment ?clerk ?shipprio
+    """,
+    [("status", "str"), ("price", "double"), ("date", "timestamp"),
+     ("prio", "str"), ("cust_name", "str"), ("nat_name", "str"),
+     ("comment", "str"), ("clerk", "str"), ("shipprio", "str")],
+    """
+    SELECT o_orderstatus AS status, o_totalprice AS price,
+           o_orderdate AS date, o_orderpriority AS prio,
+           c_name AS cust_name, n_name AS nat_name,
+           CAST(NULL AS VARCHAR) AS comment,
+           CAST(NULL AS VARCHAR) AS clerk,
+           CAST(NULL AS VARCHAR) AS shipprio
+    FROM orders
+    JOIN customer ON c_custkey = o_custkey
+    JOIN nation   ON n_nationkey = c_nationkey
+    WHERE o_orderkey = 7
+    """,
+)
+
+# BSBM Explore Q7: one product's label + two INDEPENDENT optional chains
+# (offers from one country's vendors with a date filter; reviews with
+# nested per-rating OPTIONALs) — a left-deep tree whose optional sides
+# multiply (explore-q7.sparql).
+_q(
+    "q_bsbm_explore_q7",
+    """
+    SELECT ?product_label ?price ?vendor_name ?ord_prio ?cust_name
+           ?qty ?tax WHERE {
+      <x:p:42> p:p_name ?product_label .
+      OPTIONAL {
+        ?offer l:l_partkey <x:p:42> .
+        ?offer l:l_extendedprice ?price .
+        ?offer l:l_suppkey ?vendor .
+        ?vendor s:s_name ?vendor_name .
+        ?vendor s:s_nationkey <x:n:4> .
+        ?offer l:l_shipdate ?vdate .
+        FILTER(?vdate > "1996-06-20T00:00:00"^^xsd:dateTime)
+      }
+      OPTIONAL {
+        ?rli l:l_partkey <x:p:42> .
+        ?rli l:l_orderkey ?rev .
+        ?rev o:o_orderpriority ?ord_prio .
+        ?rev o:o_custkey ?cust .
+        ?cust c:c_name ?cust_name .
+        OPTIONAL { ?rli l:l_quantity ?qty . FILTER(?qty >= 20.0) }
+        OPTIONAL { ?rli l:l_tax ?tax . FILTER(?tax > 0.04) }
+      }
+    }
+    ORDER BY ?product_label ?price ?vendor_name ?ord_prio ?cust_name
+             ?qty ?tax
+    """,
+    [("product_label", "str"), ("price", "double"), ("vendor_name", "str"),
+     ("ord_prio", "str"), ("cust_name", "str"), ("qty", "double"),
+     ("tax", "double")],
+    """
+    WITH offers AS (
+      SELECT l_extendedprice AS price, s_name AS vendor_name
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      WHERE l_partkey = 42 AND s_nationkey = 4
+        AND l_shipdate > TIMESTAMP '1996-06-20'
+    ),
+    reviews AS (
+      SELECT o_orderpriority AS ord_prio, c_name AS cust_name,
+             CASE WHEN l_quantity >= 20.0 THEN l_quantity END AS qty,
+             CASE WHEN l_tax > 0.04 THEN l_tax END AS tax
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      WHERE l_partkey = 42
+    )
+    SELECT p_name AS product_label, offers.price, offers.vendor_name,
+           reviews.ord_prio, reviews.cust_name, reviews.qty, reviews.tax
+    FROM part
+    CROSS JOIN offers
+    CROSS JOIN reviews
+    WHERE p_partkey = 42
+    """,
+)
+
+# BSBM BI Q1: review count per product type with producer-country and
+# reviewer-country anchors, via the BI count-alias + BIND-rename subquery
+# indirection (bi-q1.sparql).
+_q(
+    "q_bsbm_bi_q1",
+    """
+    SELECT ?ptype ?reviewCount WHERE {
+      {
+        SELECT ?ptype ?reviewCount WHERE {
+          {
+            SELECT (COUNT(?rev) AS ?cnt) ?ptype WHERE {
+              ?product p:p_type ?ptype .
+              ?li l:l_partkey ?product .
+              ?li l:l_suppkey ?producer .
+              ?producer s:s_nationkey <x:n:3> .
+              ?li l:l_orderkey ?rev .
+              ?rev o:o_custkey ?reviewer .
+              ?reviewer c:c_nationkey <x:n:7> .
+            }
+            GROUP BY ?ptype
+          }
+          BIND(?cnt AS ?reviewCount)
+        }
+      }
+    }
+    ORDER BY DESC(?reviewCount) ASC(?ptype)
+    LIMIT 10
+    """,
+    [("ptype", "str"), ("reviewCount", "long")],
+    """
+    SELECT p_type AS ptype, COUNT(*) AS reviewCount
+    FROM lineitem
+    JOIN part     ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    WHERE s_nationkey = 3 AND c_nationkey = 7
+    GROUP BY p_type
+    ORDER BY reviewCount DESC, ptype ASC
+    LIMIT 10
+    """,
+)
+
+# BSBM BI Q2: products sharing the most "features" with a pinned product
+# — feature-equality FILTER over a UNION of the two categorical columns,
+# count per product, self-exclusion (bi-q2.sparql).
+_q(
+    "q_bsbm_bi_q2",
+    """
+    SELECT ?otherProduct ?sameFeatures WHERE {
+      ?otherProduct a <x:class:part> .
+      {
+        SELECT ?otherProduct ?sameFeatures WHERE {
+          {
+            SELECT (COUNT(?otherFeature) AS ?cnt) ?otherProduct WHERE {
+              {
+                <x:p:42> p:p_brand ?feature .
+                ?otherProduct p:p_brand ?otherFeature .
+              }
+              UNION
+              {
+                <x:p:42> p:p_type ?feature .
+                ?otherProduct p:p_type ?otherFeature .
+              }
+              FILTER(?feature = ?otherFeature)
+            }
+            GROUP BY ?otherProduct
+          }
+          BIND(?cnt AS ?sameFeatures)
+        }
+      }
+      FILTER(!(?otherProduct = <x:p:42>))
+    }
+    ORDER BY DESC(?sameFeatures) ASC(?otherProduct)
+    LIMIT 10
+    """,
+    [("otherProduct", "str"), ("sameFeatures", "long")],
+    """
+    WITH x AS (SELECT p_brand, p_type FROM part WHERE p_partkey = 42)
+    SELECT 'x:p:' || CAST(p.p_partkey AS VARCHAR) AS otherProduct,
+           (CAST(p.p_brand = x.p_brand AS INT)
+            + CAST(p.p_type = x.p_type AS INT))::BIGINT AS sameFeatures
+    FROM part p, x
+    WHERE p.p_partkey <> 42
+      AND (p.p_brand = x.p_brand OR p.p_type = x.p_type)
+    ORDER BY sameFeatures DESC, otherProduct ASC
+    LIMIT 10
+    """,
+)
+
+# BSBM BI Q7: top-1000 products of a type by offer count, then keep those
+# with NO offer from a pinned country's vendors — ORDER+LIMIT inside a
+# subselect feeding a correlated NOT EXISTS (bi-q7.sparql).
+_q(
+    "q_bsbm_bi_q7",
+    """
+    SELECT ?product WHERE {
+      {
+        SELECT ?product WHERE {
+          {
+            SELECT ?product ?offerCount WHERE {
+              {
+                SELECT (COUNT(?offer) AS ?cnt) ?product WHERE {
+                  ?product p:p_type "MEDIUM" .
+                  ?offer l:l_partkey ?product .
+                }
+                GROUP BY ?product
+              }
+              BIND(?cnt AS ?offerCount)
+            }
+          }
+        }
+        ORDER BY DESC(?offerCount) ?product
+        LIMIT 1000
+      }
+      FILTER NOT EXISTS {
+        ?offer2 l:l_partkey ?product .
+        ?offer2 l:l_suppkey ?vendor .
+        ?vendor s:s_nationkey ?country .
+        FILTER(?country = <x:n:4>)
+      }
+    }
+    ORDER BY ?product
+    """,
+    [("product", "str")],
+    """
+    WITH top_products AS (
+      SELECT 'x:p:' || CAST(l_partkey AS VARCHAR) AS product,
+             l_partkey, COUNT(*) AS cnt
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'MEDIUM'
+      GROUP BY l_partkey
+      ORDER BY cnt DESC, product
+      LIMIT 1000
+    )
+    SELECT product FROM top_products t
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem l JOIN supplier s ON s_suppkey = l_suppkey
+      WHERE l.l_partkey = t.l_partkey AND s.s_nationkey = 4
+    )
+    ORDER BY product
+    """,
+)
+
 
 def _pipe_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the customer→supplier trade graph (edges = distinct
