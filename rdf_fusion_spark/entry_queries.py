@@ -2659,8 +2659,8 @@ _q(
     SELECT p_name AS product_label, offers.price, offers.vendor_name,
            reviews.ord_prio, reviews.cust_name, reviews.qty, reviews.tax
     FROM part
-    CROSS JOIN offers
-    CROSS JOIN reviews
+    LEFT JOIN offers  ON TRUE
+    LEFT JOIN reviews ON TRUE
     WHERE p_partkey = 42
     """,
 )
@@ -2808,6 +2808,341 @@ _q(
     ORDER BY product
     """,
 )
+
+
+# BSBM BI Q4: price ratio of products WITH each feature vs products of
+# the same type WITHOUT it — the without-side pairs every distinct
+# feature against every offer and prunes with a correlated NOT EXISTS
+# (bi-q4.sparql). Averages via the exact-decimal sum/count convention;
+# ratio rounded for the cross-engine compare and used as the sort key.
+_q(
+    "q_bsbm_bi_q4",
+    """
+    SELECT ?feature ?priceRatio WHERE {
+      {
+        SELECT ?feature ?withFeaturePrice WHERE {
+          {
+            SELECT (xsd:double(SUM(xsd:decimal(?price))) / COUNT(?price)
+                    AS ?wp) ?feature WHERE {
+              ?product p:p_type "STANDARD" .
+              ?product p:p_brand ?feature .
+              ?offer l:l_partkey ?product .
+              ?offer l:l_extendedprice ?price .
+            }
+            GROUP BY ?feature
+          }
+          BIND(?wp AS ?withFeaturePrice)
+        }
+      }
+      {
+        SELECT ?feature ?withoutFeaturePrice WHERE {
+          {
+            SELECT (xsd:double(SUM(xsd:decimal(?price2))) / COUNT(?price2)
+                    AS ?wop) ?feature WHERE {
+              {
+                SELECT DISTINCT ?feature WHERE {
+                  ?p2 p:p_type "STANDARD" .
+                  ?p2 p:p_brand ?feature .
+                }
+              }
+              ?product2 p:p_type "STANDARD" .
+              ?offer2 l:l_partkey ?product2 .
+              ?offer2 l:l_extendedprice ?price2 .
+              FILTER NOT EXISTS { ?product2 p:p_brand ?feature . }
+            }
+            GROUP BY ?feature
+          }
+          BIND(?wop AS ?withoutFeaturePrice)
+        }
+      }
+      BIND(ROUND(?withFeaturePrice / ?withoutFeaturePrice * 1000000.0)
+           / 1000000.0 AS ?priceRatio)
+    }
+    ORDER BY DESC(?priceRatio) ASC(?feature)
+    LIMIT 10
+    """,
+    [("feature", "str"), ("priceRatio", "double")],
+    f"""
+    WITH std AS (
+      SELECT p_partkey, p_brand FROM part WHERE p_type = 'STANDARD'
+    ),
+    offers AS (
+      SELECT s.p_brand, l.l_extendedprice
+      FROM lineitem l JOIN std s ON s.p_partkey = l.l_partkey
+    ),
+    with_f AS (
+      SELECT p_brand AS feature,
+             CAST(CAST(SUM({_dec('l_extendedprice')}) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS wp
+      FROM offers GROUP BY p_brand
+    ),
+    without_f AS (
+      SELECT f.feature,
+             CAST(CAST(SUM({_dec('o.l_extendedprice')}) AS VARCHAR) AS DOUBLE)
+               / COUNT(*) AS wop
+      FROM (SELECT DISTINCT p_brand AS feature FROM std) f
+      JOIN offers o ON o.p_brand <> f.feature
+      GROUP BY f.feature
+    )
+    SELECT w.feature,
+           ROUND(w.wp / wo.wop * 1000000.0) / 1000000.0 AS priceRatio
+    FROM with_f w JOIN without_f wo ON w.feature = wo.feature
+    ORDER BY priceRatio DESC, w.feature ASC
+    LIMIT 10
+    """,
+)
+
+# BSBM BI Q6: reviewers whose average score beats 1.5x the global average
+# — the global average enters as a cross-joined scalar subquery smuggled
+# through MIN() past the GROUP BY, and the score source is a 3-level
+# nested UNION of four rating predicates appearing IDENTICALLY in both
+# aggregations (bi-q6.sparql; a common-subquery-elimination shape).
+_BI_Q6_RATINGS = """
+      {{ {{ {{ {li} l:l_quantity {v} }} UNION {{ {li} l:l_tax {v} }} }}
+         UNION {{ {li} l:l_discount {v} }} }}
+      UNION {{ {li} l:l_extendedprice {v} }}
+"""
+
+_q(
+    "q_bsbm_bi_q6",
+    f"""
+    SELECT ?reviewer ?reviewerAvgScore WHERE {{
+      {{
+        SELECT ?reviewer
+               (xsd:double(SUM(xsd:decimal(?score))) / COUNT(?score) AS ?ravg)
+               (MIN(?gavg) AS ?g) WHERE {{
+          {{
+            SELECT (xsd:double(SUM(xsd:decimal(?score0))) / COUNT(?score0)
+                    AS ?gavg) WHERE {{
+              ?li0 l:l_suppkey <x:s:6> .
+              {_BI_Q6_RATINGS.format(li="?li0", v="?score0")}
+            }}
+          }}
+          ?li l:l_suppkey <x:s:6> .
+          ?li l:l_orderkey ?rev .
+          ?rev o:o_custkey ?reviewer .
+          {_BI_Q6_RATINGS.format(li="?li", v="?score")}
+        }}
+        GROUP BY ?reviewer
+      }}
+      FILTER(?ravg > ?g * 1.5)
+      BIND(ROUND(?ravg * 1000000.0) / 1000000.0 AS ?reviewerAvgScore)
+    }}
+    ORDER BY ?reviewer ?reviewerAvgScore
+    """,
+    [("reviewer", "str"), ("reviewerAvgScore", "double")],
+    f"""
+    WITH scores AS (
+      SELECT o_custkey, v FROM (
+        SELECT l_orderkey, l_quantity AS v FROM lineitem WHERE l_suppkey = 6
+        UNION ALL
+        SELECT l_orderkey, l_tax FROM lineitem WHERE l_suppkey = 6
+        UNION ALL
+        SELECT l_orderkey, l_discount FROM lineitem WHERE l_suppkey = 6
+        UNION ALL
+        SELECT l_orderkey, l_extendedprice FROM lineitem WHERE l_suppkey = 6
+      ) JOIN orders ON o_orderkey = l_orderkey
+    ),
+    g AS (
+      SELECT CAST(CAST(SUM({_dec('v')}) AS VARCHAR) AS DOUBLE) / COUNT(*)
+        AS gavg
+      FROM scores
+    )
+    SELECT 'x:c:' || CAST(o_custkey AS VARCHAR) AS reviewer,
+           ROUND(CAST(CAST(SUM({_dec('v')}) AS VARCHAR) AS DOUBLE) / COUNT(*)
+                 * 1000000.0) / 1000000.0 AS reviewerAvgScore
+    FROM scores, g
+    GROUP BY o_custkey, g.gavg
+    HAVING CAST(CAST(SUM({_dec('v')}) AS VARCHAR) AS DOUBLE) / COUNT(*)
+           > g.gavg * 1.5
+    ORDER BY reviewer, reviewerAvgScore
+    """,
+)
+
+# BSBM BI Q8: per vendor, the fraction of its offers priced below the
+# per-product average — a per-product aggregate re-joined against the
+# offer rows, then two vendor-level aggregates combined (bi-q8.sparql).
+# The below-average comparison is exact: price * n < sum in DECIMAL on
+# both engines (no double-rounding at the boundary).
+_q(
+    "q_bsbm_bi_q8",
+    """
+    SELECT ?vendor ?ratio WHERE {
+      {
+        SELECT ?vendor ?belowAvg WHERE {
+          {
+            SELECT (COUNT(?offer) AS ?cnt) ?vendor WHERE {
+              ?product p:p_type "PROMO" .
+              ?offer l:l_partkey ?product .
+              ?offer l:l_suppkey ?vendor .
+              ?offer l:l_extendedprice ?price .
+              {
+                SELECT ?product ?sumP ?nP WHERE {
+                  {
+                    SELECT (SUM(xsd:decimal(?price2)) AS ?sumP)
+                           (COUNT(?price2) AS ?nP) ?product WHERE {
+                      ?product p:p_type "PROMO" .
+                      ?offer2 l:l_partkey ?product .
+                      ?offer2 l:l_extendedprice ?price2 .
+                    }
+                    GROUP BY ?product
+                  }
+                }
+              }
+              FILTER(xsd:decimal(?price) * ?nP < ?sumP)
+            }
+            GROUP BY ?vendor
+          }
+          BIND(?cnt AS ?belowAvg)
+        }
+      }
+      {
+        SELECT ?vendor ?offerCount WHERE {
+          {
+            SELECT (COUNT(?offer3) AS ?cnt3) ?vendor WHERE {
+              ?product3 p:p_type "PROMO" .
+              ?offer3 l:l_partkey ?product3 .
+              ?offer3 l:l_suppkey ?vendor .
+            }
+            GROUP BY ?vendor
+          }
+          BIND(?cnt3 AS ?offerCount)
+        }
+      }
+      BIND(ROUND(xsd:double(?belowAvg) / ?offerCount * 1000000.0)
+           / 1000000.0 AS ?ratio)
+    }
+    ORDER BY DESC(?ratio) ASC(?vendor)
+    LIMIT 10
+    """,
+    [("vendor", "str"), ("ratio", "double")],
+    f"""
+    WITH promo_offers AS (
+      SELECT l_partkey, l_suppkey, l_extendedprice
+      FROM lineitem JOIN part ON p_partkey = l_partkey
+      WHERE p_type = 'PROMO'
+    ),
+    per_product AS (
+      SELECT l_partkey, SUM({_dec('l_extendedprice')}) AS sum_p,
+             COUNT(*) AS n_p
+      FROM promo_offers GROUP BY l_partkey
+    ),
+    below AS (
+      SELECT o.l_suppkey, COUNT(*) AS below_avg
+      FROM promo_offers o JOIN per_product p ON p.l_partkey = o.l_partkey
+      WHERE {_dec('o.l_extendedprice')} * p.n_p < p.sum_p
+      GROUP BY o.l_suppkey
+    ),
+    total AS (
+      SELECT l_suppkey, COUNT(*) AS offer_count
+      FROM promo_offers GROUP BY l_suppkey
+    )
+    SELECT 'x:s:' || CAST(t.l_suppkey AS VARCHAR) AS vendor,
+           ROUND(CAST(b.below_avg AS DOUBLE) / t.offer_count * 1000000.0)
+             / 1000000.0 AS ratio
+    FROM below b JOIN total t ON b.l_suppkey = t.l_suppkey
+    ORDER BY ratio DESC, vendor ASC
+    LIMIT 10
+    """,
+)
+
+
+# BSBM Explore Q9: DESCRIBE driven by a subselect (explore-q9.sparql —
+# "describe the reviewer of a pinned review"; here: the customer of a
+# pinned order).
+def _run_bsbm_describe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = get_graph(spark, sf_dir)
+    res = store.query(PROLOGUE + """
+      DESCRIBE ?x WHERE { SELECT ?x WHERE { <x:o:7> o:o_custkey ?x } }
+    """)
+    from .functions.typed_ops import lexical_of
+    return res.df.select(
+        F.col("subject")["v"].alias("s"),
+        F.col("predicate")["v"].alias("p"),
+        lexical_of(F.col("object")).alias("o"),
+    )
+
+
+BSBM_DESCRIBE_ORACLE = """
+WITH c AS (
+  SELECT * FROM customer
+  WHERE c_custkey = (SELECT o_custkey FROM orders WHERE o_orderkey = 7)
+)
+SELECT 'x:c:' || CAST(c_custkey AS VARCHAR) AS s,
+       'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS p,
+       'x:class:customer' AS o
+FROM c
+UNION ALL
+SELECT 'x:c:' || CAST(c_custkey AS VARCHAR), 'x:c#c_custkey',
+       CAST(c_custkey AS VARCHAR) FROM c
+UNION ALL
+SELECT 'x:c:' || CAST(c_custkey AS VARCHAR), 'x:c#c_name', c_name FROM c
+UNION ALL
+SELECT 'x:c:' || CAST(c_custkey AS VARCHAR), 'x:c#c_nationkey',
+       'x:n:' || CAST(c_nationkey AS VARCHAR) FROM c
+UNION ALL
+SELECT 'x:c:' || CAST(c_custkey AS VARCHAR), 'x:c#c_acctbal',
+       CAST(c_acctbal AS VARCHAR) FROM c
+UNION ALL
+SELECT 'x:c:' || CAST(c_custkey AS VARCHAR), 'x:c#c_mktsegment',
+       c_mktsegment FROM c
+"""
+
+
+# BSBM Explore Q12: CONSTRUCT an "export" record for one entity from a
+# constant-subject star wrapped in SELECT * (explore-q12.sparql).
+def _run_bsbm_construct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    store = get_graph(spark, sf_dir)
+    res = store.query(PROLOGUE + """
+      CONSTRUCT {
+        <x:o:7> <x:export#customer>   ?cust .
+        <x:o:7> <x:export#custname>   ?cust_name .
+        <x:o:7> <x:export#nation>     ?nat_name .
+        <x:o:7> <x:export#price>      ?price .
+        <x:o:7> <x:export#status>     ?status .
+        <x:o:7> <x:export#validuntil> ?date .
+      }
+      WHERE {
+        SELECT * WHERE {
+          <x:o:7> o:o_custkey ?cust .
+          ?cust c:c_name ?cust_name .
+          ?cust c:c_nationkey ?nat .
+          ?nat n:n_name ?nat_name .
+          <x:o:7> o:o_totalprice ?price .
+          <x:o:7> o:o_orderstatus ?status .
+          <x:o:7> o:o_orderdate ?date .
+        }
+      }
+    """)
+    from .functions.typed_ops import lexical_of
+    return res.df.select(
+        F.col("subject")["v"].alias("s"),
+        F.col("predicate")["v"].alias("p"),
+        lexical_of(F.col("object")).alias("o"),
+    )
+
+
+BSBM_CONSTRUCT_ORACLE = """
+WITH rec AS (
+  SELECT * FROM orders
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation   ON n_nationkey = c_nationkey
+  WHERE o_orderkey = 7
+)
+SELECT 'x:o:7' AS s, 'x:export#customer' AS p,
+       'x:c:' || CAST(c_custkey AS VARCHAR) AS o FROM rec
+UNION ALL
+SELECT 'x:o:7', 'x:export#custname', c_name FROM rec
+UNION ALL
+SELECT 'x:o:7', 'x:export#nation', n_name FROM rec
+UNION ALL
+SELECT 'x:o:7', 'x:export#price', CAST(o_totalprice AS VARCHAR) FROM rec
+UNION ALL
+SELECT 'x:o:7', 'x:export#status', o_orderstatus FROM rec
+UNION ALL
+SELECT 'x:o:7', 'x:export#validuntil',
+       REPLACE(CAST(o_orderdate AS VARCHAR), ' ', 'T') FROM rec
+"""
 
 
 def _pipe_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3231,6 +3566,10 @@ _NOT_CACHEABLE = {
 }
 
 
+_GC_EVERY = 25
+_gc_tick = [0]
+
+
 def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]
               ) -> Callable[[SparkSession, str], DataFrame]:
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3241,6 +3580,17 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]
         if df is None:
             df = fn(spark, sf_dir)
             _PLAN_CACHE[key] = df
+        # ContextCleaner frees dropped localCheckpoint/broadcast blocks
+        # only after a JVM GC notices the dead weak refs; a long single
+        # session running the whole registry (the driver gate does) can
+        # OOM a default 1g heap on accumulated blocks before the periodic
+        # GC (30 min) ever fires. Nudge it every _GC_EVERY calls.
+        _gc_tick[0] += 1
+        if _gc_tick[0] % _GC_EVERY == 0:
+            try:
+                spark.sparkContext._jvm.System.gc()
+            except Exception:
+                pass
         return df
     return run
 
@@ -3253,6 +3603,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["q_ask_high_balance"] = _run_ask
     out["q_describe_nation"] = _run_describe
     out["q_service_federated"] = _run_service_federated
+    out["q_bsbm_explore_q9"] = _run_bsbm_describe
+    out["q_bsbm_explore_q12"] = _run_bsbm_construct
     out.update(PIPELINE_QUERIES)
     return {name: fn if name in _NOT_CACHEABLE else _prepared(name, fn)
             for name, fn in out.items()}
@@ -3265,6 +3617,8 @@ def oracle_sql() -> dict[str, str]:
     out["q_ask_high_balance"] = ASK_ORACLE
     out["q_describe_nation"] = DESCRIBE_ORACLE
     out["q_service_federated"] = SERVICE_FEDERATED_ORACLE
+    out["q_bsbm_explore_q9"] = BSBM_DESCRIBE_ORACLE
+    out["q_bsbm_explore_q12"] = BSBM_CONSTRUCT_ORACLE
     out.update(_pipeline_oracles())
     out["q_graph_pagerank"] = _pagerank_oracle()
     out["q_ann_quantized_topk"] = ANN_QUANTIZED_ORACLE
