@@ -101,6 +101,13 @@ class Solution:
     maybe: set = field(default_factory=set)
     pending_order: list = field(default_factory=list)  # OrderCondition list
     kinds: dict = field(default_factory=dict)
+    # Variables whose backing column is an EXPENSIVE computed expression
+    # (aggregate outputs: promotion ladder + materialize_lexical structs).
+    # A later FILTER referencing one must not be alias-substituted by
+    # Catalyst's PushDownPredicates — transitive inlining through the
+    # stacked post-agg Projects grows the condition multiplicatively
+    # (~12x per level) and hangs the optimizer. See _apply_plain_filters.
+    expensive: set = field(default_factory=set)
 
     def with_df(self, df: DataFrame) -> "Solution":
         return replace(self, df=df)
@@ -118,6 +125,11 @@ def merge_kinds(left: Solution, right: Solution) -> dict:
         if v not in left.maybe:
             out[v] = k
     return out
+
+
+def merge_expensive(left: Solution, right: Solution) -> set:
+    """Expensive-var markers surviving a join/union: union of both sides."""
+    return left.expensive | right.expensive
 
 
 BoolCompiler = Callable[[object, Callable[[str], Column]], Column]
@@ -251,7 +263,8 @@ def _split_union_join(
     df = df.select(*[F.col(v) for v in out_vars])
     return Solution(df=df, bound=bound, maybe=left.maybe | right.maybe,
                     pending_order=left.pending_order,
-                    kinds=merge_kinds(left, right))
+                    kinds=merge_kinds(left, right),
+                    expensive=merge_expensive(left, right))
 
 
 def join_solutions(
@@ -305,6 +318,7 @@ def join_solutions(
             maybe=left.maybe | right.maybe,
             pending_order=left.pending_order,
             kinds=merge_kinds(left, right),
+            expensive=merge_expensive(left, right),
         )
 
     # fast path: disjoint, no filter → cross join
@@ -313,7 +327,8 @@ def join_solutions(
         return Solution(df=df, bound=left.bound | right.bound,
                         maybe=left.maybe | right.maybe,
                         pending_order=left.pending_order,
-                        kinds=merge_kinds(left, right))
+                        kinds=merge_kinds(left, right),
+                        expensive=merge_expensive(left, right))
 
     # scale path: null-pattern split-union → hash joins instead of BNLJ
     if shared and not all_bound and how in ("inner", "left") \
@@ -369,7 +384,8 @@ def join_solutions(
         bound |= right.bound
     return Solution(df=df, bound=bound, maybe=left.maybe | right.maybe,
                     pending_order=left.pending_order,
-                    kinds=merge_kinds(left, right))
+                    kinds=merge_kinds(left, right),
+                    expensive=merge_expensive(left, right))
 
 
 def minus_solutions(left: Solution, right: Solution) -> Solution:

@@ -85,6 +85,12 @@ class Ctx:
     # repeat into the SAME DataFrame subtree makes the physical planner
     # reuse the aggregation exchange instead of recomputing the chain.
     subquery_cache: dict = field(default_factory=dict)
+    # optimization knob (reference OptimizationLevel::{None,Default,Full},
+    # lib/execution/src/sparql/optimizer.rs:18): False disables the
+    # translator-level rewrites (CSE, sideways information passing,
+    # BIND-wave merging, aggregate subsumption) for debugging — results
+    # must be identical, plans need not be
+    optimize: bool = True
 
     def fresh(self, tag: str) -> str:
         self.counter[0] += 1
@@ -408,9 +414,10 @@ def _left_join_with_exists(l: Solution, r: Solution, expr, ctx: Ctx
     for v in sorted(set(out_vars) - set(ldf.columns)):
         pad = pad.withColumn(v, NULL_TERM())
     df = sdf.select(*out_vars).unionByName(pad.select(*out_vars))
-    from .join import merge_kinds
+    from .join import merge_kinds, merge_expensive
     return Solution(df=df, bound=set(l.bound), maybe=l.maybe | r.maybe,
-                    pending_order=l.pending_order, kinds=merge_kinds(l, r))
+                    pending_order=l.pending_order, kinds=merge_kinds(l, r),
+                    expensive=merge_expensive(l, r))
 
 
 def _has_exists(expr) -> bool:
@@ -527,7 +534,7 @@ def translate(p, ctx: Ctx) -> Solution:
         # every right row that can survive the join — push them into the
         # OPTIONAL side so its scans prune (virtual stores only; see
         # _translate_bgp)
-        consts = _collect_subject_consts(p.left)
+        consts = _collect_subject_consts(p.left) if ctx.optimize else None
         rctx = replace_ctx_consts(ctx, consts) if consts else ctx
         r = translate(p.right, rctx)
         if p.expr is not None and _has_exists(p.expr):
@@ -631,10 +638,11 @@ def _lat(p, seed: Solution, key: str, ctx: Ctx) -> Solution:
         for v in sorted(l.maybe - r.maybe):
             rdf = rdf.withColumn(v, NULL_TERM())
         cols = sorted(l.maybe | r.maybe)
-        from .join import merge_kinds
+        from .join import merge_kinds, merge_expensive
         return Solution(df=ldf.select(*cols).unionByName(rdf.select(*cols)),
                         bound=l.bound & r.bound, maybe=l.maybe | r.maybe,
-                        kinds=merge_kinds(l, r))
+                        kinds=merge_kinds(l, r),
+                        expensive=merge_expensive(l, r))
     if isinstance(p, A.Extend):
         return _apply_extend(p, _lat(p.inner, seed, key, ctx), ctx)
     if isinstance(p, A.Minus):
@@ -663,7 +671,8 @@ def _lat(p, seed: Solution, key: str, ctx: Ctx) -> Solution:
         vis = set(keep) | set(missing)
         return Solution(df=df, bound=sol.bound & vis, maybe=vis,
                         pending_order=sol.pending_order,
-                        kinds={k: v for k, v in sol.kinds.items() if k in vis})
+                        kinds={k: v for k, v in sol.kinds.items() if k in vis},
+                        expensive=sol.expensive & vis)
     if isinstance(p, (A.Distinct, A.Reduced)):
         sol = _lat(p.inner, seed, key, ctx)
         return replace(sol, df=_dedupe_normalized(sol))
@@ -709,6 +718,20 @@ def _lat_slice(p: A.Slice, seed: Solution, key: str, ctx: Ctx) -> Solution:
     return replace(sol, df=df, pending_order=[])
 
 
+def _extend_expensive(expr, sol: Solution, out: str) -> set:
+    """Expensive marker for an Extend output: any computed expression is
+    expensive (its backing column is a materialize_lexical struct built
+    over interned withColumn Projects — alias-substituting a filter
+    through that stack re-inlines the whole tree, see
+    _apply_plain_filters); a bare rename inherits the source's marker and
+    a constant stays cheap."""
+    if isinstance(expr, A.ETerm):
+        return set()
+    if isinstance(expr, A.EVar):
+        return {out} if expr.name in sol.expensive else set()
+    return {out}
+
+
 def _apply_extend(p: A.Extend, sol: Solution, ctx: Ctx) -> Solution:
     orig_maybe, orig_bound = sol.maybe, sol.bound
     expr = p.expr
@@ -732,7 +755,9 @@ def _apply_extend(p: A.Extend, sol: Solution, ctx: Ctx) -> Solution:
     else:
         kinds.pop(p.var.name, None)
     return replace(sol, df=df, maybe=orig_maybe | {p.var.name},
-                   bound=orig_bound, kinds=kinds)
+                   bound=orig_bound, kinds=kinds,
+                   expensive=sol.expensive | _extend_expensive(expr, sol,
+                                                               p.var.name))
 
 
 def _apply_extend_chain(p: A.Extend, ctx: Ctx) -> Solution:
@@ -767,8 +792,9 @@ def _apply_extend_chain(p: A.Extend, ctx: Ctx) -> Solution:
         if not wave:  # EXISTS marker binding mutates sol — keep sequential
             sol = _apply_extend(chain[i], sol, ctx)
             i += 1
-        elif len(wave) == 1:
-            sol = _apply_extend(wave[0], sol, ctx)
+        elif len(wave) == 1 or not ctx.optimize:
+            for e in wave:
+                sol = _apply_extend(e, sol, ctx)
         else:
             sol = _apply_extend_wave(wave, sol, ctx)
     return sol
@@ -799,8 +825,11 @@ def _apply_extend_wave(wave: list, sol: Solution, ctx: Ctx) -> Solution:
             kinds[v] = sk
         else:
             kinds.pop(v, None)
+    expensive = set(sol.expensive)
+    for e in wave:
+        expensive |= _extend_expensive(e.expr, sol, e.var.name)
     return replace(sol, df=df, maybe=orig_maybe | set(cols),
-                   bound=orig_bound, kinds=kinds)
+                   bound=orig_bound, kinds=kinds, expensive=expensive)
 
 
 def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
@@ -1080,6 +1109,29 @@ def _apply_plain_filters(sol: Solution, plain: list, ctx: Ctx) -> Solution:
     with B.intern_scope(it), tv.lazy_lexicals():
         conds = [compile_bool_expr(c, sol, ctx) for c in rewritten]
     df = it.df
+    # Pushdown barrier for filters over EXPENSIVE computed vars (aggregate
+    # outputs). Catalyst's PushPredicateThroughNonJoin substitutes alias
+    # definitions into the pushed condition with no cheapness guard; through
+    # the stacked post-agg Projects (raw agg → promotion ladder →
+    # materialize_lexical, ~12x expansion per level) the inlined condition
+    # grows multiplicatively and the optimizer hangs (observed: 445 MB plan
+    # string on FILTER over a SUM/COUNT division). Such a predicate can
+    # never cross the Aggregate that defines the var anyway, so blocking
+    # its pushdown costs nothing. The rule's guard is
+    # `fields.forall(_.deterministic)` on the PROJECT, so the barrier is a
+    # re-projection that wraps the expensive columns in a nondeterministic
+    # no-op (WHEN over spark_partition_id) — the filter then cannot be
+    # pushed through, and no substitution ever happens.
+    needs = set()
+    for c in rewritten:
+        needs |= _expr_vars(c) & sol.expensive
+    if needs:
+        nd = F.spark_partition_id() >= F.lit(-1)  # always true, nondet
+        df = df.select(*[
+            F.when(nd, F.col(name)).alias(name) if name in needs
+            else F.col(name)
+            for name in df.columns
+        ])
     for cond in conds:
         df = df.where(cond)
     return replace(sol, df=df.select(*keep), maybe=orig_maybe,
@@ -1106,9 +1158,10 @@ def _translate_union(p: A.Union, ctx: Ctx) -> Solution:
         df = ldf.select(*cols).unionByName(rdf.select(*cols))
     else:
         df = ldf.unionByName(rdf)
-    from .join import merge_kinds
+    from .join import merge_kinds, merge_expensive
     return Solution(df=df, bound=l.bound & r.bound, maybe=lv | rv,
-                    kinds=merge_kinds(l, r))
+                    kinds=merge_kinds(l, r),
+                    expensive=merge_expensive(l, r))
 
 
 def _translate_graph(p: A.GraphNode, ctx: Ctx) -> Solution:
@@ -1338,6 +1391,8 @@ def _ctx_fingerprint(ctx: Ctx):
 def _translate_project_cse(p: A.Project, ctx: Ctx) -> Solution:
     """Sub-SELECT translation with common-subquery elimination."""
     ctx = _scope_restrict_consts(p, ctx)
+    if not ctx.optimize:
+        return _translate_project(p, ctx)
     try:
         idx: dict = {}
         key = (_alpha_key(p, idx), _ctx_fingerprint(ctx))
@@ -1355,7 +1410,8 @@ def _translate_project_cse(p: A.Project, ctx: Ctx) -> Solution:
                 df=df,
                 bound={ren[v] for v in sol.bound if v in ren},
                 maybe=set(names),
-                kinds={ren[v]: k for v, k in sol.kinds.items() if v in ren})
+                kinds={ren[v]: k for v, k in sol.kinds.items() if v in ren},
+                expensive={ren[v] for v in sol.expensive if v in ren})
     sol = _translate_project(p, ctx)
     ctx.subquery_cache[key] = (sol, names)
     return sol
@@ -1381,7 +1437,8 @@ def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
     return Solution(df=df, bound=sol.bound & set(names), maybe=set(names),
                     pending_order=sol.pending_order,
                     kinds={v: k for v, k in sol.kinds.items() if v in names
-                           and v in sol.maybe})
+                           and v in sol.maybe},
+                    expensive=sol.expensive & set(names))
 
 
 def _apply_order(sol: Solution, ctx: Ctx) -> Solution:
@@ -1507,7 +1564,8 @@ def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
     key_kinds = {k: v for k, v in sol.kinds.items() if k in keys}
     return Solution(df=out, bound=bound,
                     maybe=set(keys) | {v.name for v, _ in p.aggregates},
-                    kinds={**key_kinds, **out_kinds})
+                    kinds={**key_kinds, **out_kinds},
+                    expensive={v.name for v, _ in p.aggregates})
 
 
 def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
@@ -1742,7 +1800,7 @@ def _now_literal() -> Literal:
     return Literal(now.isoformat(), XSD_DATETIME)
 
 
-def _dataset_ctx(store: GraphStore, dataset) -> Ctx:
+def _dataset_ctx(store: GraphStore, dataset, optimize: bool = True) -> Ctx:
     ag = ActiveGraph.default()
     named = None
     if dataset is not None:
@@ -1758,7 +1816,7 @@ def _dataset_ctx(store: GraphStore, dataset) -> Ctx:
             # union matches no quads
             ag = ActiveGraph.union([])
     return Ctx(store=store, active_graph=ag, now=_now_literal(),
-               named_graphs=named)
+               named_graphs=named, optimize=optimize)
 
 
 def _check_service_endpoints(p) -> None:
@@ -1805,11 +1863,20 @@ def _check_service_endpoints(p) -> None:
                 f"?{svc.endpoint.name} is not supported")
 
 
-def evaluate_query(store: GraphStore, q):
-    ctx = _dataset_ctx(store, getattr(q, "dataset", None))
+def evaluate_query(store: GraphStore, q, optimize: bool = True):
+    ctx = _dataset_ctx(store, getattr(q, "dataset", None), optimize=optimize)
     _join.reset_guard_breaches()
     if getattr(q, "pattern", None) is not None:
         _check_service_endpoints(q.pattern)
+        # aggregate subsumption (plans/subsumption.py): repeated GROUP BY
+        # cores collapse to one shared aggregation the subquery cache then
+        # evaluates once. Returns a NEW tree; q itself is never mutated
+        # (parsed queries may be cached upstream).
+        if optimize and isinstance(q, (A.SelectQuery, A.AskQuery,
+                                       A.ConstructQuery)):
+            from .subsumption import subsume_group_aggregates
+            q = replace(q,
+                        pattern=subsume_group_aggregates(q.pattern, store))
 
     if isinstance(q, A.SelectQuery):
         sol = translate(q.pattern, ctx)

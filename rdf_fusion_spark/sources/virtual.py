@@ -93,6 +93,33 @@ class VirtualRelationalStore(GraphStore):
             self._table_dfs[table] = df
         return df
 
+    def predicate_table(self, predicate) -> Optional[str]:
+        """Table a mapped predicate belongs to (None if unmapped)."""
+        hit = self._pred_map.get(getattr(predicate, "iri", None))
+        return hit[0] if hit else None
+
+    def functional_total(self, predicate) -> bool:
+        """True iff `predicate` holds EXACTLY ONE object per subject of
+        its table: functional by construction (one column value per row)
+        and total = the column has no NULLs (a NULL row emits no triple,
+        relational.py table_to_quads). Totality is probed once per column
+        with an IsNull head(1) — parquet row-group statistics answer it
+        without reading values — and cached for the store's lifetime.
+        Consumed by the aggregate-subsumption rewrite
+        (plans/subsumption.py) as the multiplicity-preservation proof."""
+        hit = self._pred_map.get(getattr(predicate, "iri", None))
+        if hit is None:
+            return False
+        table, col = hit
+        cache = getattr(self, "_total_cache", None)
+        if cache is None:
+            cache = self._total_cache = {}
+        key = (table, col)
+        if key not in cache:
+            df = self.table_df(table)
+            cache[key] = df.where(F.col(col).isNull()).head(1) == []
+        return cache[key]
+
     @property
     def quads(self) -> DataFrame:
         """Fallback quads union (paths over unions of predicates, DESCRIBE,
