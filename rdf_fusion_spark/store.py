@@ -431,16 +431,77 @@ class GraphStore:
         """Drop every quad (store.rs clear)."""
         self.quads = self.spark.createDataFrame([], QUADS_SCHEMA)
 
-    def named_graph_names(self) -> list:
-        """Distinct named-graph terms (store.rs:659-676)."""
+    def named_graph_terms(self):
+        """Distinct named-graph terms as a DISTRIBUTED DataFrame of term
+        structs — the scale-safe form (a store can hold millions of named
+        graphs; see named_graph_names for the driver-side convenience)."""
+        return self.quads.where(F.col(COL_GRAPH).isNotNull()) \
+            .select(COL_GRAPH).distinct()
+
+    # Driver-side materialization cap: collecting more graph names than
+    # this is almost certainly a mistake — use named_graph_terms().
+    NAMED_GRAPH_COLLECT_CAP = 100_000
+
+    def named_graph_names(self, limit: Optional[int] = None) -> list:
+        """Distinct named-graph terms (store.rs:659-676), collected to the
+        driver. Bounded: at most `limit` (default NAMED_GRAPH_COLLECT_CAP)
+        names are returned, with a warning when the cap truncates —
+        enumerate via named_graph_terms() to stay distributed."""
         from .terms import term_to_python
-        rows = self.quads.where(F.col(COL_GRAPH).isNotNull()) \
-            .select(COL_GRAPH).distinct().collect()
+        cap = limit if limit is not None else self.NAMED_GRAPH_COLLECT_CAP
+        rows = self.named_graph_terms().limit(cap + 1).collect()
+        if len(rows) > cap:
+            import logging
+            logging.getLogger(__name__).warning(
+                "named_graph_names: store has more than %d named graphs; "
+                "result truncated — use named_graph_terms() for the "
+                "distributed enumeration", cap)
+            rows = rows[:cap]
         return [term_to_python(r[COL_GRAPH]) for r in rows]
 
     def is_empty(self) -> bool:
         """True iff the store holds no quads (store.rs:382-407)."""
         return not self.quads.head(1)
+
+    def canonicalize(self) -> "GraphStore":
+        """RDFC-1.0 canonical blank-node labels (W3C rdf-canon): returns a
+        new store whose bnodes carry c14n labels — two isomorphic stores
+        canonicalize to identical quad sets (the check the reference's
+        testsuite harness targets, testsuite/tests/canonicalization.rs;
+        its runner is #[ignore]d — this ships the real thing).
+
+        Scale shape: only the bnode-TOUCHING quads come to the driver
+        (bnodes are a document feature, bounded by upload size, not
+        warehouse size); relabeling is one broadcast-mapped projection
+        over the distributed quads — ground quads never move."""
+        from .canon import canonical_labels
+        from .terms import TT_BNODE, term_to_python
+
+        def is_b(c):
+            return F.col(c).isNotNull() & (F.col(c)["t"] == F.lit(TT_BNODE))
+
+        touching = self.quads.where(
+            is_b("subject") | is_b("object") | is_b(COL_GRAPH))
+        rows = touching.collect()
+        labels = canonical_labels(
+            (term_to_python(r[COL_GRAPH]), term_to_python(r["subject"]),
+             term_to_python(r["predicate"]), term_to_python(r["object"]))
+            for r in rows)
+        if not labels:
+            return GraphStore(self.spark, self.quads)
+        mapping = F.create_map(
+            *[F.lit(x) for kv in labels.items() for x in kv])
+
+        def relabel(c):
+            col = F.col(c)
+            return F.when(
+                col.isNotNull() & (col["t"] == F.lit(TT_BNODE)),
+                col.withField("v", F.coalesce(mapping[col["v"]], col["v"]))
+            ).otherwise(col).alias(c)
+
+        return GraphStore(self.spark, self.quads.select(
+            relabel(COL_GRAPH), relabel("subject"), F.col("predicate"),
+            relabel("object")))
 
     def _graph_filter(self, graph_name):
         from .terms import term_lit
@@ -506,12 +567,19 @@ class GraphStore:
                              self.quads.schema[COL_GRAPH].dataType)))
         sub.dump(path, format=format)
 
-    def query(self, sparql: str, dataset=None):
+    def query(self, sparql: str, dataset=None, optimize: bool = True):
         """Parse + translate + return the result (DataFrame-backed).
 
         `dataset` (algebra.Dataset) overrides the query's own FROM/FROM
         NAMED clauses — the SPARQL Protocol's default-graph-uri /
         named-graph-uri parameters take precedence over the query text.
+
+        `optimize=False` disables the translator-level rewrites (common
+        subquery elimination, sideways information passing, BIND-wave
+        merging, aggregate subsumption) for debugging — the analogue of
+        the reference's OptimizationLevel::None
+        (lib/execution/src/sparql/optimizer.rs:18). Results are
+        identical either way; only plan shape and speed differ.
 
         reference lifecycle: lib/execution/src/sparql/eval.rs:24-133.
         """
@@ -521,7 +589,7 @@ class GraphStore:
         q = parse_query(sparql)
         if dataset is not None:
             q = dataclasses.replace(q, dataset=dataset)
-        return evaluate_query(self, q)
+        return evaluate_query(self, q, optimize=optimize)
 
     def prepare(self, sparql: str, dataset=None):
         """Prepared query: parse + translate ONCE, re-execute many times.
