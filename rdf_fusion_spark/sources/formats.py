@@ -38,8 +38,12 @@ TURTLE = RdfFormat("turtle", ("ttl", "turtle"),
 TRIG = RdfFormat("trig", ("trig",), ("application/trig",), True)
 RDFXML = RdfFormat("rdfxml", ("rdf", "rdfxml", "owl", "xml"),
                    ("application/rdf+xml", "application/xml"), False)
+# N3 is negotiated by the reference on every RDF endpoint
+# (lib/web/src/repositories/content_negotiation.rs:28); the served subset
+# is Turtle-expressible — see sources/n3.py
+N3 = RdfFormat("n3", ("n3",), ("text/n3", "application/n3"), False)
 
-FORMATS = (NTRIPLES, NQUADS, TURTLE, TRIG, RDFXML)
+FORMATS = (NTRIPLES, NQUADS, TURTLE, TRIG, RDFXML, N3)
 
 
 def format_from_name(s: str) -> Optional[RdfFormat]:
@@ -76,6 +80,9 @@ def read_rdf(spark: SparkSession, path: str, fmt: Optional[RdfFormat] = None,
     if fmt is TRIG:
         from .trig import read_trig
         return read_trig(spark, path, base)
+    if fmt is N3:
+        from .n3 import read_n3
+        return read_n3(spark, path, base)
     from .rdfxml import read_rdfxml
     return read_rdfxml(spark, path, base)
 
@@ -103,6 +110,11 @@ def parse_rdf(spark: SparkSession, text: str, fmt: RdfFormat,
     if fmt is RDFXML:
         from .rdfxml import parse_rdfxml
         triples = parse_rdfxml(text, base)
+        return GraphStore.from_python_quads(
+            spark, [(None, s, p, o) for s, p, o in triples]).quads
+    if fmt is N3:
+        from .n3 import parse_n3
+        triples = parse_n3(text, base)
         return GraphStore.from_python_quads(
             spark, [(None, s, p, o) for s, p, o in triples]).quads
     raise ValueError(f"unsupported parse format {fmt.name}")
@@ -140,7 +152,8 @@ def serialize_rdf_lines(quads: DataFrame, fmt: RdfFormat) -> DataFrame:
         return quads.select(line.alias("line"))
     if fmt is RDFXML:
         return _rdfxml_lines(quads)
-    if fmt is TURTLE:
+    if fmt in (TURTLE, N3):
+        # every Turtle serialization is a valid N3 document
         from .turtle import quads_to_turtle_lines
         return quads_to_turtle_lines(quads)
     # N-Triples

@@ -276,6 +276,8 @@ class SparqlHttpServer:
              NamedNode(FMT + "SPARQL_Results_TSV")),
             (svc, NamedNode(SD + "resultFormat"), NamedNode(FMT + "N-Triples")),
             (svc, NamedNode(SD + "resultFormat"), NamedNode(FMT + "Turtle")),
+            # N3 parity: lib/web/src/repositories/service_description.rs:114
+            (svc, NamedNode(SD + "resultFormat"), NamedNode(FMT + "N3")),
         ]
         if getattr(self.store, "union_default_graph", False):
             t.append((svc, NamedNode(SD + "feature"),

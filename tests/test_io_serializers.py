@@ -389,3 +389,43 @@ def test_turtle_writer_fuzz_roundtrip(spark, tmp_path):
     back = set(parse_turtle(read_doc(out)))
     orig = {(s, p, o) for _, s, p, o in quads}
     assert back == orig
+
+
+def test_n3_reader_roundtrip_and_rejection(spark, tmp_path):
+    """N3 protocol parity (content_negotiation.rs:28): the
+    Turtle-expressible subset round-trips; N3-only constructs raise a
+    clear NotImplementedError instead of a parse failure."""
+    from rdf_fusion_spark.sources.formats import (
+        N3, format_from_name, parse_rdf, serialize_rdf_lines)
+
+    assert format_from_name("text/n3") is N3
+    assert format_from_name("n3") is N3
+
+    doc = """
+    @prefix ex: <http://example.org/> .
+    ex:a ex:knows ex:b ;
+         a ex:Person ;
+         ex:label "says \\"{ not a formula }\\" and a => in a string" .
+    """
+    quads = parse_rdf(spark, doc, N3)
+    assert quads.count() == 3
+
+    # writer: Turtle serialization IS valid N3 — re-parse what we emit
+    text = "\n".join(
+        r["line"] for r in serialize_rdf_lines(quads, N3).collect())
+    again = parse_rdf(spark, text, N3)
+    assert again.count() == 3
+
+    # file path dispatch by .n3 extension
+    p = tmp_path / "data.n3"
+    p.write_text(doc, encoding="utf-8")
+    store = GraphStore.load(spark, str(p))
+    assert store.quads.count() == 3
+
+    for bad, what in [
+        ("{ <s> <p> <o> } => { <s> <q> <o> } .", "implication"),
+        ("@forAll <x> .", "forAll"),
+        ("<a> = <b> .", "equality"),
+    ]:
+        with pytest.raises(NotImplementedError):
+            parse_rdf(spark, bad, N3)
