@@ -53,6 +53,28 @@ BENCH_QUERIES = [
     "q_windfarm_production",
     "q_windfarm_grouped",
     "q_windfarm_minute10",
+    # round 5: the full 28-query reference mirror (remaining entries)
+    "q_bsbm_explore_q1",
+    "q_bsbm_explore_q2_empty",
+    "q_bsbm_explore_q2_nonempty",
+    "q_bsbm_explore_q3",
+    "q_bsbm_explore_q7",
+    "q_bsbm_explore_q9",
+    "q_bsbm_explore_q10",
+    "q_bsbm_explore_q11",
+    "q_bsbm_explore_q12",
+    "q_bsbm_bi_q1",
+    "q_bsbm_bi_q2",
+    "q_bsbm_bi_q4",
+    "q_bsbm_bi_q6",
+    "q_bsbm_bi_q7",
+    "q_bsbm_bi_q8",
+    "q_windfarm_production1",
+    "q_windfarm_production3",
+    "q_windfarm_production4",
+    "q_windfarm_grouped1",
+    "q_windfarm_grouped2",
+    "q_windfarm_grouped4",
 ]
 
 

@@ -3542,7 +3542,16 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # Queries whose BUILD phase executes data-dependent Spark jobs are
 # excluded: caching them would reuse a materialization, not a plan
 # (their second run would measure an index lookup, not the operator).
-_PLAN_CACHE: dict = {}
+# Bounded LRU: a translated plan pins its localCheckpoint blocks (Kleene
+# deltas, stream drains) for as long as it is referenced — an unbounded
+# cache walking the full 86-query registry pinned every query's blocks at
+# once and OOMed a default 1g driver heap around query 60. 16 slots keep
+# the bench's min-of-2 repeats translation-free while letting older
+# plans' blocks be collected (the _GC_EVERY nudge below actually frees
+# them).
+from collections import OrderedDict as _OrderedDict
+_PLAN_CACHE: "_OrderedDict" = _OrderedDict()
+_PLAN_CACHE_MAX = 16
 
 _NOT_CACHEABLE = {
     # semi-naive fixpoint: the closure loop (checkpointed deltas) runs at
@@ -3580,6 +3589,10 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]
         if df is None:
             df = fn(spark, sf_dir)
             _PLAN_CACHE[key] = df
+            if len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
+                _PLAN_CACHE.popitem(last=False)
+        else:
+            _PLAN_CACHE.move_to_end(key)
         # ContextCleaner frees dropped localCheckpoint/broadcast blocks
         # only after a JVM GC notices the dead weak refs; a long single
         # session running the whole registry (the driver gate does) can

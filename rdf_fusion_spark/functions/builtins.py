@@ -156,6 +156,25 @@ def compile_expr(expr, resolve: Resolver) -> Column:
     raise SparqlCompileError(f"unknown expression node: {expr!r}")
 
 
+def compile_bool_where(expr, resolve: Resolver) -> Column:
+    """compile_bool for a POSITIVE filter context (WHERE cond): NULL and
+    false are indistinguishable there, so top-level `=` conjuncts compile
+    to the flat AND form Catalyst can extract equi-join keys from (see
+    typed_ops.rdf_equal flat=True). Negations and disjunction operands
+    keep full 3-valued semantics via compile_bool."""
+    from ..sparql.algebra import ECall
+
+    if isinstance(expr, ECall):
+        if expr.name == "&&":
+            return compile_bool_where(expr.args[0], resolve) & \
+                compile_bool_where(expr.args[1], resolve)
+        if expr.name == "=":
+            l = compile_expr(expr.args[0], resolve)
+            r = compile_expr(expr.args[1], resolve)
+            return tv.rdf_equal(l, r, flat=True)
+    return compile_bool(expr, resolve)
+
+
 def compile_bool(expr, resolve: Resolver) -> Column:
     """Expression → native boolean Column (EBV semantics, 3-valued)."""
     from ..sparql.algebra import ECall, EExists

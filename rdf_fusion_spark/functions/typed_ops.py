@@ -495,7 +495,7 @@ def string_term(s: Column) -> Column:
 # Value-space equality and ordering
 # ---------------------------------------------------------------------------
 
-def rdf_equal(a: Column, b: Column) -> Column:
+def rdf_equal(a: Column, b: Column, flat: bool = False) -> Column:
     """SPARQL '=' (value space), 3-valued: NULL = error.
 
     reference: lib/functions/src/scalar/comparison/equal.rs semantics —
@@ -503,6 +503,13 @@ def rdf_equal(a: Column, b: Column) -> Column:
     booleans/dateTimes by value; other literals fall back to sameTerm with
     error when not identical; IRI/bnode compare by identity (false, not
     error, when different node kinds).
+
+    flat=True (positive FILTER context only, where NULL and false are
+    indistinguishable): emit `isnotnull(a) AND isnotnull(b) AND body`
+    instead of `CASE WHEN ... THEN body`. Catalyst's ExtractEquiJoinKeys
+    splits conjunctions but cannot look inside a CASE — the flat form
+    turns a cross-join + var=var FILTER into a hash equi join
+    (BSBM BI Q2's feature-match shape).
     """
     def eqx(x: Column, y: Column) -> Column:
         # double-valued equality: NaN equals nothing, itself included
@@ -542,6 +549,8 @@ def rdf_equal(a: Column, b: Column) -> Column:
             # two literals of different value spaces: error unless identical
             body = F.when(a == b, F.lit(True))
         if body is not None:
+            if flat:
+                return (~null_guard) & body
             return F.when(~null_guard, body)
     both_num = is_numeric(a) & is_numeric(b)
     both_str = is_plain_string(a) & is_plain_string(b)

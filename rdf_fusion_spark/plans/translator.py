@@ -142,7 +142,10 @@ def compile_term_expr(expr, sol: Solution, ctx: Ctx) -> Column:
 
 
 def compile_bool_expr(expr, sol: Solution, ctx: Ctx) -> Column:
-    return B.compile_bool(_inject_now(expr, ctx), _resolver(sol))
+    # positive filter context: NULL (error) and false both drop the row,
+    # so the where-variant's flat equality is safe and lets Catalyst
+    # extract equi-join keys from var=var filters
+    return B.compile_bool_where(_inject_now(expr, ctx), _resolver(sol))
 
 
 # ---------------------------------------------------------------------------
@@ -542,7 +545,9 @@ def translate(p, ctx: Ctx) -> Solution:
         cb = None
         if p.expr is not None:
             def cb(e, resolve):  # noqa: E306
-                return B.compile_bool(_inject_now(e, ctx), resolve)
+                # join-condition context: NULL and false both reject the
+                # pairing — the flat where-variant applies
+                return B.compile_bool_where(_inject_now(e, ctx), resolve)
         return join_solutions(l, r, "left", p.expr, cb)
     if isinstance(p, A.Filter):
         return _translate_filter(p, ctx)
@@ -626,7 +631,7 @@ def _lat(p, seed: Solution, key: str, ctx: Ctx) -> Solution:
         cb = None
         if p.expr is not None:
             def cb(e, resolve):  # noqa: E306
-                return B.compile_bool(_inject_now(e, ctx), resolve)
+                return B.compile_bool_where(_inject_now(e, ctx), resolve)
         return join_solutions(_lat(p.left, seed, key, ctx),
                               _fresh_ids(_lat(p.right, seed, key, ctx)),
                               "left", p.expr, cb)
@@ -951,20 +956,29 @@ def _translate_bgp(p: A.BGP, ctx: Ctx, pushable: Optional[list] = None,
     star_scan = getattr(ctx.store, "star_scan", None)
     resolves = getattr(ctx.store, "resolves", None)
     if star_scan is not None:
-        groups: dict[str, list[A.TriplePattern]] = {}
+        # group same-subject constant-predicate patterns — variable AND
+        # constant subjects (a constant-subject star like BSBM Explore
+        # Q2's 5-attribute probe otherwise costs one scan per attribute)
+        groups: dict[object, list[A.TriplePattern]] = {}
         for tp in p.triples:
-            if (isinstance(tp.subject, Variable) and resolves(tp.predicate)
-                    and not (isinstance(tp.object, Variable)
-                             and tp.object.name == tp.subject.name)):
-                groups.setdefault(tp.subject.name, []).append(tp)
+            if isinstance(tp.subject, Variable):
+                key: object = tp.subject.name
+                self_ref = (isinstance(tp.object, Variable)
+                            and tp.object.name == tp.subject.name)
+            else:
+                key = ("const", repr(tp.subject))
+                self_ref = False
+            if resolves(tp.predicate) and not self_ref:
+                groups.setdefault(key, []).append(tp)
             else:
                 remaining.append(tp)
-        for subj_name, tps in groups.items():
+        for key, tps in groups.items():
             if len(tps) < 2:
                 remaining.extend(tps)  # single patterns: virtual scan_pattern
                 continue
+            subj = Variable(key) if isinstance(key, str) else tps[0].subject
             items = [(tp.predicate, tp.object) for tp in tps]
-            df = star_scan(Variable(subj_name), items,
+            df = star_scan(subj, items,
                            active_graph=ctx.active_graph,
                            graph_var=ctx.graph_var)
             if df is None:

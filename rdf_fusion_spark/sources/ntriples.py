@@ -137,15 +137,23 @@ def lines_to_quads(lines: DataFrame, strict: bool = True) -> DataFrame:
     strict=True (default) raises on the first malformed line — silently
     dropping corrupt lines from a 100 TB dump is data loss, not leniency.
     strict=False skips malformed lines (salvage/quarantine loading)."""
-    lines = lines.where(
-        (F.trim(F.col("line")) != "") & ~F.trim(F.col("line")).startswith("#"))
+    skippable = (F.trim(F.col("line")) == "") | \
+        F.trim(F.col("line")).startswith("#")
+    lines = lines.where(~skippable)  # parquet/text-scan-pushable prune
     ok = F.regexp_like(F.col("line"), F.lit(LINE_RE))
     if strict:
+        # The raise_error CASE re-checks `skippable` itself: Catalyst may
+        # substitute this projection into a downstream predicate and
+        # evaluate it BEFORE the prune filter above (PushDownPredicates
+        # reorders freely), so correctness must not depend on the filter
+        # having run first — a comment line maps to NULL, never an error.
         lines = lines.select(
-            F.when(ok, F.col("line")).otherwise(F.raise_error(F.concat(
+            F.when(skippable, F.lit(None))
+            .when(ok, F.col("line"))
+            .otherwise(F.raise_error(F.concat(
                 F.lit("malformed N-Triples/N-Quads line: "), F.col("line")
             ))).alias("line"))
-        matched = lines
+        matched = lines.where(F.col("line").isNotNull())
     else:
         matched = lines.where(ok)
     # extract all 20 groups ONCE into an intermediate projection — each

@@ -195,9 +195,147 @@ class VirtualRelationalStore(GraphStore):
                                 graph_var=graph_var)
             if df is not None:
                 return df
+        if isinstance(predicate, Variable):
+            # variable-predicate scans anchored on a constant endpoint
+            # (the BSBM Explore Q11 "everything about X" shape) resolve to
+            # a handful of key-filtered table scans instead of the full
+            # exploded quads union
+            df = self._var_pred_scan(subject, predicate, obj,
+                                     active_graph, graph_var)
+            if df is not None:
+                return df
+        if isinstance(predicate, NamedNode) and not self.resolves(predicate):
+            # constant predicate OUTSIDE the mapping vocabulary: the
+            # virtual graph provably holds no such triple — an empty
+            # solution, NOT a scan of the exploded quads union (the BSBM
+            # Explore Q2 empty-OPTIONAL shape probes absent predicates;
+            # pre-fix each probe full-scanned the warehouse)
+            out_vars = [x.name for x in (subject, obj)
+                        if isinstance(x, Variable)]
+            if graph_var is not None:
+                out_vars.append(graph_var.name)
+            from ..terms import TERM_TYPE
+            cols = [F.lit(None).cast(TERM_TYPE).alias(v)
+                    for v in dict.fromkeys(out_vars)] or \
+                [F.lit(True).alias("__match__")]
+            return self.spark.range(1).select(*cols).limit(0)
         return super().scan_pattern(subject, predicate, obj,
                                     active_graph=active_graph,
                                     graph_var=graph_var)
+
+    def _var_pred_scan(self, subject, predicate, obj, active_graph,
+                       graph_var) -> Optional[DataFrame]:
+        """Solution for (s, ?p, o) with at least one constant endpoint.
+
+        Constant SUBJECT: its IRI names one table (disjoint id spaces) —
+        one key-filtered row exploded to triples (table_to_quads).
+        Constant IRI OBJECT: an entity IRI can only be produced by the
+        FK columns targeting its table (TPCH_SPEC fks) or — for a class
+        IRI — by rdf:type; scan exactly those columns, parquet-pushed.
+        Returns None when neither endpoint anchors (caller falls back to
+        the quads union)."""
+        from .relational import table_to_quads
+        allowed = self._graph_tables(active_graph)
+
+        def ok(t: str) -> bool:
+            return allowed is None or t in allowed
+
+        if isinstance(subject, NamedNode):
+            t = self.table_for_subject(subject)
+            if t is None:
+                return self._empty_var_pred(predicate, obj, graph_var)
+            if not ok(t):
+                return self._empty_var_pred(predicate, obj, graph_var)
+            df = self.table_df(t)
+            trip = table_to_quads(
+                df.where(self._subject_filter(t, df, subject)), t)
+            return self._triples_to_solution(trip, predicate, obj,
+                                             graph_var, t)
+
+        if isinstance(obj, NamedNode):
+            iri = obj.iri
+            parts_out: list[DataFrame] = []
+            target = self._class_map.get(iri)
+            if target is not None and ok(target):
+                # rdf:type: every row of the class's table
+                from ..terms import term_lit
+                df = self.table_df(target)
+                sol = df.select(
+                    subject_term(target, df).alias("subject"),
+                    term_lit(NamedNode(RDF_TYPE)).alias("predicate"),
+                    term_lit(obj).alias("object"))
+                parts_out.append(sol)
+            tgt_table = self.table_for_subject(obj)
+            if tgt_table is not None:
+                key = iri.rsplit(":", 1)[-1]
+                for t2 in self.tables:
+                    if not ok(t2):
+                        continue
+                    fks = TPCH_SPEC[t2][2] if t2 in TPCH_SPEC else {}
+                    for col, ft in fks.items():
+                        if ft != tgt_table:
+                            continue
+                        df = self.table_df(t2)
+                        kcol = F.col(col)
+                        kdt = df.schema[col].dataType.simpleString()
+                        kval: object = key
+                        if kdt in ("int", "bigint", "smallint", "tinyint"):
+                            try:
+                                kval = int(key)
+                            except ValueError:
+                                continue
+                        from ..terms import term_lit
+                        parts_out.append(
+                            df.where(kcol == F.lit(kval)).select(
+                                subject_term(t2, df).alias("subject"),
+                                term_lit(NamedNode(predicate_iri(t2, col))
+                                         ).alias("predicate"),
+                                term_lit(obj).alias("object")))
+            if not parts_out:
+                return self._empty_var_pred(predicate, subject, graph_var,
+                                            subject_side=True)
+            trip = parts_out[0]
+            for x in parts_out[1:]:
+                trip = trip.unionByName(x)
+            return self._triples_to_solution(trip, predicate, subject,
+                                             graph_var, None,
+                                             subject_side=True)
+
+        return None
+
+    def _empty_var_pred(self, predicate, other, graph_var,
+                        subject_side: bool = False) -> DataFrame:
+        from ..terms import TERM_TYPE
+        cols = [F.lit(None).cast(TERM_TYPE).alias(predicate.name)]
+        if isinstance(other, Variable):
+            cols.append(F.lit(None).cast(TERM_TYPE).alias(other.name))
+        if graph_var is not None:
+            cols.append(F.lit(None).cast(TERM_TYPE).alias(graph_var.name))
+        return self.spark.range(1).select(*cols).limit(0)
+
+    def _triples_to_solution(self, trip: DataFrame, predicate, other,
+                             graph_var, table: Optional[str],
+                             subject_side: bool = False
+                             ) -> Optional[DataFrame]:
+        """(subject, predicate, object) triples → solution columns for the
+        pattern's variables; `other` is the non-anchored endpoint term/var
+        (object position normally, subject position when subject_side)."""
+        other_col = "subject" if subject_side else "object"
+        out: dict[str, Column] = {predicate.name: F.col("predicate")}
+        if isinstance(other, Variable):
+            if other.name == predicate.name:
+                trip = trip.where(F.col("predicate") == F.col(other_col))
+            else:
+                out[other.name] = F.col(other_col)
+        else:
+            from ..terms import term_matches
+            trip = trip.where(term_matches(F.col(other_col), other))
+        if graph_var is not None:
+            if table is None:
+                return None  # multi-table union: no single graph constant
+            from ..terms import term_lit
+            out[graph_var.name] = term_lit(NamedNode(graph_iri(table)))
+        return trip.select(*[c.alias(v) for v, c in out.items()])
 
     # ------------------------------------------------------------------
     # virtual edge relation for property paths

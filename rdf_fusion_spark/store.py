@@ -97,40 +97,6 @@ class ActiveGraph:
         return cls(cls.ALL)
 
 
-_PDP_RULES = (
-    # the combined rule AND its standalone through-project member; the
-    # through-JOIN variant stays enabled (it relocates whole predicates
-    # without substituting project aliases, so it cannot explode)
-    "org.apache.spark.sql.catalyst.optimizer.PushDownPredicates",
-    "org.apache.spark.sql.catalyst.optimizer.PushPredicateThroughNonJoin",
-)
-
-
-def _exclude_predicate_pushdown(spark: SparkSession) -> None:
-    """Keep Catalyst from substituting term-struct predicates through
-    Project chains.
-
-    SPARQL FILTER predicates compile to CASE ladders that reference their
-    operand term struct ~25x; pushing such a predicate through the
-    Extend/scan projection layers re-inlines each layer's producing
-    expression into every reference, so the optimizer's working tree grows
-    multiplicatively per layer (a one-BIND + FILTER query exhausted a 1 GiB
-    driver). The translator already places every filter directly above the
-    pattern that binds its variables, and scans push their native
-    (raw-column, parquet-pushable) filters themselves in scan_pattern /
-    sources/virtual.py — a term-struct CASE ladder never simplifies to a
-    parquet filter, so this rule only costs us plan explosions."""
-    try:
-        cur = spark.conf.get("spark.sql.optimizer.excludedRules", None)
-    except Exception:
-        cur = None
-    rules = [r for r in (cur.split(",") if cur else []) if r]
-    missing = [r for r in _PDP_RULES if r not in rules]
-    if missing:
-        spark.conf.set("spark.sql.optimizer.excludedRules",
-                       ",".join(rules + missing))
-
-
 class GraphStore:
     # union-default-graph semantics: when True, a DEFAULT active graph
     # matches every quad (the default graph is DEFINED as the union of the
@@ -147,7 +113,16 @@ class GraphStore:
     def __init__(self, spark: SparkSession, quads: DataFrame):
         self.spark = spark
         self.quads = quads  # property setter resets _cached_len
-        _exclude_predicate_pushdown(spark)
+        # NOTE round 5: the session-wide PushDownPredicates exclusion that
+        # used to live here is gone. The filter-through-project expression
+        # blowup it guarded against is now prevented LOCALLY: filters over
+        # computed (BIND/aggregate) variables sit above a nondeterministic
+        # no-op projection Catalyst cannot substitute through
+        # (translator._apply_plain_filters + Solution.expensive). The
+        # global conf flip was both leaky — it mutated the user's session
+        # for their own non-engine DataFrames — and harmful to our own
+        # plans: it blocked the Filter-into-Join fusion that turns a
+        # var=var FILTER over a cross join into a hash equi join.
         # every store entry point gets the engine's session settings —
         # without methodSplitThreshold=128 a BIND-heavy query overflows
         # Janino's 64 KB method limit and silently runs interpreted

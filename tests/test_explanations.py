@@ -129,3 +129,43 @@ def test_guard_breach_named_in_explanation(spark):
     if ex.nested_loop_joins():
         with pytest.raises(AssertionError, match="nullable shared vars"):
             ex.assert_scale_safe()
+
+
+# Reference benchmark mirrors that are pure equi-join/aggregation shapes.
+# Excluded by design: q_bsbm_explore_q5 (range-similarity theta around a
+# 1-row pinned product — broadcast by construction), q_bsbm_bi_q4
+# (feature-complement pairing), q_bsbm_bi_q6 (1-row global-average scalar
+# cross), q_bsbm_explore_q2_* / q7 / q12 (constant-subject seeds: groups
+# sharing no variables with the 1-row anchor are left/inner CROSS joins
+# by SPARQL semantics — bounded by the single anchor row).
+MIRROR_SCALE_SAFE = [
+    "q_bsbm_explore_q1",
+    "q_bsbm_explore_q3",
+    "q_bsbm_explore_q4",
+    "q_bsbm_explore_q8",
+    "q_bsbm_explore_q9",
+    "q_bsbm_explore_q10",
+    "q_bsbm_explore_q11",
+    "q_bsbm_bi_q1",
+    "q_bsbm_bi_q2",
+    "q_bsbm_bi_q3",
+    "q_bsbm_bi_q5",
+    "q_bsbm_bi_q7",
+    "q_bsbm_bi_q8",
+    "q_windfarm_production",
+    "q_windfarm_production1",
+    "q_windfarm_production3",
+    "q_windfarm_production4",
+    "q_windfarm_grouped",
+    "q_windfarm_grouped1",
+    "q_windfarm_grouped2",
+    "q_windfarm_grouped4",
+    "q_windfarm_minute10",
+]
+
+
+@pytest.mark.parametrize("name", MIRROR_SCALE_SAFE)
+def test_mirror_plans_have_no_nested_loops(spark, name):
+    from rdf_fusion_spark.plans.translator import _explain
+    df = EQ.queries()[name](spark, SF_DIR)
+    _explain(df).assert_scale_safe()

@@ -13,9 +13,12 @@ Two historical blow-up modes, both fixed and pinned here:
 * FILTER over a BIND-computed variable: PushPredicateThroughNonJoin
   substitutes the producing projection's aliases into every of the
   predicate's ~25 operand references, multiplying per projection layer.
-  Fixed by excluding the rule (store._exclude_predicate_pushdown) — the
-  translator already places filters directly above the pattern binding
-  their variables.
+  Fixed locally (round 5): computed variables are tracked in
+  Solution.expensive, and a filter referencing one is applied above a
+  nondeterministic no-op projection the rule cannot push through
+  (translator._apply_plain_filters) — the session-global rule exclusion
+  this test originally pinned is gone (it leaked into user sessions and
+  blocked the var=var Filter-into-Join equi fusion).
 """
 
 import pytest
