@@ -85,6 +85,10 @@ class Ctx:
     # repeat into the SAME DataFrame subtree makes the physical planner
     # reuse the aggregation exchange instead of recomputing the chain.
     subquery_cache: dict = field(default_factory=dict)
+    # α-keys of shared subqueries already persist()-ed (see
+    # _persist_shared_subquery); None disables the persist (tests that
+    # assert raw plan shapes)
+    shared_persisted: Optional[set] = field(default_factory=set)
     # optimization knob (reference OptimizationLevel::{None,Default,Full},
     # lib/execution/src/sparql/optimizer.rs:18): False disables the
     # translator-level rewrites (CSE, sideways information passing,
@@ -527,8 +531,24 @@ def translate(p, ctx: Ctx) -> Solution:
                         sol = _apply_extend(e, sol, ctx)
                     return sol
                 break
-        l = translate(p.left, ctx)
-        r = translate(p.right, ctx)
+        # symmetric sideways information passing: an INNER join keeps a
+        # row of one side only when its shared vars match the other side,
+        # so each side's constant (pred, obj) subject constraints are
+        # implied for the other side's surviving rows — push both ways.
+        # The BI Q6 shape (a suppkey-pinned triple joined with a 4-branch
+        # rating UNION) otherwise full-scans the fact table once per
+        # branch; with the injection each branch scan carries the pinned
+        # key as a parquet filter.
+        lctx = rctx = ctx
+        if ctx.optimize:
+            lc = _collect_subject_consts(p.left)
+            rc = _collect_subject_consts(p.right)
+            if rc:
+                lctx = replace_ctx_consts(ctx, rc)
+            if lc:
+                rctx = replace_ctx_consts(ctx, lc)
+        l = translate(p.left, lctx)
+        r = translate(p.right, rctx)
         return join_solutions(l, r, "inner")
     if isinstance(p, A.LeftJoin):
         l = translate(p.left, ctx)
@@ -1417,6 +1437,7 @@ def _translate_project_cse(p: A.Project, ctx: Ctx) -> Solution:
     if hit is not None:
         sol, cached_proj = hit
         if not sol.pending_order:
+            _persist_shared_subquery(key, p, sol, ctx)
             # positional rename: projection order is part of the α-key
             df = sol.df.toDF(*names)
             ren = dict(zip(cached_proj, names))
@@ -1429,6 +1450,71 @@ def _translate_project_cse(p: A.Project, ctx: Ctx) -> Solution:
     sol = _translate_project(p, ctx)
     ctx.subquery_cache[key] = (sol, names)
     return sol
+
+
+def _contains_group(p) -> bool:
+    """True if the algebra subtree has an aggregation anywhere."""
+    import dataclasses as _dc
+    if isinstance(p, A.Group):
+        return True
+    if not _dc.is_dataclass(p):
+        return False
+    for f in _dc.fields(p):
+        v = getattr(p, f.name)
+        for item in (v if isinstance(v, (list, tuple)) else (v,)):
+            if _dc.is_dataclass(item) and not isinstance(item, type) \
+                    and _contains_group(item):
+                return True
+    return False
+
+
+# Shared-subquery persists are registered in the session CacheManager,
+# which holds them STRONGLY (Dataset.persist is not ContextCleaner-
+# collected like raw RDD blocks) — a long-lived session translating many
+# subsumption-shaped queries would pin every shared aggregate forever.
+# Bounded FIFO: beyond the cap the oldest is unpersisted; any plan still
+# referencing it transparently recomputes (cache is a pure optimization).
+_SHARED_PERSIST_FIFO: list = []
+_SHARED_PERSIST_CAP = 12
+
+
+def _persist_shared_subquery(key, p: A.Project, sol: Solution,
+                             ctx: Ctx) -> None:
+    """On the FIRST cache reuse of an aggregate-bearing subquery, persist
+    the shared DataFrame (MEMORY_AND_DISK).
+
+    DataFrame-level sharing alone does not stop Spark from executing the
+    common subtree once per consumer: Catalyst column-prunes each
+    consumer's copy differently (a MAX-consumer keeps fewer aggregate
+    expressions than an AVG-consumer), so the canonicalized exchanges
+    differ and ReuseExchange never fires — BI Q5's shared 4-table
+    aggregation ran twice end-to-end. persist() registers the analyzed
+    plan with the CacheManager, which substitutes the InMemoryRelation
+    into EVERY consumer plan at action time (lookup is by canonicalized
+    subtree, so the first consumer built before this call benefits too).
+    The cached relation is the GROUPED output — at warehouse scale it is
+    orders of magnitude smaller than the join input. Lifetime is bounded
+    by _SHARED_PERSIST_FIFO below (CacheManager holds persisted Datasets
+    strongly, so explicit unpersist is required)."""
+    if ctx.shared_persisted is None or key in ctx.shared_persisted:
+        return
+    if not _contains_group(p):
+        return  # cheap subtree: recomputation beats a cache round-trip
+    try:
+        if sol.df.isStreaming:
+            return
+        from pyspark import StorageLevel
+        sol.df.persist(StorageLevel.MEMORY_AND_DISK)
+        ctx.shared_persisted.add(key)
+        _SHARED_PERSIST_FIFO.append(sol.df)
+        while len(_SHARED_PERSIST_FIFO) > _SHARED_PERSIST_CAP:
+            old = _SHARED_PERSIST_FIFO.pop(0)
+            try:
+                old.unpersist(blocking=False)
+            except Exception:
+                pass
+    except Exception:  # pragma: no cover - persist is best-effort
+        pass
 
 
 def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
