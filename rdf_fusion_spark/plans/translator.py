@@ -10,6 +10,7 @@ Catalyst then applies predicate pushdown / column pruning / join selection.
 from __future__ import annotations
 
 import datetime as _dt
+import threading
 from dataclasses import dataclass, field, replace
 from typing import Callable, Optional
 
@@ -556,9 +557,24 @@ def translate(p, ctx: Ctx) -> Solution:
         # the LEFT pattern imposes on its subject vars are implied for
         # every right row that can survive the join — push them into the
         # OPTIONAL side so its scans prune (virtual stores only; see
-        # _translate_bgp)
+        # _translate_bgp).
+        #
+        # SOUNDNESS (round-5 ADVICE, high): a constraint on ?s may enter
+        # the OPTIONAL side only if ?s is CERTAINLY bound by this
+        # LeftJoin's left side. Otherwise pruning the optional's scans
+        # flips matched rows into NULL-padded rows, and NULL is
+        # join-compatible with anything (join.py IsCompatible), so an
+        # enclosing join that supplied the constraint would keep spurious
+        # rows. With ?s certainly bound on the left, a pruned right row
+        # can only have carried an ?s value the outer constraint-bearing
+        # join would reject anyway — the left row survives NULL-padded
+        # and dies at that outer join exactly as its matched form would.
+        # Applied at every LeftJoin, so constraints flowing from ANY
+        # enclosing Join/Lateral push are restricted recursively.
+        rctx = _restrict_consts_to(ctx, _certainly_bound(p.left))
         consts = _collect_subject_consts(p.left) if ctx.optimize else None
-        rctx = replace_ctx_consts(ctx, consts) if consts else ctx
+        if consts:
+            rctx = replace_ctx_consts(rctx, consts)
         r = translate(p.right, rctx)
         if p.expr is not None and _has_exists(p.expr):
             return _left_join_with_exists(l, r, p.expr, ctx)
@@ -913,6 +929,64 @@ def replace_ctx_consts(ctx: Ctx, consts: dict) -> Ctx:
     for k, v in consts.items():
         merged[k] = merged.get(k, set()) | v
     return replace(ctx, ambient_consts=merged)
+
+
+def _certainly_bound(p) -> set:
+    """Variable names CERTAINLY bound (non-NULL in every solution) by a
+    pattern — the syntactic analysis SIP soundness rests on (see the
+    LeftJoin case in `translate`). Conservative: returning fewer names is
+    always safe, so anything unanalyzed contributes nothing."""
+    if isinstance(p, A.BGP):
+        out = set()
+        for t in p.triples:
+            for x in (t.subject, t.predicate, t.object):
+                if isinstance(x, Variable):
+                    out.add(x.name)
+        return out
+    if isinstance(p, A.PathPattern):
+        return {x.name for x in (p.subject, p.object)
+                if isinstance(x, Variable)}
+    if isinstance(p, (A.Join, A.Lateral)):
+        return _certainly_bound(p.left) | _certainly_bound(p.right)
+    if isinstance(p, (A.LeftJoin, A.Minus)):
+        return _certainly_bound(p.left)
+    if isinstance(p, A.Union):
+        return _certainly_bound(p.left) & _certainly_bound(p.right)
+    if isinstance(p, (A.Filter, A.Distinct, A.Reduced, A.Slice, A.OrderBy)):
+        return _certainly_bound(p.inner)
+    if isinstance(p, A.Extend):
+        # BIND can leave its var unbound (expression error) — inner only
+        return _certainly_bound(p.inner)
+    if isinstance(p, A.GraphNode):
+        inner = _certainly_bound(p.inner)
+        if isinstance(p.name, Variable):
+            inner = inner | {p.name.name}
+        return inner
+    if isinstance(p, A.Project):
+        return _certainly_bound(p.inner) & {v.name for v in p.variables}
+    if isinstance(p, A.Group):
+        # aggregate outputs can be unbound (e.g. SUM over an errored
+        # group); keys are bound iff bound in the inner pattern
+        return _certainly_bound(p.inner) & {k.name for k in p.keys}
+    if isinstance(p, A.ValuesNode):
+        out = set()
+        for i, v in enumerate(p.variables):
+            if p.rows and all(row[i] is not None for row in p.rows):
+                out.add(v.name)
+        return out
+    return set()
+
+
+def _restrict_consts_to(ctx: Ctx, names: set) -> Ctx:
+    """Drop ambient constant constraints for variables outside `names`
+    (used when descending into an OPTIONAL scope — only constraints on
+    variables its mandatory side certainly binds may prune it)."""
+    if not ctx.ambient_consts:
+        return ctx
+    kept = {k: v for k, v in ctx.ambient_consts.items() if k in names}
+    if len(kept) == len(ctx.ambient_consts):
+        return ctx
+    return replace(ctx, ambient_consts=kept or None)
 
 
 def _no_consts(ctx: Ctx) -> Ctx:
@@ -1472,10 +1546,37 @@ def _contains_group(p) -> bool:
 # which holds them STRONGLY (Dataset.persist is not ContextCleaner-
 # collected like raw RDD blocks) — a long-lived session translating many
 # subsumption-shaped queries would pin every shared aggregate forever.
-# Bounded FIFO: beyond the cap the oldest is unpersisted; any plan still
-# referencing it transparently recomputes (cache is a pure optimization).
-_SHARED_PERSIST_FIFO: list = []
-_SHARED_PERSIST_CAP = 12
+#
+# Lifetime policy (round-6; replaces the round-5 process-global FIFO,
+# which pinned up to 12 grouped relations into EVERY later query's
+# memory budget across a long bench session — the q3/q5 like-for-like
+# regression): persists are scoped to the QUERY that created them, keyed
+# per SparkSession. The next evaluate_query() on the same session
+# releases the previous query's persists — by then its result has
+# normally been consumed; if a caller still holds an uncollected result
+# DataFrame, unpersist merely forces a recompute (cache is a pure
+# optimization, never a correctness dependency). A per-query cap bounds
+# pathological single queries. All mutation is lock-guarded (sessions
+# may run queries from multiple threads; eviction must not race).
+_PERSIST_REGISTRY: dict = {}          # session JVM id -> [DataFrame]
+_PERSIST_LOCK = threading.Lock()
+_SHARED_PERSIST_CAP = 12              # per query, backstop only
+
+
+def _session_key(session) -> int:
+    return id(session)
+
+
+def _release_prior_persists(session) -> None:
+    """Unpersist every shared-subquery cache the PREVIOUS query on this
+    session created. Called at the top of evaluate_query."""
+    with _PERSIST_LOCK:
+        old = _PERSIST_REGISTRY.pop(_session_key(session), [])
+    for df in old:
+        try:
+            df.unpersist(blocking=False)
+        except Exception:
+            pass
 
 
 def _persist_shared_subquery(key, p: A.Project, sol: Solution,
@@ -1494,7 +1595,8 @@ def _persist_shared_subquery(key, p: A.Project, sol: Solution,
     subtree, so the first consumer built before this call benefits too).
     The cached relation is the GROUPED output — at warehouse scale it is
     orders of magnitude smaller than the join input. Lifetime is bounded
-    by _SHARED_PERSIST_FIFO below (CacheManager holds persisted Datasets
+    by _PERSIST_REGISTRY above: query-scoped, released by the next
+    evaluate_query on the session (CacheManager holds persisted Datasets
     strongly, so explicit unpersist is required)."""
     if ctx.shared_persisted is None or key in ctx.shared_persisted:
         return
@@ -1506,11 +1608,16 @@ def _persist_shared_subquery(key, p: A.Project, sol: Solution,
         from pyspark import StorageLevel
         sol.df.persist(StorageLevel.MEMORY_AND_DISK)
         ctx.shared_persisted.add(key)
-        _SHARED_PERSIST_FIFO.append(sol.df)
-        while len(_SHARED_PERSIST_FIFO) > _SHARED_PERSIST_CAP:
-            old = _SHARED_PERSIST_FIFO.pop(0)
+        skey = _session_key(sol.df.sparkSession)
+        evict = None
+        with _PERSIST_LOCK:
+            lst = _PERSIST_REGISTRY.setdefault(skey, [])
+            lst.append(sol.df)
+            if len(lst) > _SHARED_PERSIST_CAP:
+                evict = lst.pop(0)
+        if evict is not None:
             try:
-                old.unpersist(blocking=False)
+                evict.unpersist(blocking=False)
             except Exception:
                 pass
     except Exception:  # pragma: no cover - persist is best-effort
@@ -1964,6 +2071,10 @@ def _check_service_endpoints(p) -> None:
 
 
 def evaluate_query(store: GraphStore, q, optimize: bool = True):
+    # release the PREVIOUS query's shared-subquery persists on this
+    # session (see _PERSIST_REGISTRY): caches are query-scoped so a long
+    # bench run never accumulates pinned grouped relations
+    _release_prior_persists(store.spark)
     ctx = _dataset_ctx(store, getattr(q, "dataset", None), optimize=optimize)
     _join.reset_guard_breaches()
     if getattr(q, "pattern", None) is not None:

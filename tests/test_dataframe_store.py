@@ -107,6 +107,39 @@ def test_sip_not_injected_into_minus_scope(negation_store):
     assert rows[0]["x"] is None and rows[0]["v"] is None
 
 
+def test_sip_not_injected_into_unbound_optional_scope_join(negation_store):
+    """Round-6 ADVICE (high): a Join's symmetric SIP push must not prune
+    a BGP inside an OPTIONAL whose mandatory side leaves the constrained
+    variable unbound — pruning flips matched rows into NULL-padded rows
+    and NULL is join-compatible with anything. Correct answer: 0 rows
+    (the optional binds ?s to the flag="no" row, incompatible with the
+    outer flag="yes" triple)."""
+    res = negation_store.query("""
+      SELECT ?s ?x ?junk WHERE {
+        { ?x <x:t#tid> ?xt OPTIONAL { ?s <x:t#v> ?junk } }
+        ?s <x:t#flag> "yes" .
+      }
+    """)
+    assert res.df.count() == 0
+
+
+def test_sip_not_injected_into_nested_unbound_optional_scope(negation_store):
+    """Same class via the LeftJoin push path: the outer OPTIONAL's
+    constraint on ?s must be dropped at the NESTED OPTIONAL whose
+    mandatory side (?x tid ?xt) does not bind ?s. Correct answer: 1
+    NULL-padded row (the nested optional binds ?s to the flag="no" row,
+    so the outer optional finds no compatible right row)."""
+    res = negation_store.query("""
+      SELECT ?s ?x ?junk WHERE {
+        ?s <x:t#flag> "yes" .
+        OPTIONAL { ?x <x:t#tid> ?xt OPTIONAL { ?s <x:t#v> ?junk } }
+      }
+    """)
+    rows = res.df.collect()
+    assert len(rows) == 1
+    assert rows[0]["x"] is None and rows[0]["junk"] is None
+
+
 def test_sip_not_injected_into_not_exists_scope(negation_store):
     res = negation_store.query("""
       SELECT ?s ?x ?v WHERE {
