@@ -8,8 +8,8 @@ Four families, all shuffle-efficient at 100 TB:
                Only documents sharing a band bucket are ever paired, so the
                candidate set is ~linear in corpus size (never all-pairs);
                the exact-Jaccard verify runs on candidates only.
-* SimHash    — 16-bit charge-accumulation fingerprint; hamming-close docs
-               collide on the value (or on rotated halves for ≤k distance).
+* SimHash    — 60-bit charge-accumulation fingerprint; banded (4×15-bit)
+               equi-join candidate generation for hamming distance ≤ 3.
 
 Hashes are MD5-derived (first 8 hex chars as int64) — deliberately portable
 so DuckDB/any ANSI engine can replicate results bit-for-bit for the
@@ -263,21 +263,34 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
             .where(F.col("jaccard") >= threshold))
 
 
-SIMHASH_BITS = 16
-SIMHASH_BANDS = 4  # nibbles; pigeonhole guarantees recall for distance < 4
+# 60-bit fingerprint in 4 bands of 15 bits (round 6; was 16-bit/4-bit).
+# Why 60 and not 64: every term stays strictly below 2^63, so the whole
+# computation — per-word hash halves, charge bits, value assembly, band
+# extraction — is plain POSITIVE int64 arithmetic that DuckDB replicates
+# bit-for-bit for the oracle (a 64th bit would live in the sign bit and
+# need engine-specific overflow semantics). At 15-bit bands each band
+# key has 32,768 values, so the band self-join stays bucketed far past
+# the ~10^5-doc corpus size where 4-bit bands degenerated to all-pairs;
+# pigeonhole still guarantees 100% recall for hamming distance < 4.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
 
 
 def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
     """SimHash near-duplicate pairs: (id_a, id_b, hamming) with hamming
     distance <= max_distance.
 
-    Candidate generation by banding (pigeonhole): split the 16-bit
-    fingerprint into SIMHASH_BANDS nibbles; any pair within distance
-    < SIMHASH_BANDS agrees on at least one nibble, so candidates come
-    from equi-joins on (band_idx, nibble) — one shuffle, never all-pairs.
-    The exact popcount check then filters candidates.
+    Candidate generation by banding (pigeonhole): split the 60-bit
+    fingerprint into SIMHASH_BANDS 15-bit bands; any pair within distance
+    < SIMHASH_BANDS agrees on at least one band, so candidates come
+    from equi-joins on (band_idx, band_val) — one shuffle, never
+    all-pairs. The exact popcount check then filters candidates.
+    `bucket_cap` truncates pathological band buckets exactly like
+    minhash_lsh_pairs (deterministic rank-by-id, dropped mass logged);
+    pass None to disable.
     """
     assert max_distance < SIMHASH_BANDS, "banding guarantees recall only " \
         "for distance < number of bands"
@@ -295,6 +308,22 @@ def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
                 .select("id", "simhash",
                         F.col("b.band_idx").alias("band_idx"),
                         F.col("b.band_val").alias("band_val")))
+    if bucket_cap is not None:
+        from pyspark import StorageLevel
+        from pyspark.sql import Window
+        w = Window.partitionBy("band_idx", "band_val").orderBy("id")
+        ranked = exploded.withColumn("__rn", F.row_number().over(w)) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
+        if n_dropped:
+            _log.warning(
+                "simhash_near_dup_pairs: %d (doc, band) bucket memberships "
+                "beyond the %d-per-bucket cap were dropped (duplicate-"
+                "heavy corpus; run exact dedup upstream)",
+                n_dropped, bucket_cap)
+        exploded = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn") \
+            .localCheckpoint(eager=True)
+        ranked.unpersist()
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
@@ -315,21 +344,29 @@ def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
 
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """16-bit SimHash per document (token-frequency weighted).
+    """60-bit SimHash per document (token-frequency weighted).
 
     Each token contributes ±1 per bit position from its portable hash; the
     sign of each accumulated charge becomes the output bit. Implemented as
     explode + one hash-aggregate (map-side combined) — one shuffle on the
     doc id, no UDFs.
+
+    The per-token hash supplies 60 independent bits from md5 as TWO
+    positive halves (hex chars 1–8 → bits 0..31, hex chars 9–15 → bits
+    32..59) so every intermediate stays well inside int64 and the DuckDB
+    oracle reproduces it exactly (see SIMHASH_BITS note above).
     """
     tok = df.select(F.col(id_col).alias("id"),
                     F.explode(words_col(F.col(text_col))).alias("w"))
-    h = _md5i(F.col("w"))
-    charges = [
-        F.sum(F.when(h.bitwiseAND(F.lit(1 << k)) != 0, 1).otherwise(-1))
-        .alias(f"c{k}")
-        for k in range(SIMHASH_BITS)
-    ]
+    md5 = F.md5(F.col("w"))
+    h_lo = F.conv(F.substring(md5, 1, 8), 16, 10).cast("long")   # 32 bits
+    h_hi = F.conv(F.substring(md5, 9, 7), 16, 10).cast("long")   # 28 bits
+    charges = []
+    for k in range(SIMHASH_BITS):
+        src, kk = (h_lo, k) if k < 32 else (h_hi, k - 32)
+        charges.append(
+            F.sum(F.when(src.bitwiseAND(F.lit(1 << kk)) != 0, 1)
+                  .otherwise(-1)).alias(f"c{k}"))
     agg = tok.groupBy("id").agg(*charges)
     value = None
     for k in range(SIMHASH_BITS):

@@ -95,6 +95,43 @@ def test_named_graph_bnodes_and_ground_quads():
     assert set(labels) == {"g1s", "gg"}
 
 
+def test_bag_multiplicity_invariance(spark):
+    """RDFC-1.0 hashes the dataset as a SET: a store carrying a
+    duplicated row must canonicalize identically to its deduplicated
+    twin (round-5 ADVICE — duplicate rows doubled N-Quads lines in
+    first-degree hashes)."""
+    base = [
+        (None, BlankNode("a"), _n("knows"), BlankNode("b")),
+        (None, BlankNode("b"), _n("knows"), BlankNode("a")),
+        (None, BlankNode("a"), _n("name"), Literal("alice")),
+    ]
+    s1 = GraphStore.from_python_quads(spark, base)
+    s2 = GraphStore.from_python_quads(spark, base + [base[0], base[2]])
+
+    def rows(store):
+        return sorted(str(r) for r in store.canonicalize().quads.collect())
+
+    assert rows(s1) == rows(s2)
+
+
+def test_distributed_path_matches_sequential(spark):
+    """When all first-degree hashes are unique, store.canonicalize takes
+    the fully-distributed labeling path — it must issue exactly the
+    labels the sequential spec algorithm issues, at a bnode count past
+    any create_map/collect comfort zone."""
+    n = 2_000
+    quads = [(None, BlankNode(f"b{i}"), _n("val"), Literal(str(i)))
+             for i in range(n)]
+    expect = canonical_labels(quads)
+    store = GraphStore.from_python_quads(spark, quads)
+    got = {}
+    for r in store.canonicalize().quads.collect():
+        got[r["object"]["v"]] = r["subject"]["v"]
+    assert len(got) == n
+    for i in range(n):
+        assert got[str(i)] == expect[f"b{i}"]
+
+
 def test_store_canonicalize_roundtrip(spark):
     """GraphStore.canonicalize: isomorphic stores produce IDENTICAL quad
     sets; ground quads pass through untouched."""

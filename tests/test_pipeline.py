@@ -278,6 +278,49 @@ def test_lsh_bucket_cap_bounds_mega_bucket(spark, caplog):
     assert any("cap were dropped" in m for m in caplog.messages)
 
 
+def test_simhash_bucket_cap_bounds_mega_bucket(spark, caplog):
+    """Identical docs share the full 60-bit fingerprint, so every band
+    bucket is a mega-bucket; the cap must bound candidates exactly like
+    minhash (round-5 verdict: SimHash had no backstop)."""
+    import logging
+    n = 5_000
+    dup = spark.range(0, n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the exact same text repeated in every single copy of this "
+              "document corpus").alias("text"))
+    cap = 16
+    with caplog.at_level(logging.WARNING,
+                         logger="rdf_fusion_spark.pipeline.dedup"):
+        pairs = dedup.simhash_near_dup_pairs(dup, 3, bucket_cap=cap)
+        n_pairs = pairs.count()
+    assert n_pairs == cap * (cap - 1) // 2
+    ids = {i for r in pairs.collect() for i in (r["id_a"], r["id_b"])}
+    assert ids == set(range(cap))
+    assert any("cap were dropped" in m for m in caplog.messages)
+
+
+def test_simhash_banding_recall_within_distance(spark):
+    """Pairs at hamming distance ≤ 3 MUST be found via the banded join
+    (pigeonhole guarantee) — checked against an all-pairs popcount
+    oracle on a corpus of near-identical texts."""
+    base = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+            "juliet kilo lima mike november oscar papa quebec romeo")
+    words = base.split()
+    rows = [(0, base)]
+    # single-word substitutions → small hamming perturbations
+    for i in range(1, 9):
+        mutated = list(words)
+        mutated[i] = f"zz{i}"
+        rows.append((i, " ".join(mutated)))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sig = {r["id"]: r["simhash"] for r in dedup.simhash(docs).collect()}
+    want = {(a, b) for a in sig for b in sig if a < b
+            and bin(sig[a] ^ sig[b]).count("1") <= 3}
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.simhash_near_dup_pairs(docs, 3).collect()}
+    assert got == want
+
+
 def test_lsh_bucket_cap_no_effect_below_cap(docs):
     capped = dedup.minhash_lsh_pairs(docs, 0.8)
     uncapped = dedup.minhash_lsh_pairs(docs, 0.8, bucket_cap=None)
