@@ -75,6 +75,12 @@ BENCH_QUERIES = [
     "q_windfarm_grouped1",
     "q_windfarm_grouped2",
     "q_windfarm_grouped4",
+    # round 6: MultiGrouped ANALOGUES (reference names the queries but
+    # ships no .sparql text in this snapshot — see entry_queries.py)
+    "q_windfarm_multi1",
+    "q_windfarm_multi2",
+    "q_windfarm_multi3",
+    "q_windfarm_multi4",
 ]
 
 
@@ -103,6 +109,21 @@ def main() -> None:
 
     # warm the relational graph cache once, outside per-query timings
     EQ.get_graph(spark, SF_DIR)
+
+    # planning phase, timed separately (the reference benches "Planning"
+    # and end-to-end per query — bench/benches/bsbm_explore.rs:71-84):
+    # the FIRST build of each query at SF_DIR drives the full
+    # parse → translate → Catalyst-analyze pipeline with a cold plan
+    # cache; the timed loop below then reuses the prepared plan, so its
+    # numbers are execution-dominated. For _NOT_CACHEABLE queries the
+    # build executes data-dependent jobs (e.g. the IVF index build) and
+    # plan_build_s includes them — those entries measure prepare cost,
+    # not pure translation.
+    plan_build: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        qs[name](spark, SF_DIR)
+        plan_build[name] = round(time.perf_counter() - t0, 3)
 
     # untimed warmup: run every bench query once at the smallest SF so
     # JVM JIT / codegen compilation / Arrow init don't land in the timings
@@ -148,6 +169,8 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
+        "plan_build_s": plan_build,
+        "plan_build_total": round(sum(plan_build.values()), 3),
         "comparable_total": round(comparable, 3),
         "sf": sf_val,
     }))

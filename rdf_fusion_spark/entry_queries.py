@@ -2406,6 +2406,209 @@ _q(
     """,
 )
 
+# WindFarm MultiGrouped1–4 ANALOGUES (not mirrors): the reference names
+# these queries (bench/src/benchmarks/windfarm/queries.rs:26-29,43-46)
+# but loads their .sparql text from a bench_files folder absent from the
+# snapshot (benchmark.rs:190-192), so faithful mirroring is impossible.
+# The chrontext workload they come from aggregates MULTIPLE timeseries
+# per entity over multi-dimension group keys; these analogues reproduce
+# that shape on the warehouse topology: TWO series per entity chain
+# (orders.o_totalprice as the "Production" series, the order's lineitem
+# extendedprice as the second series) under multi-key GROUP BY.
+
+_WINDFARM_MULTI_CHAIN = _WINDFARM_CHAIN + """
+      ?li l:l_orderkey ?ord .
+      ?li l:l_extendedprice ?val2 .
+"""
+
+_WINDFARM_MULTI_SQL = _WINDFARM_SQL + """
+    JOIN lineitem ON l_orderkey = o_orderkey
+"""
+
+_q(
+    "q_windfarm_multi1",
+    f"""
+    SELECT ?nation_label ?year
+           (xsd:double(AVG(xsd:decimal(?val))) AS ?avg_prod)
+           (xsd:double(AVG(xsd:decimal(?val2))) AS ?avg_speed)
+           (COUNT(?li) AS ?n_points)
+    WHERE {{
+      {_WINDFARM_MULTI_CHAIN}
+      BIND(YEAR(?t) AS ?year)
+      FILTER(?region_label = "ASIA"
+          && ?t >= "1996-01-01T00:00:00"^^xsd:dateTime
+          && ?t <= "1997-12-31T00:00:00"^^xsd:dateTime)
+    }}
+    GROUP BY ?nation_label ?year
+    ORDER BY ?nation_label ?year
+    LIMIT 10
+    """,
+    [("nation_label", "str"), ("year", "long"), ("avg_prod", "double6"),
+     ("avg_speed", "double6"), ("n_points", "long")],
+    f"""
+    SELECT n_name AS nation_label,
+           CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+           ROUND(CAST(CAST(AVG({_dec('o_totalprice')}) AS VARCHAR)
+                 AS DOUBLE), 6) AS avg_prod,
+           ROUND(CAST(CAST(AVG({_dec('l_extendedprice')}) AS VARCHAR)
+                 AS DOUBLE), 6) AS avg_speed,
+           COUNT(*) AS n_points
+    {_WINDFARM_MULTI_SQL}
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-12-31'
+    GROUP BY n_name, year
+    ORDER BY nation_label, year
+    LIMIT 10
+    """,
+)
+
+_q(
+    "q_windfarm_multi2",
+    f"""
+    SELECT ?nation_label ?year ?month
+           (MIN(?val) AS ?min_prod) (MAX(?val) AS ?max_prod)
+           (MIN(?val2) AS ?min_speed) (MAX(?val2) AS ?max_speed)
+    WHERE {{
+      {_WINDFARM_MULTI_CHAIN}
+      BIND(YEAR(?t) AS ?year)
+      BIND(MONTH(?t) AS ?month)
+      FILTER(?nation_label = "NATION_2"
+          && ?t >= "1996-01-01T00:00:00"^^xsd:dateTime
+          && ?t <= "1996-12-31T00:00:00"^^xsd:dateTime)
+    }}
+    GROUP BY ?nation_label ?year ?month
+    ORDER BY ?nation_label ?year ?month
+    LIMIT 12
+    """,
+    [("nation_label", "str"), ("year", "long"), ("month", "long"),
+     ("min_prod", "double"), ("max_prod", "double"),
+     ("min_speed", "double"), ("max_speed", "double")],
+    """
+    SELECT n_name AS nation_label,
+           CAST(EXTRACT(year  FROM o_orderdate) AS BIGINT) AS year,
+           CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS month,
+           MIN(o_totalprice) AS min_prod, MAX(o_totalprice) AS max_prod,
+           MIN(l_extendedprice) AS min_speed,
+           MAX(l_extendedprice) AS max_speed
+    FROM region
+    JOIN nation   ON n_regionkey = r_regionkey
+    JOIN customer ON c_nationkey = n_nationkey
+    JOIN orders   ON o_custkey   = c_custkey
+    JOIN lineitem ON l_orderkey  = o_orderkey
+    WHERE n_name = 'NATION_2'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <= TIMESTAMP '1996-12-31'
+    GROUP BY n_name, year, month
+    ORDER BY nation_label, year, month
+    LIMIT 12
+    """,
+)
+
+# MultiGrouped3 analogue: each series aggregated in its OWN sub-SELECT,
+# joined on the group keys — the chrontext "one aggregation per series"
+# plan shape, and the aggregate-subsumption-friendly form (both
+# subqueries share the entity-chain core).
+_q(
+    "q_windfarm_multi3",
+    f"""
+    SELECT ?nation_label ?year ?avg_prod ?avg_speed WHERE {{
+      {{
+        SELECT ?nation_label ?year
+               (xsd:double(AVG(xsd:decimal(?val))) AS ?avg_prod)
+        WHERE {{
+          {_WINDFARM_CHAIN}
+          BIND(YEAR(?t) AS ?year)
+          FILTER(?region_label = "ASIA"
+              && ?t >= "1996-01-01T00:00:00"^^xsd:dateTime
+              && ?t <= "1997-12-31T00:00:00"^^xsd:dateTime)
+        }}
+        GROUP BY ?nation_label ?year
+      }}
+      {{
+        SELECT ?nation_label ?year
+               (xsd:double(AVG(xsd:decimal(?val2))) AS ?avg_speed)
+        WHERE {{
+          {_WINDFARM_MULTI_CHAIN}
+          BIND(YEAR(?t) AS ?year)
+          FILTER(?region_label = "ASIA"
+              && ?t >= "1996-01-01T00:00:00"^^xsd:dateTime
+              && ?t <= "1997-12-31T00:00:00"^^xsd:dateTime)
+        }}
+        GROUP BY ?nation_label ?year
+      }}
+    }}
+    ORDER BY ?nation_label ?year
+    LIMIT 10
+    """,
+    [("nation_label", "str"), ("year", "long"), ("avg_prod", "double6"),
+     ("avg_speed", "double6")],
+    f"""
+    WITH prod AS (
+      SELECT n_name AS nation_label,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+             ROUND(CAST(CAST(AVG({_dec('o_totalprice')}) AS VARCHAR)
+                   AS DOUBLE), 6) AS avg_prod
+      {_WINDFARM_SQL}
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <= TIMESTAMP '1997-12-31'
+      GROUP BY n_name, year
+    ), speed AS (
+      SELECT n_name AS nation_label,
+             CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS year,
+             ROUND(CAST(CAST(AVG({_dec('l_extendedprice')}) AS VARCHAR)
+                   AS DOUBLE), 6) AS avg_speed
+      {_WINDFARM_MULTI_SQL}
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o_orderdate <= TIMESTAMP '1997-12-31'
+      GROUP BY n_name, year
+    )
+    SELECT prod.nation_label, prod.year, avg_prod, avg_speed
+    FROM prod JOIN speed
+      ON prod.nation_label = speed.nation_label AND prod.year = speed.year
+    ORDER BY prod.nation_label, prod.year
+    LIMIT 10
+    """,
+)
+
+_q(
+    "q_windfarm_multi4",
+    f"""
+    SELECT ?region_label ?nation_label ?cust_label
+           (xsd:double(SUM(xsd:decimal(?val))) AS ?sum_prod)
+           (COUNT(?li) AS ?n_points)
+    WHERE {{
+      {_WINDFARM_MULTI_CHAIN}
+      FILTER(?region_label = "ASIA"
+          && ?t >= "1997-01-01T00:00:00"^^xsd:dateTime
+          && ?t <= "1997-06-30T00:00:00"^^xsd:dateTime)
+    }}
+    GROUP BY ?region_label ?nation_label ?cust_label
+    HAVING (COUNT(?li) >= "20"^^xsd:integer)
+    ORDER BY DESC(?sum_prod) ?cust_label
+    LIMIT 10
+    """,
+    [("region_label", "str"), ("nation_label", "str"),
+     ("cust_label", "str"), ("sum_prod", "double6"), ("n_points", "long")],
+    f"""
+    SELECT r_name AS region_label, n_name AS nation_label,
+           c_name AS cust_label,
+           ROUND(CAST(CAST(SUM({_dec('o_totalprice')}) AS VARCHAR)
+                 AS DOUBLE), 6) AS sum_prod,
+           COUNT(*) AS n_points
+    {_WINDFARM_MULTI_SQL}
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <= TIMESTAMP '1997-06-30'
+    GROUP BY r_name, n_name, c_name
+    HAVING COUNT(*) >= 20
+    ORDER BY sum_prod DESC, cust_label
+    LIMIT 10
+    """,
+)
+
 # BSBM Explore Q1: type anchor + two constant "features" + numeric range,
 # DISTINCT + ORDER + LIMIT (explore-q1.sparql; the reference's two
 # productFeature constants map to the two categorical part columns).

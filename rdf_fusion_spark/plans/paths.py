@@ -286,11 +286,16 @@ def _kleene_plus(edges: DataFrame, ctx, seed=None) -> DataFrame:
             stepped = concat(delta, eid).dropDuplicates()
             delta = stepped.join(paths, on=[SRC, TGT] + g, how="left_anti") \
                 .localCheckpoint(eager=True)
-            if not delta.head(1):
+            # one job per round, not two: counting the just-checkpointed
+            # delta answers BOTH the emptiness check and the upgrade
+            # accumulator (head(1) + count() was the round-5 shape; each
+            # extra local-mode job costs ~50 ms × rounds)
+            n_new = delta.count()
+            if not n_new:
                 break
             paths = paths.unionByName(delta)
             if not use_dict:
-                acc += delta.count()  # cheap: delta was just checkpointed
+                acc += n_new
                 if acc >= KLEENE_DICT_MIN_PAIRS:
                     paths, delta = upgrade(paths, delta)
         else:
@@ -302,21 +307,29 @@ def _kleene_plus(edges: DataFrame, ctx, seed=None) -> DataFrame:
 
     paths = delta = eid
     acc = 0
+    first = True
     for _ in range(MAX_ITERATIONS):
         LAST_KLEENE_ROUNDS["rounds"] += 1
         # path doubling: any new pair decomposes as new·any or any·new
         # (old·old pairs were found in earlier rounds) — delta ⊆ paths,
         # so these two concatenations cover new·new as well; covered path
-        # length doubles per round ⇒ O(log2 diameter) rounds
-        stepped = concat(delta, paths).unionByName(concat(paths, delta)) \
-            .dropDuplicates()
+        # length doubles per round ⇒ O(log2 diameter) rounds. Round 1 has
+        # delta == paths == edges, where both concatenations are the SAME
+        # join — do it once.
+        if first:
+            stepped = concat(eid, eid).dropDuplicates()
+            first = False
+        else:
+            stepped = concat(delta, paths).unionByName(concat(paths, delta)) \
+                .dropDuplicates()
         delta = stepped.join(paths, on=[SRC, TGT] + g, how="left_anti") \
             .localCheckpoint(eager=True)
-        if not delta.head(1):
+        n_new = delta.count()  # emptiness + upgrade accumulator in one job
+        if not n_new:
             break
         paths = paths.unionByName(delta)
         if not use_dict:
-            acc += delta.count()  # cheap: delta was just checkpointed
+            acc += n_new
             if acc >= KLEENE_DICT_MIN_PAIRS:
                 paths, delta = upgrade(paths, delta)
     else:

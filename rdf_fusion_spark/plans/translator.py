@@ -912,7 +912,28 @@ def _collect_subject_consts(p) -> dict:
         for k, v in b.items():
             a[k] = a.get(k, set()) | v
         return a
-    if isinstance(p, (A.Filter, A.Extend, A.Distinct, A.Reduced, A.Slice,
+    if isinstance(p, A.Filter):
+        out = _collect_subject_consts(p.inner)
+        # FILTER-pinned objects (round-5 verdict #4): a top-level
+        # conjunct `?v = <const>` combined with a mandatory inner triple
+        # `?s <pred> ?v` implies the constant constraint (pred, const)
+        # on ?s — the BSBM Explore-Q1 / BI-Q1 shape, where the pinned
+        # key arrives via FILTER instead of a ground triple. Only
+        # identity-comparable constants qualify (IRIs, plain strings):
+        # for numerics/dates value-equality admits other lexical forms
+        # ("042"^^integer = 42) and a term-match injection would prune
+        # rows the filter keeps.
+        eqs = _filter_const_eqs(p.expr)
+        if eqs:
+            for t in _conjunctive_triples(p.inner):
+                if (isinstance(t.subject, Variable)
+                        and isinstance(t.predicate, NamedNode)
+                        and isinstance(t.object, Variable)
+                        and t.object.name in eqs):
+                    out.setdefault(t.subject.name, set()).add(
+                        (t.predicate, eqs[t.object.name]))
+        return out
+    if isinstance(p, (A.Extend, A.Distinct, A.Reduced, A.Slice,
                       A.OrderBy)):
         return _collect_subject_consts(p.inner)
     if isinstance(p, (A.LeftJoin, A.Minus, A.Lateral)):
@@ -922,6 +943,52 @@ def _collect_subject_consts(p) -> dict:
         return {k: a[k] & b[k] for k in a.keys() & b.keys()
                 if a[k] & b[k]}
     return {}
+
+
+def _identity_comparable(t) -> bool:
+    """True when SPARQL value equality to this constant implies TERM
+    identity — safe to enforce with a scan-level term match. IRIs and
+    simple/xsd:string literals qualify; numeric, boolean, and temporal
+    literals admit distinct lexical forms of the same value."""
+    from ..terms import XSD_STRING
+    if isinstance(t, NamedNode):
+        return True
+    return (isinstance(t, Literal) and t.language is None
+            and t.datatype == XSD_STRING)
+
+
+def _filter_const_eqs(expr) -> dict:
+    """{var name → constant Term} for top-level `?v = const` conjuncts
+    of a filter expression (either operand order; only `&&` is
+    descended — equalities under `||`/`!`/IF are not implied)."""
+    out: dict = {}
+    if isinstance(expr, A.ECall) and expr.name == "&&":
+        for arg in expr.args:
+            out.update(_filter_const_eqs(arg))
+        return out
+    if isinstance(expr, A.ECall) and expr.name == "=" and len(expr.args) == 2:
+        a, b = expr.args
+        for x, y in ((a, b), (b, a)):
+            if isinstance(x, A.EVar) and isinstance(y, A.ETerm) \
+                    and _identity_comparable(y.term):
+                out[x.name] = y.term
+    return out
+
+
+def _conjunctive_triples(p):
+    """Triple patterns certainly evaluated in the conjunctive core of a
+    pattern (every solution binds their variables from a matching
+    triple)."""
+    if isinstance(p, A.BGP):
+        yield from p.triples
+    elif isinstance(p, A.Join):
+        yield from _conjunctive_triples(p.left)
+        yield from _conjunctive_triples(p.right)
+    elif isinstance(p, (A.Filter, A.Extend, A.Distinct, A.Reduced,
+                        A.Slice, A.OrderBy)):
+        yield from _conjunctive_triples(p.inner)
+    elif isinstance(p, (A.LeftJoin, A.Minus, A.Lateral)):
+        yield from _conjunctive_triples(p.left)
 
 
 def replace_ctx_consts(ctx: Ctx, consts: dict) -> Ctx:
@@ -1168,6 +1235,26 @@ def _rewrite_trivial_exists(expr):
 
 def _translate_filter(p: A.Filter, ctx: Ctx,
                       sol: Optional[Solution] = None) -> Solution:
+    # FILTER-pinned constants flow into the inner translation as ambient
+    # constraints: `?v = <const>` plus a mandatory triple `?s <p> ?v`
+    # implies (p, const) on ?s for every filter-surviving row, and
+    # pruning inner scans early ≡ applying the filter late (mandatory
+    # vars are always bound, so the filter drops exactly the pruned
+    # rows). Optional-scope soundness is enforced downstream by the
+    # LeftJoin certainly-bound restriction.
+    if ctx.optimize and sol is None:
+        eqs = _filter_const_eqs(p.expr)
+        if eqs:
+            fcon: dict = {}
+            for t in _conjunctive_triples(p.inner):
+                if (isinstance(t.subject, Variable)
+                        and isinstance(t.predicate, NamedNode)
+                        and isinstance(t.object, Variable)
+                        and t.object.name in eqs):
+                    fcon.setdefault(t.subject.name, set()).add(
+                        (t.predicate, eqs[t.object.name]))
+            if fcon:
+                ctx = replace_ctx_consts(ctx, fcon)
     # decompose conjunction; EXISTS conjuncts become semi/anti joins
     conjuncts = [_rewrite_trivial_exists(c) for c in _split_and(p.expr)]
     if sol is None:

@@ -37,7 +37,11 @@ def _strip_atoms(text: str) -> str:
     only matched in actual syntax positions."""
     text = re.sub(r'""".*?"""|\'\'\'.*?\'\'\'', '""', text, flags=re.S)
     text = re.sub(r'"(?:[^"\\]|\\.)*"|\'(?:[^\'\\]|\\.)*\'', '""', text)
-    text = re.sub(r"<[^>]*>", "<>", text)
+    # IRI spans must not cross whitespace or formula braces: a greedy
+    # <[^>]*> would swallow N3-only tokens like '<=' (or a '{' between a
+    # stray '<' and a later '>') into a fake IRI and the _N3_ONLY
+    # rejection below would miss them (round-5 ADVICE)
+    text = re.sub(r"<[^<>\s{}]*>", "<>", text)
     text = re.sub(r"#[^\n]*", "", text)
     return text
 

@@ -138,6 +138,46 @@ def test_sip_constraint_reaches_optional_scan(store):
     assert plan.count("EqualTo(l_partkey,42)") >= 2, plan
 
 
+def test_filter_pinned_const_reaches_optional_scan(store):
+    """SIP from FILTER equalities (round-6): `FILTER(?nk = <x:n:5>)`
+    plus the mandatory triple `?c c_nationkey ?nk` pins (c_nationkey, 5)
+    on ?c — the OPTIONAL side's scan must carry it as a pushed parquet
+    filter, exactly like a ground-triple pin would."""
+    q = EQ.PROLOGUE + """
+      SELECT ?name ?ab WHERE {
+        ?c c:c_nationkey ?nk .
+        ?c c:c_name ?name .
+        FILTER(?nk = <x:n:5>)
+        OPTIONAL { ?c c:c_acctbal ?ab }
+      }
+    """
+    res = store.query(q)
+    plan = plan_of(res.df)
+    assert plan.count("EqualTo(c_nationkey,5)") >= 2, plan
+    # soundness: identical rows with the rewrite disabled
+    fast = sorted(map(str, res.df.collect()))
+    slow = sorted(map(str, store.query(q, optimize=False).df.collect()))
+    assert fast == slow and fast
+
+
+def test_filter_pinned_const_numeric_not_injected(store):
+    """Numeric equality must NOT be enforced by term-match injection:
+    "042"^^integer value-equals 42 but is a different term. Only the
+    plan is inspected (the virtual mapping stores canonical lexicals, so
+    results match either way — the guard is about the general rule)."""
+    from rdf_fusion_spark.plans.translator import _filter_const_eqs
+    from rdf_fusion_spark.sparql import algebra as A
+    from rdf_fusion_spark.terms import Literal, NamedNode
+    xsd_int = "http://www.w3.org/2001/XMLSchema#integer"
+    eq = A.ECall("=", [A.EVar("v"), A.ETerm(Literal("42", xsd_int))])
+    assert _filter_const_eqs(eq) == {}
+    eq_iri = A.ECall("=", [A.EVar("v"), A.ETerm(NamedNode("x:n:5"))])
+    assert list(_filter_const_eqs(eq_iri)) == ["v"]
+    # || must not contribute
+    disj = A.ECall("||", [eq_iri, eq_iri])
+    assert _filter_const_eqs(disj) == {}
+
+
 def test_virtual_store_mutations_rejected(store):
     """A virtual store is a read-only view: scans compile to the source
     tables, so a quads mutation would be silently invisible — every
