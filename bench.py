@@ -1,12 +1,24 @@
 """Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
 /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
 
-Prints ONE JSON line:
+The LAST stdout line is ONE compact JSON record:
   {"metric": "...", "value": N, "unit": "sec", "queries": {"q1": sec, ...},
-   "sf": ...}
+   "comparable_total": N, "sf": ...}
+It is kept under 2 KB (asserted) because the driver captures only a
+stdout tail — round 6's record grew past the capture window and was
+recorded as unparseable (`"parsed": null`), losing the round's official
+bench signal. All diagnostics (the plan-build split, --mix percentiles)
+go to EARLIER stdout lines prefixed "DIAG " so a tail slice can only
+ever truncate diagnostics, never the headline record.
 
 Each query is materialized with a noop write (full plan execution, no
 driver-side collect) so the timing reflects distributed execution cost.
+
+`--mix N` additionally runs N parameterized instances of each BSBM
+Explore template (varied constants, mirrors the reference's
+bench/bench_files/bsbm_queries/*.csv.bz2 query mixes) and emits
+per-template mean/p95 on a DIAG line — catches plan-cache-miss and
+constant-sensitivity regressions the single-instance bench can't see.
 """
 
 from __future__ import annotations
@@ -115,12 +127,19 @@ def main() -> None:
     # the FIRST build of each query at SF_DIR drives the full
     # parse → translate → Catalyst-analyze pipeline with a cold plan
     # cache; the timed loop below then reuses the prepared plan, so its
-    # numbers are execution-dominated. For _NOT_CACHEABLE queries the
-    # build executes data-dependent jobs (e.g. the IVF index build) and
-    # plan_build_s includes them — those entries measure prepare cost,
-    # not pure translation.
+    # numbers are execution-dominated. _NOT_CACHEABLE queries are
+    # EXCLUDED here: their "build" runs data-dependent Spark jobs (the
+    # Kleene fixpoint, the IVF index build, stream drains), and each
+    # timed run below re-executes that work anyway — counting it as
+    # plan-build both double-charged it and misattributed execution work
+    # to planning (round-6 verdict: kleene showed 5.16 s "build" for a
+    # 1.06 s query). Their full cost appears in `queries`; plan_build_s
+    # holds translation-dominated numbers only.
+    not_cacheable = getattr(EQ, "_NOT_CACHEABLE", set())
     plan_build: dict[str, float] = {}
     for name in names:
+        if name in not_cacheable:
+            continue
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR)
         plan_build[name] = round(time.perf_counter() - t0, 3)
@@ -164,17 +183,63 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     comparable = sum(per_query.get(n, 0.0) for n in BENCH_QUERIES[:N_COMPARABLE])
-    print(json.dumps({
+
+    # diagnostics FIRST (separate lines; a stdout-tail capture that
+    # truncates can only lose these, never the headline record below)
+    print("DIAG " + json.dumps({
+        "plan_build_s": plan_build,
+        "plan_build_total": round(sum(plan_build.values()), 3),
+        "plan_build_excluded": sorted(n for n in names if n in not_cacheable),
+    }))
+
+    mix_n = 0
+    if "--mix" in sys.argv:
+        mix_n = int(sys.argv[sys.argv.index("--mix") + 1])
+    if mix_n > 0:
+        print("DIAG " + json.dumps({"mix": _run_mix(spark, EQ, mix_n)}))
+
+    record = {
         "metric": "headline_queries_total",
         "value": round(total, 3),
         "unit": "sec",
         "queries": per_query,
-        "plan_build_s": plan_build,
-        "plan_build_total": round(sum(plan_build.values()), 3),
         "comparable_total": round(comparable, 3),
         "sf": sf_val,
-    }))
+    }
+    line = json.dumps(record, separators=(",", ":"))
+    if len(line) > 2000:
+        # last-resort trim so the driver's tail capture always gets a
+        # complete record: keep only the like-for-like comparable slice
+        record["queries"] = {n: per_query[n]
+                             for n in BENCH_QUERIES[:N_COMPARABLE]
+                             if n in per_query}
+        record["queries_truncated"] = True
+        line = json.dumps(record, separators=(",", ":"))
+    assert len(line) <= 2000, f"headline record {len(line)}B > 2000B"
+    print(line)
     spark.stop()
+
+
+def _run_mix(spark, EQ, n: int) -> dict:
+    """N parameterized instances per BSBM Explore template (varied
+    constants — mirrors the reference's bsbm_queries/*.csv.bz2 mixes).
+    Instances bypass the prepared-plan cache by construction (each
+    constant set is a distinct query text), so this measures the cold
+    parse→translate→execute path and constant sensitivity."""
+    out: dict = {}
+    for tpl, texts in EQ.bsbm_mix_instances(n).items():
+        times = []
+        for text in texts:
+            t0 = time.perf_counter()
+            res = EQ.get_graph(spark, SF_DIR).query(text)
+            res.df.write.format("noop").mode("overwrite").save()
+            times.append(time.perf_counter() - t0)
+        times.sort()
+        p95 = times[min(len(times) - 1, int(round(0.95 * len(times))) )]
+        out[tpl] = {"n": len(times),
+                    "mean": round(sum(times) / len(times), 3),
+                    "p95": round(p95, 3)}
+    return out
 
 
 if __name__ == "__main__":

@@ -3791,6 +3791,16 @@ _gc_tick = [0]
 
 def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]
               ) -> Callable[[SparkSession, str], DataFrame]:
+    # Known tradeoff (round-6 ADVICE): shared-subquery persists created
+    # during the build are QUERY-scoped — the next evaluate_query() on
+    # the session releases them — so a cached plan RE-EXECUTED after
+    # other queries have run recomputes its shared grouped relation once
+    # per consumer (the within-plan CSE cost persist() was added to
+    # avoid). This is deliberate: correctness is unaffected, the shared
+    # subtree is recomputed from a fully pushed-down scan, and keeping
+    # up to _PLAN_CACHE_MAX × _SHARED_PERSIST_CAP relations pinned is
+    # exactly the process-global-FIFO memory pressure that regressed
+    # q3/q5 in round 5 (BASELINE.md round-5/6 section).
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         # applicationId, not id(spark): object ids can be reused after a
         # stopped session is GC'd, which would serve a dead plan
@@ -3821,8 +3831,14 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]
 # Registry ordering: the correctness driver samples a PREFIX of the
 # registry each round, so entries that have never received a driver
 # correctness row are listed FIRST (round-5 verdict "What's missing" #1)
-# — dict order is the sampling order.
+# — dict order is the sampling order. Round 7: the four WindFarm
+# MultiGrouped analogues have never been driver-gated, and
+# q_dedup_simhash's only green row (r04) predates the 60-bit banded
+# rewrite, so its green is stale (round-6 verdict task 2).
 _GATE_FIRST = [
+    "q_windfarm_multi1", "q_windfarm_multi2",
+    "q_windfarm_multi3", "q_windfarm_multi4",
+    "q_dedup_simhash",
     "q_ann_quantized_topk", "q_graph_pagerank", "q_graph_triangles",
     "q_text_repetition", "q_text_token_percentiles", "q_train_val_split",
     "q_bsbm_bi_q4", "q_bsbm_bi_q6", "q_bsbm_bi_q8",
@@ -3849,6 +3865,61 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ordered[name] = wrapped.pop(name)
     ordered.update(wrapped)
     return ordered
+
+
+_MIX_TYPES = ["STANDARD", "MEDIUM", "LARGE", "SMALL", "ECONOMY", "PROMO"]
+
+
+def bsbm_mix_instances(n: int) -> dict[str, list[str]]:
+    """N parameterized instances per BSBM Explore template, constants
+    varied deterministically — mirrors the reference's query mixes
+    (bench/bench_files/bsbm_queries/*.csv.bz2, 7 scales of generated
+    constants per template). Used by `bench.py --mix N` to expose
+    plan-cache-miss and constant-sensitivity regressions: every
+    instance is a distinct query text, so each run takes the cold
+    parse → translate → execute path. Returned texts include the
+    prologue (pass straight to GraphStore.query). Partkeys stay within
+    1..1999 so every instance is non-degenerate from sf0.01 up."""
+    out: dict[str, list[str]] = {}
+
+    q1 = SPECS["q_bsbm_explore_q1"].sparql
+    out["explore_q1"] = [
+        PROLOGUE + q1
+        .replace('"Brand#3"', f'"Brand#{1 + (i * 7) % 25}"')
+        .replace('"STANDARD"', f'"{_MIX_TYPES[i % len(_MIX_TYPES)]}"')
+        .replace('"10"^^xsd:integer', f'"{5 + (i % 8) * 5}"^^xsd:integer')
+        for i in range(n)
+    ]
+
+    q4 = SPECS["q_bsbm_explore_q4"].sparql
+    out["explore_q4"] = [
+        PROLOGUE + q4
+        .replace('"MEDIUM"', f'"{_MIX_TYPES[(i * 5) % len(_MIX_TYPES)]}"')
+        .replace('"45"^^xsd:integer', f'"{30 + (i % 5) * 5}"^^xsd:integer')
+        .replace("995.0", f"{800 + (i % 10) * 50}.0")
+        for i in range(n)
+    ]
+
+    q8 = SPECS["q_bsbm_explore_q8"].sparql
+    out["explore_q8"] = [
+        PROLOGUE + q8.replace("<x:p:42>", f"<x:p:{1 + (i * 37) % 1999}>")
+        for i in range(n)
+    ]
+
+    q10 = SPECS["q_bsbm_explore_q10"].sparql
+    out["explore_q10"] = [
+        PROLOGUE + q10
+        .replace("<x:p:42>", f"<x:p:{1 + (i * 61) % 1999}>")
+        .replace("<x:n:4>", f"<x:n:{i % 25}>")
+        for i in range(n)
+    ]
+
+    q11 = SPECS["q_bsbm_explore_q11"].sparql
+    out["explore_q11"] = [
+        PROLOGUE + q11.replace("<x:n:5>", f"<x:n:{i % 25}>")
+        for i in range(n)
+    ]
+    return out
 
 
 def oracle_sql() -> dict[str, str]:

@@ -1645,20 +1645,46 @@ def _contains_group(p) -> bool:
 # optimization, never a correctness dependency). A per-query cap bounds
 # pathological single queries. All mutation is lock-guarded (sessions
 # may run queries from multiple threads; eviction must not race).
-_PERSIST_REGISTRY: dict = {}          # session JVM id -> [DataFrame]
+_PERSIST_REGISTRY: dict = {}   # id(session) -> (session, [DataFrame])
 _PERSIST_LOCK = threading.Lock()
 _SHARED_PERSIST_CAP = 12              # per query, backstop only
 
 
 def _session_key(session) -> int:
+    # id() is safe as the key ONLY because each entry also holds a
+    # strong reference to its session (the tuple below): the object
+    # cannot be garbage-collected — and its id cannot be reused by a
+    # brand-new session — while its entry exists. Entries of STOPPED
+    # sessions are swept by _prune_stopped_sessions on every registry
+    # touch, so a stopped-and-abandoned session's last query no longer
+    # pins its DataFrames forever (round-6 ADVICE).
     return id(session)
+
+
+def _session_stopped(session) -> bool:
+    try:
+        return session.sparkContext._jsc is None
+    except Exception:
+        return True
+
+
+def _prune_stopped_sessions() -> list:
+    """Pop every entry whose session has been stopped; caller unpersists
+    outside the lock. Must be called with _PERSIST_LOCK held."""
+    dead = [k for k, (sess, _) in _PERSIST_REGISTRY.items()
+            if _session_stopped(sess)]
+    out: list = []
+    for k in dead:
+        out.extend(_PERSIST_REGISTRY.pop(k)[1])
+    return out
 
 
 def _release_prior_persists(session) -> None:
     """Unpersist every shared-subquery cache the PREVIOUS query on this
     session created. Called at the top of evaluate_query."""
     with _PERSIST_LOCK:
-        old = _PERSIST_REGISTRY.pop(_session_key(session), [])
+        _, old = _PERSIST_REGISTRY.pop(_session_key(session), (None, []))
+        old = list(old) + _prune_stopped_sessions()
     for df in old:
         try:
             df.unpersist(blocking=False)
@@ -1695,10 +1721,11 @@ def _persist_shared_subquery(key, p: A.Project, sol: Solution,
         from pyspark import StorageLevel
         sol.df.persist(StorageLevel.MEMORY_AND_DISK)
         ctx.shared_persisted.add(key)
-        skey = _session_key(sol.df.sparkSession)
+        sess = sol.df.sparkSession
         evict = None
         with _PERSIST_LOCK:
-            lst = _PERSIST_REGISTRY.setdefault(skey, [])
+            _, lst = _PERSIST_REGISTRY.setdefault(_session_key(sess),
+                                                  (sess, []))
             lst.append(sol.df)
             if len(lst) > _SHARED_PERSIST_CAP:
                 evict = lst.pop(0)

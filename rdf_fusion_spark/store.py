@@ -571,8 +571,16 @@ class GraphStore:
                    .map(lambda r: (r["old"], r["fd"]))
                    .zipWithIndex()
                    .map(lambda t: (t[0][0], f"c14n{t[1]}")))
+            # localCheckpoint, NOT persist: persist() registers with the
+            # CacheManager, which holds the Dataset strongly — every
+            # canonicalize() on a long-lived session would pin one more
+            # cached labels table forever (round-6 ADVICE). A local
+            # checkpoint materializes the (tiny: one row per bnode)
+            # table, truncates lineage past the unpersisted `fd`, and
+            # its blocks are released by the ContextCleaner once the
+            # returned DataFrame is garbage-collected.
             return fd.sparkSession.createDataFrame(
-                rdd, "old string, new string").persist()
+                rdd, "old string, new string").localCheckpoint()
         finally:
             fd.unpersist(blocking=False)
 
