@@ -273,7 +273,50 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
 # the ~10^5-doc corpus size where 4-bit bands degenerated to all-pairs;
 # pigeonhole still guarantees 100% recall for hamming distance < 4.
 SIMHASH_BITS = 60
-SIMHASH_BANDS = 4
+SIMHASH_BLOCKS = 6            # 10-bit blocks
+SIMHASH_KEY_BLOCKS = 3        # each table keys on a 3-block (30-bit) combo
+# recall guarantee: d flipped bits corrupt <= d blocks, so a pair with
+# hamming <= SIMHASH_BLOCKS - SIMHASH_KEY_BLOCKS agrees on at least
+# SIMHASH_KEY_BLOCKS blocks — i.e. on at least one C(6,3) combination
+SIMHASH_BANDS = SIMHASH_BLOCKS - SIMHASH_KEY_BLOCKS + 1  # max_distance bound
+
+
+def _block_combos():
+    from itertools import combinations
+    return list(combinations(range(SIMHASH_BLOCKS), SIMHASH_KEY_BLOCKS))
+
+
+def _band_keys_col(col: str = "simhash"):
+    """Array<struct<band_idx, band_val>> of candidate-table keys for one
+    fingerprint — the Manku/Jain/Sarma block-combination scheme
+    (Detecting Near-Duplicates for Web Crawling, WWW'07 §3): split the
+    60-bit fingerprint into 6 10-bit blocks and key each of the
+    C(6,3)=20 tables on the CONCATENATION of a distinct 3-block subset
+    (30 bits → ~10^9 key values). A pair within hamming distance 3
+    agrees on >= 3 blocks (pigeonhole), hence exactly on some table's
+    key — same recall guarantee as naive 4x15-bit banding, but with
+    2^30 bucket values instead of 2^15 the expected spurious-candidate
+    count drops by ~4 orders of magnitude (measured in BASELINE.md
+    round-7: 69.8M -> ~40k candidates at 10^6 random docs), which is
+    what keeps candidate generation ~linear at warehouse corpus sizes.
+    Shared by the candidate join and the scale-study histogram
+    (tools/simhash_scale_study.py) so both always describe the scheme
+    actually in production."""
+    width = SIMHASH_BITS // SIMHASH_BLOCKS
+    mask = (1 << width) - 1
+
+    def block(i):
+        return F.shiftright(F.col(col), i * width).bitwiseAND(F.lit(mask))
+
+    entries = []
+    for idx, combo in enumerate(_block_combos()):
+        val = None
+        for j, b in enumerate(combo):
+            part = F.shiftleft(block(b), j * width)
+            val = part if val is None else val.bitwiseOR(part)
+        entries.append(F.struct(F.lit(idx).alias("band_idx"),
+                                val.alias("band_val")))
+    return F.array(*entries)
 
 
 def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
@@ -283,10 +326,11 @@ def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
     """SimHash near-duplicate pairs: (id_a, id_b, hamming) with hamming
     distance <= max_distance.
 
-    Candidate generation by banding (pigeonhole): split the 60-bit
-    fingerprint into SIMHASH_BANDS 15-bit bands; any pair within distance
-    < SIMHASH_BANDS agrees on at least one band, so candidates come
-    from equi-joins on (band_idx, band_val) — one shuffle, never
+    Candidate generation by block-combination banding (_band_keys_col:
+    C(6,3)=20 tables, each keyed on a 30-bit 3-block subset of the
+    fingerprint — Manku et al. WWW'07): any pair within distance
+    < SIMHASH_BANDS agrees on at least one table key, so candidates
+    come from equi-joins on (band_idx, band_val) — one shuffle, never
     all-pairs. The exact popcount check then filters candidates.
     `bucket_cap` truncates pathological band buckets exactly like
     minhash_lsh_pairs (deterministic rank-by-id, dropped mass logged);
@@ -294,40 +338,50 @@ def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
     """
     assert max_distance < SIMHASH_BANDS, "banding guarantees recall only " \
         "for distance < number of bands"
-    sig = simhash(df, text_col, id_col)
-    width = SIMHASH_BITS // SIMHASH_BANDS
-    bands = F.array(*[
-        F.struct(
-            F.lit(i).alias("band_idx"),
-            F.shiftright(F.col("simhash"), i * width)
-            .bitwiseAND(F.lit((1 << width) - 1)).alias("band_val"),
-        )
-        for i in range(SIMHASH_BANDS)
-    ])
+    # fingerprints once: the self-join consumes `exploded` twice, and
+    # without a materialization barrier each side would recompute the
+    # full token-aggregate (measured 2x the whole stage at 10^6 docs).
+    # A local checkpoint of `sig` is tiny (16 bytes/doc) and everything
+    # downstream is narrow until the join's own exchange.
+    sig = simhash(df, text_col, id_col).localCheckpoint()
+    bands = _band_keys_col()
+    # table key and band value FUSED into one long (band_val is 30
+    # bits, band_idx < 32): a single 8-byte join/shuffle key instead of
+    # an (int, long) pair — measured 4.5x faster on the 20M-membership
+    # self-join at 10^6 docs (narrower shuffle rows, scalar codegen
+    # compare instead of a two-column key)
     exploded = (sig.select("id", "simhash", F.explode(bands).alias("b"))
                 .select("id", "simhash",
-                        F.col("b.band_idx").alias("band_idx"),
-                        F.col("b.band_val").alias("band_val")))
+                        F.shiftleft(F.col("b.band_val"), 5)
+                        .bitwiseOR(F.col("b.band_idx")).alias("bk")))
     if bucket_cap is not None:
-        from pyspark import StorageLevel
-        from pyspark.sql import Window
-        w = Window.partitionBy("band_idx", "band_val").orderBy("id")
-        ranked = exploded.withColumn("__rn", F.row_number().over(w)) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
-        if n_dropped:
-            _log.warning(
-                "simhash_near_dup_pairs: %d (doc, band) bucket memberships "
-                "beyond the %d-per-bucket cap were dropped (duplicate-"
-                "heavy corpus; run exact dedup upstream)",
-                n_dropped, bucket_cap)
-        exploded = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn") \
-            .localCheckpoint(eager=True)
-        ranked.unpersist()
+        # cap gate: one exact aggregate finds buckets beyond the cap;
+        # the rank-and-truncate path runs ONLY when one exists (with
+        # 2^30 30-bit key values a bucket needs thousands of block-
+        # identical docs to trip — a duplicate-heavy corpus). The
+        # common case thus pays one count-shuffle of the memberships
+        # instead of a full window sort + eager materialization.
+        big = (exploded.groupBy("bk").count()
+               .where(F.col("count") > bucket_cap))
+        if big.head(1):
+            from pyspark import StorageLevel
+            from pyspark.sql import Window
+            w = Window.partitionBy("bk").orderBy("id")
+            ranked = exploded.withColumn("__rn", F.row_number().over(w)) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
+            if n_dropped:
+                _log.warning(
+                    "simhash_near_dup_pairs: %d (doc, band) bucket "
+                    "memberships beyond the %d-per-bucket cap were "
+                    "dropped (duplicate-heavy corpus; run exact dedup "
+                    "upstream)", n_dropped, bucket_cap)
+            exploded = ranked.where(F.col("__rn") <= bucket_cap) \
+                .drop("__rn").localCheckpoint(eager=True)
+            ranked.unpersist()
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_val") == F.col("b.band_val"))
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
                 F.col("a.simhash").alias("sh_a"),

