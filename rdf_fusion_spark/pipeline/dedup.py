@@ -201,32 +201,33 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     # otherwise the band self-join's two inputs (and their broadcast-build
     # jobs) race to compute the same blocks and serialize on block locks
     sig.count()
+    # one FUSED long bucket key per band: xxhash64 over (band index, the
+    # band's signature rows). A single 8-byte shuffle/join key instead of
+    # an (int, string) pair — the same change measured 4.5x on the
+    # SimHash membership self-join (BASELINE.md round 7). A 64-bit
+    # bucket collision can only ADD a candidate pair, and every
+    # candidate is verified by exact Jaccard below, so correctness is
+    # unaffected.
     bands = F.array(*[
-        F.struct(
-            F.lit(i).alias("band_idx"),
-            F.concat_ws("_", *[
-                F.col(f"s{i * ROWS_PER_BAND + r}").cast("string")
-                for r in range(ROWS_PER_BAND)
-            ]).alias("band_key"),
-        )
+        F.xxhash64(F.lit(i), *[F.col(f"s{i * ROWS_PER_BAND + r}")
+                               for r in range(ROWS_PER_BAND)])
         for i in range(NUM_BANDS)
     ])
-    # Bucket join carries ONLY (id, band) — never the shingle arrays. At
-    # corpus scale the shingles are the dominant payload; exploding them
-    # b× and shuffling them through the self-join would amplify the heavy
-    # column 2b×. Instead the verify step re-joins the (id → shingles) map
-    # onto the deduped candidate pairs (two cheap hash joins on id).
-    exploded = sig.select("id", F.explode(bands).alias("b")) \
-        .select("id", F.col("b.band_idx").alias("band_idx"),
-                F.col("b.band_key").alias("band_key"))
+    # Bucket join carries ONLY (id, bucket) — never the shingle arrays.
+    # At corpus scale the shingles are the dominant payload; exploding
+    # them b× and shuffling them through the self-join would amplify the
+    # heavy column 2b×. Instead the verify step re-joins the
+    # (id → shingles) map onto the deduped candidate pairs (two cheap
+    # hash joins on id).
+    exploded = sig.select("id", F.explode(bands).alias("bk"))
     if bucket_cap is not None:
         # rank within each bucket (the window shuffles on exactly the join
-        # keys, so the self-join below reuses the partitioning); keep the
+        # key, so the self-join below reuses the partitioning); keep the
         # first `bucket_cap` ids. One extra count job reports dropped mass
         # — a silent cap would read as full coverage when it isn't.
         from pyspark import StorageLevel
         from pyspark.sql import Window
-        w = Window.partitionBy("band_idx", "band_key").orderBy("id")
+        w = Window.partitionBy("bk").orderBy("id")
         ranked = exploded.withColumn("__rn", F.row_number().over(w)) \
             .persist(StorageLevel.MEMORY_AND_DISK)
         n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
@@ -245,8 +246,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
         ranked.unpersist()
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
-        a.join(b, (F.col("a.band_idx") == F.col("b.band_idx"))
-               & (F.col("a.band_key") == F.col("b.band_key"))
+        a.join(b, (F.col("a.bk") == F.col("b.bk"))
                & (F.col("a.id") < F.col("b.id")))
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
@@ -263,15 +263,16 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
             .where(F.col("jaccard") >= threshold))
 
 
-# 60-bit fingerprint in 4 bands of 15 bits (round 6; was 16-bit/4-bit).
+# 60-bit fingerprint (round 6; was 16-bit), candidates via 6 blocks of
+# 10 bits combined 3-at-a-time (round 7, see _band_keys_col).
 # Why 60 and not 64: every term stays strictly below 2^63, so the whole
-# computation — per-word hash halves, charge bits, value assembly, band
+# computation — per-word hash halves, charge bits, value assembly, block
 # extraction — is plain POSITIVE int64 arithmetic that DuckDB replicates
 # bit-for-bit for the oracle (a 64th bit would live in the sign bit and
-# need engine-specific overflow semantics). At 15-bit bands each band
-# key has 32,768 values, so the band self-join stays bucketed far past
-# the ~10^5-doc corpus size where 4-bit bands degenerated to all-pairs;
-# pigeonhole still guarantees 100% recall for hamming distance < 4.
+# need engine-specific overflow semantics). Each candidate table keys on
+# 30 bits (~10^9 values), so spurious candidates stay ~linear far past
+# 10^7 docs (BASELINE.md round-7 study); pigeonhole still guarantees
+# 100% recall for hamming distance < SIMHASH_BANDS.
 SIMHASH_BITS = 60
 SIMHASH_BLOCKS = 6            # 10-bit blocks
 SIMHASH_KEY_BLOCKS = 3        # each table keys on a 3-block (30-bit) combo

@@ -9,8 +9,7 @@ shifted by `copy * stride` (stride = max key + 1 per key family), so FK
 joins stay consistent within each copy and never collide across copies.
 Dimension tables (region, nation) are left as-is — small shared
 vocabulary, exactly like a warehouse where dims are small and facts
-replicate. String ids (doc_id, vec_id) get an "rK-" prefix per copy.
-Text/embedding payloads are NOT varied: each document/vector becomes a
+replicate. Text/embedding payloads are NOT varied: each document/vector becomes a
 K-way exact duplicate, which makes the dedup operators' outputs grow
 quadratically per cluster BY DESIGN (documented in BASELINE.md as
 output-inherent — the worst case for near-dup pair generation).
@@ -36,6 +35,8 @@ SHIFT_COLS = {
     "orders": ["o_orderkey", "o_custkey"],
     "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
     "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],
 }
 FAMILY = {  # column -> stride family (FK pairs share one stride)
     "c_custkey": "custkey", "o_custkey": "custkey",
@@ -43,8 +44,8 @@ FAMILY = {  # column -> stride family (FK pairs share one stride)
     "p_partkey": "partkey", "l_partkey": "partkey",
     "o_orderkey": "orderkey", "l_orderkey": "orderkey",
     "event_id": "eventid", "user_id": "userid",
+    "doc_id": "docid", "vec_id": "vecid",
 }
-STRING_IDS = {"documents": "doc_id", "embeddings": "vec_id"}
 COPY_AS_IS = ["region", "nation"]
 
 
@@ -74,7 +75,7 @@ def main() -> None:
         shutil.copyfile(f"{src}/{t}.parquet", f"{dst}/{t}.parquet")
         print(f"{t}: copied")
 
-    for t in sorted(set(list(SHIFT_COLS) + list(STRING_IDS))):
+    for t in sorted(SHIFT_COLS):
         clean(f"{dst}/{t}.parquet")
         base = pq.read_table(f"{src}/{t}.parquet")
         copies = []
@@ -87,14 +88,6 @@ def main() -> None:
                     pc.add(pc.cast(tab[c], pa.int64()),
                            i * strides[FAMILY[c]]), typ)
                 tab = tab.set_column(idx, tab.schema.field(idx), shifted)
-            if t in STRING_IDS:
-                c = STRING_IDS[t]
-                idx = tab.schema.get_field_index(c)
-                prefixed = pc.binary_join_element_wise(
-                    pa.array([f"r{i}-"] * len(tab), pa.string()),
-                    pc.cast(tab[c], pa.string()), "")
-                tab = tab.set_column(
-                    idx, pa.field(c, pa.string()), prefixed)
             copies.append(tab)
         out = pa.concat_tables(copies, promote_options="none")
         pq.write_table(out, f"{dst}/{t}.parquet",
