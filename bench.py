@@ -159,16 +159,21 @@ def main() -> None:
             except Exception:
                 pass
 
+    comparable_names = set(BENCH_QUERIES[:N_COMPARABLE])
     per_query: dict[str, float] = {}
     total = 0.0
     for name in names:
-        # min of 2 runs: the first sf0.1 execution of allocation-heavy
-        # queries (the 64-permutation minhash loop) is bimodal under JIT /
-        # GC warm-up that the small-SF warm-up pass cannot cover (observed
-        # 3.8 s vs 10 s for identical work); steady-state throughput is
-        # the scale-relevant number
+        # min of 2 runs (3 for the comparable slice): the first sf0.1
+        # execution of allocation-heavy queries (the 8-permutation
+        # minhash loop) is bimodal under JIT / GC warm-up that the
+        # small-SF warm-up pass cannot cover (observed 3.8 s vs 10 s for
+        # identical work); steady-state throughput is the scale-relevant
+        # number. The comparable slice gets an extra run because its sum
+        # is the round-over-round headline — measured spread between
+        # whole-bench runs on the same code was 12.2-15.1 s under min-2,
+        # dominated by one-off GC pauses on a few queries.
         best = None
-        for _ in range(2):
+        for _ in range(3 if name in comparable_names else 2):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()

@@ -198,6 +198,16 @@ def test_filter_pinned_const_numeric_not_injected(store):
     # || must not contribute
     disj = A.ECall("||", [eq_iri, eq_iri])
     assert _filter_const_eqs(disj) == {}
+    # sameTerm is term identity by definition — harvested like `=`,
+    # under the same identity-comparable constant restriction
+    st = A.ECall("SAMETERM", [A.ETerm(NamedNode("x:n:7")), A.EVar("w")])
+    assert list(_filter_const_eqs(st)) == ["w"]
+    st_num = A.ECall("SAMETERM",
+                     [A.EVar("w"), A.ETerm(Literal("42", xsd_int))])
+    assert _filter_const_eqs(st_num) == {}
+    # && descends and merges both conjuncts
+    conj = A.ECall("&&", [eq_iri, st])
+    assert sorted(_filter_const_eqs(conj)) == ["v", "w"]
 
 
 def test_virtual_store_mutations_rejected(store):
