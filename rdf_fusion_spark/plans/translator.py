@@ -619,6 +619,10 @@ def translate(p, ctx: Ctx) -> Solution:
     if isinstance(p, A.Slice):
         return _translate_slice(p, ctx)
     if isinstance(p, A.Group):
+        if ctx.optimize:
+            res = _translate_complement_agg(p, ctx)
+            if res is not None:
+                return res
         return _translate_group(p, ctx)
     if isinstance(p, A.Lateral):
         return _translate_lateral(p, ctx)
@@ -1797,6 +1801,220 @@ def _translate_slice(p: A.Slice, ctx: Ctx) -> Solution:
 # aggregation (reference: graph_pattern_rewriter.rs:299-404 +
 # lib/functions/src/aggregates/)
 # ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# Complement-aggregation rewrite (BSBM BI Q4 shape)
+#
+#   SELECT f, AGG(expr-over-R) WHERE {
+#     { SELECT DISTINCT ?f WHERE ... }   # D: the value dimension
+#     <pattern R>                        # disjoint from ?f
+#     FILTER NOT EXISTS { P(?f, R-vars) }
+#   } GROUP BY ?f
+#
+# The naive plan is CrossJoin(D, R) → anti-join → group: |D|·|R| rows
+# BEFORE aggregation — the scale-killer in the reference's bi-q4.sparql
+# ("products of the same type WITHOUT the feature" pairs every feature
+# with every offer). For subtractable aggregates the complement identity
+# computes the same groups from TWO linear passes:
+#
+#   agg_without(f) = agg_total − agg_with(f)
+#
+# where agg_with groups R semi-joined to the DISTINCT correlated pairs
+# of P (distinctness makes each (r, f) contribute once, preserving
+# NOT-EXISTS set semantics under multi-matching P). Soundness guards:
+#
+# - aggregates: non-DISTINCT COUNT(*)/COUNT(e), and SUM/AVG(e) whose
+#   compiled input has a STATIC integer/decimal kind — exact arithmetic,
+#   so subtraction is bit-identical to direct evaluation. Float/double
+#   sums are order-dependent (total − with ≠ without in low bits) and
+#   dynamic-kind sums ride a per-group promotion ladder (max-rank /
+#   any-bad are not subtractable) — both bail to the direct plan.
+#   A static numeric kind also rules out the bound-non-numeric →
+#   error(NULL) collapse, which is likewise not subtractable.
+# - empty/all-NULL groups: the per-kind rules of _sum_avg_static are
+#   reproduced exactly — a group exists iff it keeps ≥1 row
+#   (n_total − n_with > 0), SUM/AVG of a group whose inputs are all
+#   NULL → integer 0 (c_wo = 0 detects it: F.sum over the unmatched
+#   slice is NULL iff it counts no non-NULL input).
+# - correlation: P references outer vars in PATTERN positions only
+#   (expression correlation would need the lateral path), certainly
+#   bound, including ?f and ≥1 R-var; all correlated vars have static
+#   IRI / plain-string kinds on both sides so the semi-join and the
+#   per-f grouping run on the narrow identity string exactly like
+#   exists_join's equality would.
+# - D is syntactically Distinct (row multiplicity 1 per f — a dup f in
+#   D would scale direct-eval aggregates by its multiplicity).
+# ---------------------------------------------------------------------------
+
+def _complement_agg_shape(p: A.Group):
+    """Syntactic match for the complement rewrite; returns
+    (f_name, D, R, P) or None. R absorbs non-EXISTS filter conjuncts."""
+    if len(p.keys) != 1 or not p.aggregates or not isinstance(p.inner, A.Filter):
+        return None
+    f = p.keys[0].name
+    conjuncts = _split_and(p.inner.expr)
+    negs = [c for c in conjuncts if isinstance(c, A.EExists) and c.negated]
+    rest = [c for c in conjuncts if not (isinstance(c, A.EExists) and c.negated)]
+    if len(negs) != 1 or any(_has_exists(c) for c in rest):
+        return None
+    if not isinstance(p.inner.inner, A.Join):
+        return None
+    for D, R in ((p.inner.inner.left, p.inner.inner.right),
+                 (p.inner.inner.right, p.inner.inner.left)):
+        if isinstance(D, A.Distinct) and A.pattern_variables(D) == {f} \
+                and f not in A.pattern_variables(R):
+            break
+    else:
+        return None
+    if f not in _certainly_bound(D):
+        return None
+    rv = A.pattern_variables(R)
+    for c in rest:
+        vs = _expr_vars(c)
+        if vs is None or not vs <= rv:
+            return None
+    if rest:
+        expr = rest[0]
+        for c in rest[1:]:
+            expr = A.ECall("&&", [expr, c])
+        R = A.Filter(expr, R)
+    P = negs[0].pattern
+    pb, pfree = _pattern_scope(P)
+    if pfree & (rv | {f}):          # expression-level correlation: lateral
+        return None
+    corr = pb & (rv | {f})
+    if f not in corr or corr == {f} or not corr <= _certainly_bound(P):
+        return None
+    for _, call in p.aggregates:
+        if call.distinct:
+            return None
+        if call.name == "COUNT" and call.expr is None:
+            continue
+        if call.name not in ("COUNT", "SUM", "AVG") or call.expr is None:
+            return None
+        vs = _expr_vars(call.expr)
+        if vs is None or not vs <= rv or _has_exists(call.expr):
+            return None
+    return f, D, R, P
+
+
+def _translate_complement_agg(p: A.Group, ctx: Ctx) -> Optional[Solution]:
+    """Evaluate a matched complement-agg Group without the D×R cross
+    join, or None when a (post-translation) guard fails."""
+    shape = _complement_agg_shape(p)
+    if shape is None:
+        return None
+    f, D, R, P = shape
+    solR = translate(R, ctx)
+
+    # compile aggregate inputs; SUM/AVG must land on an exact static kind
+    specs = []  # (out_name, mode, static_kind, input Column)
+    for out_var, call in p.aggregates:
+        if call.name == "COUNT" and call.expr is None:
+            specs.append((out_var.name, "count_star", None, None))
+            continue
+        in_col = compile_term_expr(call.expr, solR, ctx)
+        if call.name == "COUNT":
+            specs.append((out_var.name, "count", None, in_col))
+            continue
+        sk = tv.skind(in_col)
+        if sk not in (tv.RANK_INTEGER, tv.RANK_DECIMAL):
+            return None
+        specs.append((out_var.name, call.name, sk,
+                      tv.tag(in_col, sk)["d"]))
+
+    solV = translate(D, ctx)
+    solP = translate(P, _no_consts(ctx))
+    corr = sorted(solP.maybe & (solR.maybe | {f}))
+    corr_r = [v for v in corr if v != f]
+    if f not in solP.bound or f not in solV.bound or not corr_r \
+            or not set(corr_r) <= (solR.bound & solP.bound):
+        return None
+    narrow = (tv.SK_IRI, tv.SK_PLAIN)
+    if solV.kinds.get(f) not in narrow \
+            or solP.kinds.get(f) != solV.kinds.get(f):
+        return None
+    for v in corr_r:
+        if solR.kinds.get(v) not in narrow \
+                or solP.kinds.get(v) != solR.kinds.get(v):
+            return None
+
+    # shared raw-aggregate list, applied to the full R (totals, 1 row)
+    # and to R ⋈ distinct-pairs(P) grouped per f (the with-side)
+    rdf = solR.df
+    tmp = {}
+    for i, (_, mode, _, col) in enumerate(specs):
+        if mode == "count_star":
+            continue
+        tn = ctx.fresh("ca_in")
+        rdf = rdf.withColumn(tn, col)
+        tmp[i] = tn
+
+    def raw_aggs(prefix: str) -> list:
+        out = [F.count(F.lit(1)).alias(f"{prefix}n")]
+        for i, (_, mode, _, _c) in enumerate(specs):
+            if mode == "count_star":
+                continue
+            out.append(F.count(tmp[i]).alias(f"{prefix}c{i}"))
+            if mode in ("SUM", "AVG"):
+                out.append(F.sum(tmp[i]).alias(f"{prefix}s{i}"))
+        return out
+
+    # the 1-row totals attach via an EQUI join on an always-1 key built
+    # from non-foldable expressions on BOTH sides — a literal key would
+    # constant-fold to `ON true` and plan as a BroadcastNestedLoopJoin
+    # cross, tripping the no-BNLJ scale invariant; with real keys Spark
+    # plans a BroadcastHashJoin over the single broadcast row. The
+    # aggregate side is MIN(1) (NULL iff R is empty, in which case
+    # joining nothing is exactly right: no row survives NOT EXISTS).
+    tot = rdf.agg(*raw_aggs("__cat_"),
+                  F.min(F.lit(1).cast("long")).alias("__ca_one"))
+    pair_sol = Solution(
+        df=solP.df.select(*corr), bound=set(corr), maybe=set(corr),
+        kinds={k: v for k, v in solP.kinds.items() if k in corr})
+    solM = replace(pair_sol, df=_dedupe_normalized(pair_sol))
+    solW = join_solutions(replace(solR, df=rdf), solM, "inner")
+    wdf = solW.df.groupBy(F.col(f)["v"].alias("__ca_fk")) \
+        .agg(*raw_aggs("__caw_"))
+
+    # per-f combine: V left-join with-side, broadcast-hash the 1-row
+    # totals on the always-1 non-foldable key (see `tot` above)
+    joined = (solV.df.withColumn("__ca_fk", F.col(f)["v"])
+              .join(wdf, "__ca_fk", "left")
+              .withColumn(
+                  "__ca_one",
+                  F.pmod(F.xxhash64(F.col("__ca_fk")), F.lit(1)) + F.lit(1))
+              .join(F.broadcast(tot), "__ca_one"))
+    n_wo = F.col("__cat_n") - F.coalesce(F.col("__caw_n"), F.lit(0))
+    out_cols = [F.col(f)]
+    for i, (name, mode, sk, _c) in enumerate(specs):
+        if mode == "count_star":
+            out_cols.append(tv.int_term(n_wo).alias(name))
+            continue
+        c_wo = F.col(f"__cat_c{i}") - F.coalesce(F.col(f"__caw_c{i}"),
+                                                 F.lit(0))
+        if mode == "count":
+            out_cols.append(tv.int_term(c_wo).alias(name))
+            continue
+        s_wo = (F.col(f"__cat_s{i}")
+                - F.coalesce(F.col(f"__caw_s{i}"),
+                             F.lit(0).cast(tv.DECIMAL_T))).cast(tv.DECIMAL_T)
+        if mode == "SUM":
+            inner = tv.int_term(s_wo.cast("decimal(38,0)")) \
+                if sk == tv.RANK_INTEGER else tv.decimal_term(s_wo)
+        else:  # AVG — integer and decimal kinds both divide as decimal
+            inner = tv.decimal_term(s_wo / c_wo)
+        out_cols.append(
+            F.when(c_wo == 0, tv.int_term(F.lit(0)))
+            .otherwise(inner).alias(name))
+    out = joined.where(n_wo > 0).select(*out_cols)
+
+    agg_names = {v.name for v, _ in p.aggregates}
+    bound = {f} | {v.name for v, call in p.aggregates
+                   if call.name == "COUNT"}
+    return Solution(df=out, bound=bound, maybe={f} | agg_names,
+                    kinds={f: solV.kinds[f]}, expensive=set(agg_names))
+
 
 def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
                      extra_keys: tuple = ()) -> Solution:

@@ -211,6 +211,17 @@ def _literal_for(col: Column, dtype: T.DataType,
         return term_struct(F.lit(TT_LITERAL), v,
                            F.lit(XSD_DOUBLE), k=F.lit(K_DOUBLE), x=c,
                            d=null_d, ts=null_ts)
+    if isinstance(dtype, T.DecimalType):
+        # exact decimal columns → xsd:decimal (same term shape as
+        # typed_ops.decimal_term); lazy reconstructs the canonical
+        # lexical from `d` like doubles do from `x`
+        from ..functions.typed_ops import canon_decimal_string
+        from ..terms import K_DECIMAL, XSD_DECIMAL
+        d = col.cast("decimal(38,18)")
+        v = F.lit(None).cast("string") if lazy else canon_decimal_string(d)
+        return term_struct(F.lit(TT_LITERAL), v, F.lit(XSD_DECIMAL),
+                           k=F.lit(K_DECIMAL), x=d.cast("double"), d=d,
+                           ts=null_ts)
     if isinstance(dtype, T.StringType):
         return term_struct(F.lit(TT_LITERAL), col, F.lit(XSD_STRING),
                            k=F.lit(K_STRING), x=null_x, d=null_d, ts=null_ts)
@@ -254,6 +265,9 @@ def static_object_kind(table: str, col_name: str, df: DataFrame) -> Optional[int
         return K_INTEGER
     if isinstance(dtype, (T.FloatType, T.DoubleType)):
         return K_DOUBLE
+    if isinstance(dtype, T.DecimalType):
+        from ..terms import K_DECIMAL
+        return K_DECIMAL
     if isinstance(dtype, T.StringType):
         return SK_PLAIN
     if isinstance(dtype, (T.TimestampType, T.TimestampNTZType, T.DateType)):

@@ -1,0 +1,154 @@
+"""Complement-aggregation rewrite (the BSBM BI-Q4 shape): a Group over
+DISTINCT-values × relation pruned by NOT EXISTS evaluates as
+agg_total − agg_with(f) instead of materializing the |V|·|R| cross
+join (reference query: bench/tests/query_results/queries/bi-q4.sparql,
+whose "products WITHOUT the feature" side pairs every feature with
+every offer).
+
+The fixture is adversarial by construction:
+- brands BALL and BA each cover EVERY offer-bearing part → their groups
+  must be DROPPED (no offer survives NOT EXISTS);
+- brand BC covers only a part with no offers → without(BC) = totals;
+- the (part 1, BA) pair appears TWICE in brandrel → multi-match
+  multiplicity, which the rewrite must collapse (NOT EXISTS is a set
+  test) via the distinct-pairs projection;
+- parts 3 and 4 carry two brands each → multi-valued features.
+"""
+
+import pytest
+
+from rdf_fusion_spark import VirtualDataFrameStore
+from rdf_fusion_spark.terms import term_to_python
+
+
+QUERY = """
+  SELECT ?feature (SUM(?price) AS ?s) (COUNT(?price) AS ?c)
+         (AVG(?price) AS ?a) (COUNT(*) AS ?n) WHERE {
+    { SELECT DISTINCT ?feature WHERE { ?b <x:cbrand#bname> ?feature } }
+    ?o <x:coffer#part_fk> ?product2 .
+    ?o <x:coffer#price> ?price .
+    FILTER NOT EXISTS {
+      ?b2 <x:cbrand#part_fk> ?product2 .
+      ?b2 <x:cbrand#bname> ?feature .
+    }
+  } GROUP BY ?feature ORDER BY ?feature
+"""
+
+
+@pytest.fixture(scope="module")
+def store(spark):
+    part = spark.createDataFrame(
+        [(1, "STD"), (2, "STD"), (3, "STD"), (4, "STD"), (5, "OTHER")],
+        "pk long, ptype string")
+    brandrel = spark.createDataFrame(
+        [(1, 1, "BA"), (2, 2, "BA"), (3, 3, "BA"), (4, 3, "BB"),
+         (5, 4, "BB"), (6, 4, "BA"), (7, 1, "BA"),      # dup (1, BA) pair
+         (8, 5, "BC"),                                   # no-offer part
+         (9, 1, "BALL"), (10, 2, "BALL"), (11, 3, "BALL"),
+         (12, 4, "BALL")],                               # covers all offers
+        "bid long, part_fk long, bname string")
+    from decimal import Decimal as D
+    offer = spark.createDataFrame(
+        [(1, 1, D("10.50")), (2, 1, D("20.00")), (3, 2, D("30.25")),
+         (4, 3, D("5.00")), (5, 4, D("7.75"))],
+        "oid long, part_fk long, price decimal(10,2)")
+    offer = offer.withColumn("price_d", offer.price.cast("double"))
+    return VirtualDataFrameStore(
+        spark, {"cpart": part, "cbrand": brandrel, "coffer": offer},
+        keys={"cpart": ["pk"], "cbrand": ["bid"], "coffer": ["oid"]},
+        fks={"cbrand": {"part_fk": "cpart"},
+             "coffer": {"part_fk": "cpart"}})
+
+
+def _rows(res):
+    out = []
+    for r in res.df.collect():
+        out.append(tuple(
+            None if r[k] is None else term_to_python(r[k]).lexical
+            for k in ("feature", "s", "c", "a", "n")))
+    return out
+
+
+def test_rewrite_fires_and_matches_direct(store, monkeypatch):
+    import rdf_fusion_spark.plans.translator as T
+    fired = []
+    orig = T._translate_complement_agg
+
+    def probe(p, ctx):
+        r = orig(p, ctx)
+        fired.append(r is not None)
+        return r
+
+    monkeypatch.setattr(T, "_translate_complement_agg", probe)
+    fast = _rows(store.query(QUERY))
+    assert any(fired), "complement rewrite did not fire on the BI-Q4 shape"
+    slow = _rows(store.query(QUERY, optimize=False))
+    assert fast == slow
+
+    # hand-checked facts: BALL and BA each cover every offer-bearing
+    # part (1,2,3,4) → both groups DROPPED; BC covers no offer-bearing
+    # part → without(BC) = the full-offer totals; BB covers parts 3,4 →
+    # without(BB) = offers on parts 1,2 (10.50 + 20.00 + 30.25)
+    feats = [r[0] for r in fast]
+    assert "BALL" not in feats and "BA" not in feats
+    bc = dict(zip(feats, fast))["BC"]
+    assert bc[1] == "73.5" and bc[2] == "5" and bc[4] == "5"
+    bb = dict(zip(feats, fast))["BB"]
+    assert bb[1] == "60.75" and bb[2] == "3" and bb[4] == "3"
+
+
+def test_rewrite_has_no_nested_loop(store):
+    res = store.query(QUERY)
+    res.explanation().assert_scale_safe()
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_double_sum_bails_to_direct_plan(store, monkeypatch):
+    """Float/double SUM subtraction is order-dependent — the rewrite must
+    refuse and the direct plan must produce the (identical) answer."""
+    import rdf_fusion_spark.plans.translator as T
+    q = QUERY.replace("?price)", "?price_d)").replace(
+        "<x:coffer#price>", "<x:coffer#price_d>")
+    returned = []
+    orig = T._translate_complement_agg
+
+    def probe(p, ctx):
+        r = orig(p, ctx)
+        returned.append(r)
+        return r
+
+    monkeypatch.setattr(T, "_translate_complement_agg", probe)
+    fast = _rows(store.query(q))
+    assert returned and all(r is None for r in returned), \
+        "rewrite must bail on double-kind SUM"
+    assert fast == _rows(store.query(q, optimize=False))
+
+
+def test_min_aggregate_bails(store):
+    """MIN is not subtractable; shape match must refuse it."""
+    from rdf_fusion_spark.plans.translator import _complement_agg_shape
+    from rdf_fusion_spark.sparql.parser import parse_query
+    ast = parse_query("SELECT ?f (MIN(?p) AS ?m) WHERE { "
+                      "{ SELECT DISTINCT ?f WHERE { ?b <x:b#n> ?f } } "
+                      "?o <x:o#fk> ?p2 . ?o <x:o#p> ?p . "
+                      "FILTER NOT EXISTS { ?b2 <x:b#fk> ?p2 . "
+                      "?b2 <x:b#n> ?f . } } GROUP BY ?f")
+
+    def find_group(p):
+        import dataclasses as dc
+        from rdf_fusion_spark.sparql import algebra as A
+        if isinstance(p, A.Group):
+            return p
+        if not dc.is_dataclass(p):
+            return None
+        for fld in dc.fields(p):
+            v = getattr(p, fld.name)
+            if dc.is_dataclass(v) and not isinstance(v, type):
+                g = find_group(v)
+                if g is not None:
+                    return g
+        return None
+
+    g = find_group(ast.pattern)
+    assert g is not None and _complement_agg_shape(g) is None

@@ -133,12 +133,16 @@ def test_guard_breach_named_in_explanation(spark):
 
 # Reference benchmark mirrors that are pure equi-join/aggregation shapes.
 # Excluded by design: q_bsbm_explore_q5 (range-similarity theta around a
-# 1-row pinned product — broadcast by construction), q_bsbm_bi_q4
-# (feature-complement pairing), q_bsbm_bi_q6 (1-row global-average scalar
-# cross), q_bsbm_explore_q2_* / q7 / q12 (constant-subject seeds: groups
-# sharing no variables with the 1-row anchor are left/inner CROSS joins
-# by SPARQL semantics — bounded by the single anchor row).
+# 1-row pinned product — broadcast by construction), q_bsbm_bi_q6 (1-row
+# global-average scalar cross), q_bsbm_explore_q2_* / q7 / q12
+# (constant-subject seeds: groups sharing no variables with the 1-row
+# anchor are left/inner CROSS joins by SPARQL semantics — bounded by the
+# single anchor row). q_bsbm_bi_q4 joined the list in round 7: the
+# complement-aggregation rewrite (translator._translate_complement_agg)
+# replaced its DISTINCT-features × offers cross join with two linear
+# aggregation passes.
 MIRROR_SCALE_SAFE = [
+    "q_bsbm_bi_q4",
     "q_bsbm_explore_q1",
     "q_bsbm_explore_q3",
     "q_bsbm_explore_q4",
