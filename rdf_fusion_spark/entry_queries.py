@@ -3791,27 +3791,28 @@ _gc_tick = [0]
 
 def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]
               ) -> Callable[[SparkSession, str], DataFrame]:
-    # Known tradeoff (round-6 ADVICE): shared-subquery persists created
-    # during the build are QUERY-scoped — the next evaluate_query() on
-    # the session releases them — so a cached plan RE-EXECUTED after
-    # other queries have run recomputes its shared grouped relation once
-    # per consumer (the within-plan CSE cost persist() was added to
-    # avoid). This is deliberate: correctness is unaffected, the shared
-    # subtree is recomputed from a fully pushed-down scan, and keeping
-    # up to _PLAN_CACHE_MAX × _SHARED_PERSIST_CAP relations pinned is
-    # exactly the process-global-FIFO memory pressure that regressed
-    # q3/q5 in round 5 (BASELINE.md round-5/6 section).
+    # Shared-subquery persists are QUERY-scoped (the next evaluate_query
+    # on the session releases them), so a cached plan re-executed after
+    # other queries ran would recompute each shared subtree once per
+    # consumer (round-6 ADVICE #3). A cache hit therefore RE-REGISTERS
+    # the plan's own persist snapshot — the registry still holds at most
+    # one query's persists, so this is NOT the round-5 process-global
+    # FIFO memory pressure that regressed q3/q5 (BASELINE.md).
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from .plans import translator as _T
+
         # applicationId, not id(spark): object ids can be reused after a
         # stopped session is GC'd, which would serve a dead plan
         key = (spark.sparkContext.applicationId, name, sf_dir.rstrip("/"))
-        df = _PLAN_CACHE.get(key)
-        if df is None:
+        hit = _PLAN_CACHE.get(key)
+        if hit is None:
             df = fn(spark, sf_dir)
-            _PLAN_CACHE[key] = df
+            _PLAN_CACHE[key] = (df, _T.query_shared_persists(spark))
             if len(_PLAN_CACHE) > _PLAN_CACHE_MAX:
                 _PLAN_CACHE.popitem(last=False)
         else:
+            df, persists = hit
+            _T.reregister_persists(spark, persists)
             _PLAN_CACHE.move_to_end(key)
         # ContextCleaner frees dropped localCheckpoint/broadcast blocks
         # only after a JVM GC notices the dead weak refs; a long single

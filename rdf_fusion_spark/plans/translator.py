@@ -1701,6 +1701,49 @@ def _release_prior_persists(session) -> None:
             pass
 
 
+def query_shared_persists(session) -> list:
+    """Snapshot of the shared-subquery DataFrames registered by the most
+    recently evaluated query on this session (for prepared-plan caches —
+    see reregister_persists)."""
+    with _PERSIST_LOCK:
+        _, lst = _PERSIST_REGISTRY.get(_session_key(session), (None, []))
+        return list(lst)
+
+
+def reregister_persists(session, dfs: list) -> None:
+    """Restore a cached prepared plan's shared-subquery persists before
+    it is re-executed (entry_queries._prepared cache hits).
+
+    Without this, the next query's _release_prior_persists drops the
+    plan's caches and every later re-execution recomputes each shared
+    subtree once per consumer — the within-plan CSE cost the persist was
+    added to avoid (round-6 ADVICE #3). The lifetime POLICY is unchanged
+    and deliberately NOT the round-5 process-global FIFO: the registry
+    still holds at most one query's persists per session — re-registering
+    releases whatever other query held the slot (minus any DataFrames
+    shared with the new set), and the next evaluate_query releases these
+    again. persist() after unpersist() re-marks the same Dataset for
+    caching; on a still-cached one it is a no-op."""
+    if not dfs:
+        return
+    from pyspark import StorageLevel
+    with _PERSIST_LOCK:
+        _, old = _PERSIST_REGISTRY.pop(_session_key(session), (None, []))
+        stale = [d for d in old if all(d is not n for n in dfs)]
+        stale += _prune_stopped_sessions()
+        _PERSIST_REGISTRY[_session_key(session)] = (session, list(dfs))
+    for d in stale:
+        try:
+            d.unpersist(blocking=False)
+        except Exception:
+            pass
+    for d in dfs:
+        try:
+            d.persist(StorageLevel.MEMORY_AND_DISK)
+        except Exception:
+            pass
+
+
 def _persist_shared_subquery(key, p: A.Project, sol: Solution,
                              ctx: Ctx) -> None:
     """On the FIRST cache reuse of an aggregate-bearing subquery, persist
