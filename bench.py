@@ -93,6 +93,8 @@ BENCH_QUERIES = [
     "q_windfarm_multi2",
     "q_windfarm_multi3",
     "q_windfarm_multi4",
+    # round 7: PII scan/redaction (pipeline/pii.py)
+    "q_pii_scan",
 ]
 
 

@@ -762,6 +762,34 @@ def _pipe_mix_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
                   / F.count("*").cast("double")).alias("achieved_rate")))
 
 
+def _pipe_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scan + redaction (pipeline/pii.py). The synthetic corpus is
+    clean, so the query first seeds deterministic PII spans derived from
+    doc_id (an email, an SSN-shaped id, an IPv4) — every row then has a
+    nontrivial expected count vector and redacted text. The redacted
+    text is md5-hashed to keep the gate row compact."""
+    from .pipeline.pii import redact_pii, with_pii_counts
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"),
+            F.col("doc_id").cast("string"), F.lit("@ex.org via 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 id 123-45-"),
+            F.lpad(F.pmod(F.col("doc_id"), F.lit(10000)).cast("string"),
+                   4, "0")).alias("text"))
+    out = redact_pii(with_pii_counts(seeded), "text", "redacted")
+    return out.select(
+        "doc_id",
+        F.col("pii_email").cast("long").alias("pii_email"),
+        F.col("pii_ssn").cast("long").alias("pii_ssn"),
+        F.col("pii_phone").cast("long").alias("pii_phone"),
+        F.col("pii_ipv4").cast("long").alias("pii_ipv4"),
+        F.col("pii_total").cast("long").alias("pii_total"),
+        F.md5("redacted").alias("redacted_md5"))
+
+
 JACCARD_THRESHOLD = 0.8
 LSH_THRESHOLD = 0.5
 
@@ -867,6 +895,34 @@ def _quality_oracle() -> str:
     SELECT doc_id, punct_ratio, alpha_ratio, digit_ratio, stopword_ratio,
            mean_word_len, {score} AS quality_score
     FROM ({base})
+    """
+
+
+def _pii_oracle() -> str:
+    """DuckDB mirror of _pipe_pii, generated from pipeline/pii.py's
+    PII_PATTERNS so the two regex sets can never drift. The patterns use
+    only the Java-regex ∩ RE2 common subset, so hit counts and redacted
+    text are bit-identical across the engines."""
+    from .pipeline.pii import PII_PATTERNS
+    counts = ",\n           ".join(
+        f"len(regexp_extract_all(t, '{pat}'))::BIGINT AS pii_{name}"
+        for name, pat, _ in PII_PATTERNS)
+    total = " + ".join(f"pii_{name}" for name, _, _ in PII_PATTERNS)
+    red = "t"
+    for _, pat, tag in PII_PATTERNS:
+        red = f"regexp_replace({red}, '{pat}', '{tag}', 'g')"
+    return f"""
+    WITH seeded AS (
+      SELECT doc_id,
+             text || ' contact u' || CAST(doc_id AS VARCHAR)
+                  || '@ex.org via 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                  || '.7 id 123-45-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+      FROM documents)
+    SELECT doc_id, {", ".join(f"pii_{n}" for n, _, _ in PII_PATTERNS)},
+           ({total})::BIGINT AS pii_total,
+           md5({red}) AS redacted_md5
+    FROM (SELECT doc_id, {counts}, t FROM seeded)
     """
 
 
@@ -1110,6 +1166,7 @@ def _pipeline_oracles() -> dict[str, str]:
                array_to_string(w[ci*24+1 : ci*24+32], ' ') AS chunk_text
         FROM ix
         """,
+        "q_pii_scan": _pii_oracle(),
         "q_decontaminate": f"""
         WITH g AS (
           SELECT doc_id,
@@ -3735,6 +3792,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_train_val_split": _pipe_train_val_split,
     "q_ann_quantized_topk": _pipe_ann_quantized,
     "q_text_repetition": _pipe_repetition,
+    "q_pii_scan": _pipe_pii,
 }
 
 

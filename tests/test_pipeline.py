@@ -396,3 +396,24 @@ def test_repetition_ratio_extremes(spark):
     got = {r["doc_id"]: r["repetition_ratio"]
            for r in with_repetition_ratio(df).collect()}
     assert got[1] == 0.75 and got[2] == 0.0 and got[3] == 0.0
+
+
+def test_pii_counts_and_redaction(spark):
+    from rdf_fusion_spark.pipeline.pii import redact_pii, with_pii_counts
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@sub.ex.org and 192.168.0.1 now"),
+         (2, "ssn 123-45-6789 phone 555-867-5309 x"),
+         (3, "clean text with no identifiers at all"),
+         (4, "two mails a@b.io c@d.co one ip 10.0.0.255")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in with_pii_counts(df).collect()}
+    assert (got[1]["pii_email"], got[1]["pii_ipv4"]) == (1, 1)
+    # 123-45-6789 is SSN-shaped, NOT phone-shaped (3-2-4 vs 3-3-4)
+    assert (got[2]["pii_ssn"], got[2]["pii_phone"]) == (1, 1)
+    assert got[3]["pii_total"] == 0
+    assert (got[4]["pii_email"], got[4]["pii_ipv4"]) == (2, 1)
+    red = {r["doc_id"]: r["redacted"] for r in redact_pii(df).collect()}
+    assert red[1] == "mail [EMAIL] and [IP] now"
+    assert red[2] == "ssn [SSN] phone [PHONE] x"
+    assert red[3] == df.collect()[0]["text"] or red[3].startswith("clean")
+    assert red[4] == "two mails [EMAIL] [EMAIL] one ip [IP]"
