@@ -93,8 +93,10 @@ BENCH_QUERIES = [
     "q_windfarm_multi2",
     "q_windfarm_multi3",
     "q_windfarm_multi4",
-    # round 7: PII scan/redaction (pipeline/pii.py)
+    # round 7: PII scan/redaction (pipeline/pii.py) and exact
+    # sub-document duplication (dedup.py shared_window_pairs)
     "q_pii_scan",
+    "q_dedup_substring",
 ]
 
 

@@ -804,6 +804,14 @@ def _pipe_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(_docs(spark, sf_dir), LSH_THRESHOLD)
 
 
+def _pipe_shared_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sub-document duplication: doc pairs sharing ≥1 identical
+    k-token window with the exact shared-window count
+    (pipeline/dedup.py shared_window_pairs)."""
+    from .pipeline.dedup import shared_window_pairs
+    return shared_window_pairs(_docs(spark, sf_dir))
+
+
 def _pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the LSH pairs with a
     canonical doc per cluster (the keep/drop decision of a corpus dedup)."""
@@ -931,6 +939,7 @@ def _pipeline_oracles() -> dict[str, str]:
     from .pipeline.curation import PACK_BUDGET_TOKENS as PACK_BUDGET_SQL
     from .pipeline.curation import PACK_NUM_SHARDS as PACK_NUM_SHARDS_SQL
     from .pipeline.dedup import NUM_BANDS, NUM_HASHES, ROWS_PER_BAND, SIMHASH_BITS
+    from .pipeline.dedup import WINDOW_TOKENS as WINDOW_TOKENS_SQL
     from .pipeline.similarity import (IVF_KMEANS_ITERS, IVF_NLIST,
                                       IVF_NPROBE)
     from .pipeline.text import LID_FLOOR, LID_MARKERS, TOKEN_RE
@@ -1167,6 +1176,20 @@ def _pipeline_oracles() -> dict[str, str]:
         FROM ix
         """,
         "q_pii_scan": _pii_oracle(),
+        # all-pairs in the oracle (fine at sf0.01); the engine generates
+        # candidates via the window-hash join and verifies exactly
+        "q_dedup_substring": f"""
+        WITH w AS (SELECT doc_id AS id,
+            list_distinct(list_transform(
+              generate_series(1, len({words}) - {WINDOW_TOKENS_SQL - 1}),
+              i -> array_to_string({words}[i : i + {WINDOW_TOKENS_SQL - 1}],
+                                   ' '))) AS wins
+          FROM documents)
+        SELECT a.id AS id_a, b.id AS id_b,
+               len(list_intersect(a.wins, b.wins))::BIGINT AS n_shared
+        FROM w a JOIN w b ON a.id < b.id
+        WHERE len(list_intersect(a.wins, b.wins)) >= 1
+        """,
         "q_decontaminate": f"""
         WITH g AS (
           SELECT doc_id,
@@ -3793,6 +3816,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_quantized_topk": _pipe_ann_quantized,
     "q_text_repetition": _pipe_repetition,
     "q_pii_scan": _pipe_pii,
+    "q_dedup_substring": _pipe_shared_windows,
 }
 
 
@@ -3833,6 +3857,7 @@ _NOT_CACHEABLE = {
     # corpus-size guard count run Spark jobs at build — their bench time
     # must include that work every invocation
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_jaccard_pairs",
+    "q_dedup_substring",
     # SERVICE rows are fetched and materialized at build (and the local
     # endpoint is started/stopped around it) — caching would freeze the
     # federated bindings and skip the federation work entirely

@@ -47,9 +47,16 @@ def _md5i(c: Column) -> Column:
 
 
 def shingles_col(text: Column, n: int = 2) -> Column:
-    """Distinct word n-gram shingles of a document."""
+    """Distinct word n-gram shingles of a document.
+
+    Docs shorter than n words yield an EMPTY array: F.sequence(1, end)
+    auto-descends when end < 1 (producing indices 0, -1, … that crash
+    element_at), so the window list is guarded — matching DuckDB's
+    generate_series(1, 0) = []."""
     w = words_col(text)
-    idx = F.sequence(F.lit(1), F.size(w) - (n - 1))
+    idx = F.when(F.size(w) >= n,
+                 F.sequence(F.lit(1), F.size(w) - (n - 1))) \
+        .otherwise(F.array().cast("array<int>"))
     gram = F.transform(
         idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
     )
@@ -428,6 +435,63 @@ def simhash(df: DataFrame, text_col: str = "text",
         bit = F.when(F.col(f"c{k}") > 0, F.lit(1 << k)).otherwise(F.lit(0))
         value = bit if value is None else value + bit
     return agg.select("id", value.cast("long").alias("simhash"))
+
+
+# Exact sub-document duplication (Lee et al. 2022, "Deduplicating
+# Training Data Makes Language Models Better": repeated ≥k-token spans
+# across documents). Window granularity instead of suffix arrays: two
+# docs share a duplicated span of ≥ k tokens iff they share ≥ 1 exact
+# k-token window, and the shared-window count sizes the overlap.
+WINDOW_TOKENS = 8
+
+
+def shared_window_pairs(df: DataFrame, k: int = WINDOW_TOKENS,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
+    """Pairs of documents sharing ≥1 identical k-token window, with the
+    exact shared-window count.
+
+    Scale shape (same skeleton as minhash_lsh_pairs): one scan builds the
+    distinct window set per doc; candidates come from ONE shuffle on the
+    64-bit window hash (8-byte join key; boilerplate mega-buckets are
+    rank-capped with the dropped mass logged); counts are then verified
+    EXACTLY via array_intersect on the per-doc window arrays re-joined by
+    id — a hash collision can only add a candidate, never corrupt a
+    count. No all-pairs join ever materializes.
+    """
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+    w = df.select(F.col(id_col).alias("id"),
+                  shingles_col(F.col(text_col), n=k).alias("wins")) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    w.count()  # one materialization feeds the join and both verify sides
+    ex = w.select("id", F.explode("wins").alias("win")) \
+        .select("id", F.xxhash64("win").alias("wh"))
+    if bucket_cap is not None:
+        win = Window.partitionBy("wh").orderBy("id")
+        ranked = ex.withColumn("__rn", F.row_number().over(win)) \
+            .persist(StorageLevel.MEMORY_AND_DISK)
+        n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
+        if n_dropped:
+            _log.warning(
+                "shared_window_pairs: %d window memberships beyond the "
+                "%d-doc bucket cap were dropped (boilerplate windows); "
+                "pairs among dropped members are NOT reported", n_dropped,
+                bucket_cap)
+        ex = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn")
+        ranked.unpersist()
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b, (F.col("a.wh") == F.col("b.wh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .distinct())
+    wa = w.select(F.col("id").alias("id_a"), F.col("wins").alias("wa"))
+    wb = w.select(F.col("id").alias("id_b"), F.col("wins").alias("wb"))
+    return (cand.join(wa, "id_a").join(wb, "id_b")
+            .select("id_a", "id_b",
+                    F.size(F.array_intersect("wa", "wb")).cast("long")
+                    .alias("n_shared"))
+            .where(F.col("n_shared") >= 1))
 
 
 def dup_clusters(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",

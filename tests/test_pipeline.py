@@ -417,3 +417,33 @@ def test_pii_counts_and_redaction(spark):
     assert red[2] == "ssn [SSN] phone [PHONE] x"
     assert red[3] == df.collect()[0]["text"] or red[3].startswith("clean")
     assert red[4] == "two mails [EMAIL] [EMAIL] one ip [IP]"
+
+
+def test_shared_window_pairs_exact(spark):
+    from rdf_fusion_spark.pipeline.dedup import shared_window_pairs
+    span = "one two three four five six seven eight"      # 8 tokens
+    df = spark.createDataFrame(
+        [(1, f"intro {span} outro"),
+         (2, f"{span} and a different continuation here"),
+         (3, "totally unrelated text with other words entirely plus"),
+         (4, f"prefix {span} suffix {span}"),   # window dup within doc
+         (5, "short doc")],                      # < k tokens → no windows
+        "doc_id long, text string")
+    rows = {(r["id_a"], r["id_b"]): r["n_shared"]
+            for r in shared_window_pairs(df, k=8).collect()}
+    # docs 1, 2, 4 all contain the identical 8-token span (distinct
+    # windows per doc, so 4's internal repeat counts once)
+    assert rows == {(1, 2): 1, (1, 4): 1, (2, 4): 1}
+
+
+def test_minhash_survives_sub_shingle_docs(spark):
+    """Regression: F.sequence(1, end) auto-descends for end < 1, so docs
+    shorter than the shingle width used to crash element_at with
+    ArrayIndexOutOfBounds; they must simply produce no shingles."""
+    from rdf_fusion_spark.pipeline.dedup import minhash_lsh_pairs
+    df = spark.createDataFrame(
+        [(1, "word"), (2, "a b c d e f g"), (3, "a b c d e f g")],
+        "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_lsh_pairs(df, 0.5).collect()}
+    assert got == {(2, 3)}
