@@ -3920,6 +3920,8 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]
 # q_dedup_simhash's only green row (r04) predates the 60-bit banded
 # rewrite, so its green is stale (round-6 verdict task 2).
 _GATE_FIRST = [
+    # round 7 additions — never driver-gated yet
+    "q_pii_scan", "q_dedup_substring",
     "q_windfarm_multi1", "q_windfarm_multi2",
     "q_windfarm_multi3", "q_windfarm_multi4",
     "q_dedup_simhash",

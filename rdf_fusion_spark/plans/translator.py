@@ -1895,9 +1895,21 @@ def _complement_agg_shape(p: A.Group):
     if len(p.keys) != 1 or not p.aggregates or not isinstance(p.inner, A.Filter):
         return None
     f = p.keys[0].name
+
+    def neg_exists(c):
+        # NOT EXISTS {..} parses as EExists(negated=True); the equivalent
+        # !(EXISTS {..}) spelling as ECall("!", [EExists(negated=False)])
+        if isinstance(c, A.EExists) and c.negated:
+            return c
+        if (isinstance(c, A.ECall) and c.name == "!" and len(c.args) == 1
+                and isinstance(c.args[0], A.EExists)
+                and not c.args[0].negated):
+            return c.args[0]
+        return None
+
     conjuncts = _split_and(p.inner.expr)
-    negs = [c for c in conjuncts if isinstance(c, A.EExists) and c.negated]
-    rest = [c for c in conjuncts if not (isinstance(c, A.EExists) and c.negated)]
+    negs = [n for c in conjuncts if (n := neg_exists(c)) is not None]
+    rest = [c for c in conjuncts if neg_exists(c) is None]
     if len(negs) != 1 or any(_has_exists(c) for c in rest):
         return None
     if not isinstance(p.inner.inner, A.Join):
