@@ -206,8 +206,11 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
         .persist(StorageLevel.MEMORY_AND_DISK)
     # eager: compute the cache in ONE job before the join fans out —
     # otherwise the band self-join's two inputs (and their broadcast-build
-    # jobs) race to compute the same blocks and serialize on block locks
-    sig.count()
+    # jobs) race to compute the same blocks and serialize on block locks.
+    # With a bucket cap the dropped-mass count below materializes the
+    # ranked table (and sig's cache with it), so the extra job is skipped.
+    if bucket_cap is None:
+        sig.count()
     # one FUSED long bucket key per band: xxhash64 over (band index, the
     # band's signature rows). A single 8-byte shuffle/join key instead of
     # an (int, string) pair — the same change measured 4.5x on the
@@ -464,7 +467,10 @@ def shared_window_pairs(df: DataFrame, k: int = WINDOW_TOKENS,
     w = df.select(F.col(id_col).alias("id"),
                   shingles_col(F.col(text_col), n=k).alias("wins")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    w.count()  # one materialization feeds the join and both verify sides
+    # one materialization feeds the join and both verify sides; with a
+    # bucket cap the dropped-mass count materializes it as a side effect
+    if bucket_cap is None:
+        w.count()
     ex = w.select("id", F.explode("wins").alias("win")) \
         .select("id", F.xxhash64("win").alias("wh"))
     if bucket_cap is not None:
