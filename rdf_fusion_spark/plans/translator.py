@@ -777,6 +777,38 @@ def _extend_expensive(expr, sol: Solution, out: str) -> set:
     return {out}
 
 
+# BIND expressions that provably cannot error (given certainly-bound,
+# statically-typed inputs) produce a certainly-bound variable. This
+# matters far beyond bookkeeping: a possibly-NULL shared variable forces
+# every downstream compatibility join onto the null-pattern split-union
+# path, which DUPLICATES both join inputs' plans once per null pattern —
+# the WindFarm MultiGrouped3 shape (two aggregation subqueries joined on
+# a BIND(YEAR(?t)) key) quadrupled its scans this way (36 parquet scans,
+# 16 exchanges for a 2-chain query).
+_TOTAL_DT_ACCESSORS = {"YEAR", "MONTH", "DAY", "HOURS", "MINUTES",
+                       "SECONDS"}
+
+
+def _extend_certainly_bound(expr, sol: Solution) -> bool:
+    """Conservative totality whitelist: True only when the expression
+    yields a non-error, non-NULL term on EVERY row of `sol`."""
+    from ..terms import K_DATETIME
+    if isinstance(expr, A.ETerm):
+        return True
+    if isinstance(expr, A.EVar):
+        return expr.name in sol.bound
+    if isinstance(expr, A.ECall):
+        if expr.name in _TOTAL_DT_ACCESSORS and len(expr.args) == 1:
+            a = expr.args[0]
+            # accessor over a certainly-bound, statically-dateTime term:
+            # the ts field is populated by construction, no error branch
+            return (isinstance(a, A.EVar) and a.name in sol.bound
+                    and sol.kinds.get(a.name) == K_DATETIME)
+        if expr.name == "COALESCE":
+            return any(_extend_certainly_bound(a, sol) for a in expr.args)
+    return False
+
+
 def _apply_extend(p: A.Extend, sol: Solution, ctx: Ctx) -> Solution:
     orig_maybe, orig_bound = sol.maybe, sol.bound
     expr = p.expr
@@ -799,8 +831,10 @@ def _apply_extend(p: A.Extend, sol: Solution, ctx: Ctx) -> Solution:
         kinds[p.var.name] = sk
     else:
         kinds.pop(p.var.name, None)
+    bound = orig_bound | ({p.var.name}
+                          if _extend_certainly_bound(p.expr, sol) else set())
     return replace(sol, df=df, maybe=orig_maybe | {p.var.name},
-                   bound=orig_bound, kinds=kinds,
+                   bound=bound, kinds=kinds,
                    expensive=sol.expensive | _extend_expensive(expr, sol,
                                                                p.var.name))
 
@@ -873,8 +907,10 @@ def _apply_extend_wave(wave: list, sol: Solution, ctx: Ctx) -> Solution:
     expensive = set(sol.expensive)
     for e in wave:
         expensive |= _extend_expensive(e.expr, sol, e.var.name)
+    bound = orig_bound | {e.var.name for e in wave
+                          if _extend_certainly_bound(e.expr, sol)}
     return replace(sol, df=df, maybe=orig_maybe | set(cols),
-                   bound=orig_bound, kinds=kinds, expensive=expensive)
+                   bound=bound, kinds=kinds, expensive=expensive)
 
 
 def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:

@@ -222,3 +222,43 @@ def test_virtual_store_mutations_rejected(store):
                       NamedNode("x:b")))
     with pytest.raises(NotImplementedError, match="read-only virtual"):
         store.clear()
+
+
+def test_bind_year_key_join_is_not_split(spark):
+    """A BIND(YEAR(?t)) group key joins as a certainly-bound column: the
+    totality whitelist (_extend_certainly_bound) must keep the two-chain
+    MultiGrouped3 shape on the plain equi-join path. Before the fix the
+    possibly-NULL key forced the null-pattern split-union, DUPLICATING
+    both aggregation subqueries' plans (36 parquet scans for a 2-chain
+    query); the fixed plan scans each source table once per chain."""
+    from rdf_fusion_spark import entry_queries as EQ
+    df = EQ.queries()["q_windfarm_multi3"](spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_scans = plan.count("FileScan parquet")
+    assert n_scans <= 9, f"split-union regression: {n_scans} scans"
+
+
+def test_extend_certainly_bound_whitelist():
+    from rdf_fusion_spark.plans.translator import (
+        Solution, _extend_certainly_bound)
+    from rdf_fusion_spark.sparql import algebra as A
+    from rdf_fusion_spark.terms import K_DATETIME, Literal
+    sol = Solution(df=None, bound={"t", "x"}, maybe={"t", "x", "opt"},
+                   kinds={"t": K_DATETIME})
+    yr = A.ECall("YEAR", [A.EVar("t")])
+    assert _extend_certainly_bound(yr, sol)
+    # var without the static dateTime kind → could error → not bound
+    assert not _extend_certainly_bound(A.ECall("YEAR", [A.EVar("x")]), sol)
+    # optional (possibly-null) input → not bound
+    assert not _extend_certainly_bound(
+        A.ECall("YEAR", [A.EVar("opt")]), sol)
+    assert _extend_certainly_bound(A.EVar("x"), sol)
+    assert not _extend_certainly_bound(A.EVar("opt"), sol)
+    assert _extend_certainly_bound(
+        A.ETerm(Literal("1", "http://www.w3.org/2001/XMLSchema#integer")),
+        sol)
+    assert _extend_certainly_bound(
+        A.ECall("COALESCE", [A.EVar("opt"), A.EVar("x")]), sol)
+    # division can error → never whitelisted
+    assert not _extend_certainly_bound(
+        A.ECall("/", [A.EVar("x"), A.EVar("x")]), sol)
