@@ -1926,28 +1926,30 @@ def _translate_slice(p: A.Slice, ctx: Ctx) -> Solution:
 # ---------------------------------------------------------------------------
 
 def _complement_agg_shape(p: A.Group):
-    """Syntactic match for the complement rewrite; returns
-    (f_name, D, R, P) or None. R absorbs non-EXISTS filter conjuncts."""
+    """Syntactic match for the (NOT) EXISTS grouped-dimension rewrites;
+    returns (f_name, D, R, P, negated) or None. R absorbs non-EXISTS
+    filter conjuncts."""
     if len(p.keys) != 1 or not p.aggregates or not isinstance(p.inner, A.Filter):
         return None
     f = p.keys[0].name
 
-    def neg_exists(c):
-        # NOT EXISTS {..} parses as EExists(negated=True); the equivalent
-        # !(EXISTS {..}) spelling as ECall("!", [EExists(negated=False)])
-        if isinstance(c, A.EExists) and c.negated:
-            return c
+    def exists_of(c):
+        # [NOT] EXISTS {..} parses as EExists; the equivalent
+        # !(EXISTS {..}) spelling as ECall("!", [EExists]) — normalize
+        # to (EExists node, effective negation)
+        if isinstance(c, A.EExists):
+            return c, c.negated
         if (isinstance(c, A.ECall) and c.name == "!" and len(c.args) == 1
-                and isinstance(c.args[0], A.EExists)
-                and not c.args[0].negated):
-            return c.args[0]
+                and isinstance(c.args[0], A.EExists)):
+            return c.args[0], not c.args[0].negated
         return None
 
     conjuncts = _split_and(p.inner.expr)
-    negs = [n for c in conjuncts if (n := neg_exists(c)) is not None]
-    rest = [c for c in conjuncts if neg_exists(c) is None]
-    if len(negs) != 1 or any(_has_exists(c) for c in rest):
+    exs = [e for c in conjuncts if (e := exists_of(c)) is not None]
+    rest = [c for c in conjuncts if exists_of(c) is None]
+    if len(exs) != 1 or any(_has_exists(c) for c in rest):
         return None
+    (ex_node, negated), = exs
     if not isinstance(p.inner.inner, A.Join):
         return None
     for D, R in ((p.inner.inner.left, p.inner.inner.right),
@@ -1969,50 +1971,69 @@ def _complement_agg_shape(p: A.Group):
         for c in rest[1:]:
             expr = A.ECall("&&", [expr, c])
         R = A.Filter(expr, R)
-    P = negs[0].pattern
+    P = ex_node.pattern
     pb, pfree = _pattern_scope(P)
     if pfree & (rv | {f}):          # expression-level correlation: lateral
         return None
     corr = pb & (rv | {f})
     if f not in corr or corr == {f} or not corr <= _certainly_bound(P):
         return None
-    for _, call in p.aggregates:
-        if call.distinct:
-            return None
-        if call.name == "COUNT" and call.expr is None:
-            continue
-        if call.name not in ("COUNT", "SUM", "AVG") or call.expr is None:
-            return None
-        vs = _expr_vars(call.expr)
-        if vs is None or not vs <= rv or _has_exists(call.expr):
-            return None
-    return f, D, R, P
+    if negated:
+        # subtraction restricts the aggregate set; the positive-EXISTS
+        # rewrite aggregates the semi-joined relation directly, so any
+        # aggregate the engine supports qualifies there
+        for _, call in p.aggregates:
+            if call.distinct:
+                return None
+            if call.name == "COUNT" and call.expr is None:
+                continue
+            if call.name not in ("COUNT", "SUM", "AVG") or call.expr is None:
+                return None
+            vs = _expr_vars(call.expr)
+            if vs is None or not vs <= rv or _has_exists(call.expr):
+                return None
+    else:
+        # the semi-joined relation binds f too, so aggregates may use it
+        for _, call in p.aggregates:
+            if call.expr is not None:
+                vs = _expr_vars(call.expr)
+                if vs is None or not vs <= (rv | {f}) \
+                        or _has_exists(call.expr):
+                    return None
+    return f, D, R, P, negated
 
 
 def _translate_complement_agg(p: A.Group, ctx: Ctx) -> Optional[Solution]:
-    """Evaluate a matched complement-agg Group without the D×R cross
-    join, or None when a (post-translation) guard fails."""
+    """Evaluate a matched grouped-dimension (NOT) EXISTS Group without
+    the D×R cross join, or None when a (post-translation) guard fails.
+
+    negated=True: complement identity (agg_total − agg_with, exact-kind
+    aggregates only). negated=False: the with-side IS the answer — group
+    R ⋈ distinct-pairs(P) ⋈ V with the engine's own _translate_group, so
+    every aggregate type qualifies."""
     shape = _complement_agg_shape(p)
     if shape is None:
         return None
-    f, D, R, P = shape
+    f, D, R, P, negated = shape
     solR = translate(R, ctx)
 
-    # compile aggregate inputs; SUM/AVG must land on an exact static kind
     specs = []  # (out_name, mode, static_kind, input Column)
-    for out_var, call in p.aggregates:
-        if call.name == "COUNT" and call.expr is None:
-            specs.append((out_var.name, "count_star", None, None))
-            continue
-        in_col = compile_term_expr(call.expr, solR, ctx)
-        if call.name == "COUNT":
-            specs.append((out_var.name, "count", None, in_col))
-            continue
-        sk = tv.skind(in_col)
-        if sk not in (tv.RANK_INTEGER, tv.RANK_DECIMAL):
-            return None
-        specs.append((out_var.name, call.name, sk,
-                      tv.tag(in_col, sk)["d"]))
+    if negated:
+        # compile aggregate inputs; SUM/AVG must land on an exact static
+        # kind for the subtraction to be bit-identical
+        for out_var, call in p.aggregates:
+            if call.name == "COUNT" and call.expr is None:
+                specs.append((out_var.name, "count_star", None, None))
+                continue
+            in_col = compile_term_expr(call.expr, solR, ctx)
+            if call.name == "COUNT":
+                specs.append((out_var.name, "count", None, in_col))
+                continue
+            sk = tv.skind(in_col)
+            if sk not in (tv.RANK_INTEGER, tv.RANK_DECIMAL):
+                return None
+            specs.append((out_var.name, call.name, sk,
+                          tv.tag(in_col, sk)["d"]))
 
     solV = translate(D, ctx)
     solP = translate(P, _no_consts(ctx))
@@ -2029,6 +2050,19 @@ def _translate_complement_agg(p: A.Group, ctx: Ctx) -> Optional[Solution]:
         if solR.kinds.get(v) not in narrow \
                 or solP.kinds.get(v) != solR.kinds.get(v):
             return None
+
+    if not negated:
+        # positive EXISTS: each R row joins each V feature it matches
+        # exactly once (distinct pairs ⇒ multiplicity 1), then the
+        # ordinary Group translation aggregates — identical semantics to
+        # cross-then-semi, minus the |V|·|R| blow-up
+        pair_sol = Solution(
+            df=solP.df.select(*corr), bound=set(corr), maybe=set(corr),
+            kinds={k: v for k, v in solP.kinds.items() if k in corr})
+        solM = replace(pair_sol, df=_dedupe_normalized(pair_sol))
+        solMV = join_solutions(solM, solV, "inner")
+        solJ = join_solutions(solR, solMV, "inner")
+        return _translate_group(p, ctx, sol=solJ)
 
     # shared raw-aggregate list, applied to the full R (totals, 1 row)
     # and to R ⋈ distinct-pairs(P) grouped per f (the with-side)

@@ -152,3 +152,40 @@ def test_min_aggregate_bails(store):
 
     g = find_group(ast.pattern)
     assert g is not None and _complement_agg_shape(g) is None
+
+
+EXISTS_QUERY = QUERY.replace("FILTER NOT EXISTS", "FILTER EXISTS")
+
+
+def test_positive_exists_rewrite_matches_direct(store, monkeypatch):
+    """The positive-EXISTS variant groups the semi-joined relation
+    directly — every aggregate type qualifies (MIN here, which the
+    negated complement path must refuse)."""
+    import rdf_fusion_spark.plans.translator as T
+    q = EXISTS_QUERY.replace("(AVG(?price) AS ?a)", "(MIN(?price) AS ?a)")
+    fired = []
+    orig = T._translate_complement_agg
+
+    def probe(p, ctx):
+        r = orig(p, ctx)
+        fired.append(r is not None)
+        return r
+
+    monkeypatch.setattr(T, "_translate_complement_agg", probe)
+    fast = _rows(store.query(q))
+    assert any(fired), "positive-EXISTS rewrite did not fire"
+    assert fast == _rows(store.query(q, optimize=False))
+    feats = [r[0] for r in fast]
+    # BC matches no offer-bearing part → no group; BALL/BA match all
+    assert "BC" not in feats and "BALL" in feats and "BA" in feats
+    ball = dict(zip(feats, fast))["BALL"]
+    assert ball[1] == "73.5" and ball[2] == "5" and ball[3] == "5"  # MIN
+    bb = dict(zip(feats, fast))["BB"]   # parts 3,4 → offers 5.00 + 7.75
+    assert bb[1] == "12.75" and bb[2] == "2" and bb[4] == "2"
+
+
+def test_positive_exists_no_nested_loop(store):
+    res = store.query(EXISTS_QUERY)
+    res.explanation().assert_scale_safe()
+    plan = res.df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
