@@ -189,3 +189,69 @@ def test_positive_exists_no_nested_loop(store):
     res.explanation().assert_scale_safe()
     plan = res.df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_randomized_parity(spark, seed, monkeypatch):
+    """Seeded random instances: arbitrary brand/part/offer topology
+    (multi-valued brands, duplicate pairs, offerless parts, brandless
+    parts) must give identical rows with the rewrite on and off, for
+    BOTH polarities."""
+    import random
+    from decimal import Decimal as D
+    rng = random.Random(seed)
+    n_parts, n_brands = 12, 5
+    brandrel, bid = [], 0
+    for pk in range(1, n_parts + 1):
+        for b in range(n_brands):
+            if rng.random() < 0.4:
+                bid += 1
+                brandrel.append((bid, pk, f"B{b}"))
+                if rng.random() < 0.2:     # duplicate pair
+                    bid += 1
+                    brandrel.append((bid, pk, f"B{b}"))
+    offers = [(i + 1, rng.randint(1, n_parts),
+               D(str(round(rng.uniform(1, 500), 2))))
+              for i in range(40)]
+    part = spark.createDataFrame(
+        [(pk, "T") for pk in range(1, n_parts + 1)], "pk long, t string")
+    tb, to, tp = (f"r{seed}brand", f"r{seed}offer", f"r{seed}part")
+    store = VirtualDataFrameStore(
+        spark, {tp: part,
+                tb: spark.createDataFrame(
+                    brandrel, "bid long, part_fk long, bname string"),
+                to: spark.createDataFrame(
+                    offers, "oid long, part_fk long, price decimal(10,2)")},
+        keys={tp: ["pk"], tb: ["bid"], to: ["oid"]},
+        fks={tb: {"part_fk": tp}, to: {"part_fk": tp}})
+    import rdf_fusion_spark.plans.translator as T
+    fired = []
+    orig = T._translate_complement_agg
+
+    def probe(p, ctx):
+        r = orig(p, ctx)
+        fired.append(r is not None)
+        return r
+
+    monkeypatch.setattr(T, "_translate_complement_agg", probe)
+    for neg in ("FILTER NOT EXISTS", "FILTER EXISTS"):
+        q = f"""
+          SELECT ?feature (SUM(?price) AS ?s) (COUNT(*) AS ?n) WHERE {{
+            {{ SELECT DISTINCT ?feature WHERE {{
+                 ?b <x:{tb}#bname> ?feature }} }}
+            ?o <x:{to}#part_fk> ?p2 .
+            ?o <x:{to}#price> ?price .
+            {neg} {{ ?b2 <x:{tb}#part_fk> ?p2 .
+                     ?b2 <x:{tb}#bname> ?feature . }}
+          }} GROUP BY ?feature ORDER BY ?feature
+        """
+        fast = _rows_sn(store.query(q))
+        slow = _rows_sn(store.query(q, optimize=False))
+        assert fast == slow, f"{neg} mismatch at seed {seed}"
+    assert all(fired), "rewrite did not fire on a randomized instance"
+
+
+def _rows_sn(res):
+    return [tuple(None if r[k] is None else term_to_python(r[k]).lexical
+                  for k in ("feature", "s", "n"))
+            for r in res.df.collect()]
