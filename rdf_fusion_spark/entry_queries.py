@@ -812,6 +812,15 @@ def _pipe_shared_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_window_pairs(_docs(spark, sf_dir))
 
 
+def _pipe_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup as a corpus TRANSFORM (Lee et al. 2022
+    ExactSubstr): duplicated ≥k-token spans keep one canonical occurrence
+    (min doc_id) and are removed everywhere else
+    (pipeline/dedup.py remove_shared_windows)."""
+    from .pipeline.dedup import remove_shared_windows
+    return remove_shared_windows(_docs(spark, sf_dir))
+
+
 def _pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the LSH pairs with a
     canonical doc per cluster (the keep/drop decision of a corpus dedup)."""
@@ -1189,6 +1198,44 @@ def _pipeline_oracles() -> dict[str, str]:
                len(list_intersect(a.wins, b.wins))::BIGINT AS n_shared
         FROM w a JOIN w b ON a.id < b.id
         WHERE len(list_intersect(a.wins, b.wins)) >= 1
+        """,
+        # exact mirror of pipeline/dedup.py remove_shared_windows: windows
+        # join on the full k-token string; canonical = min doc_id; a token
+        # is removed iff covered by >=1 duplicated non-canonical window
+        "q_dedup_substring_removal": f"""
+        WITH toks AS (SELECT doc_id, {words} AS tk FROM documents),
+        occ AS (
+          SELECT t.doc_id, g.i AS pos,
+                 array_to_string(tk[g.i : g.i + {WINDOW_TOKENS_SQL - 1}],
+                                 ' ') AS win
+          FROM toks t, LATERAL (SELECT unnest(generate_series(
+                 1, len(tk) - {WINDOW_TOKENS_SQL - 1})) AS i) g
+        ),
+        canon AS (SELECT win, min(doc_id) AS min_id FROM occ GROUP BY win),
+        dup_pos AS (
+          SELECT o.doc_id, list_sort(list_distinct(list(o.pos))) AS dps
+          FROM occ o JOIN canon c ON o.win = c.win
+          WHERE c.min_id < o.doc_id
+          GROUP BY o.doc_id
+        ),
+        calc AS (
+          SELECT t.doc_id, t.tk,
+                 list_sort(list_distinct(flatten(list_transform(
+                   coalesce(d.dps, []),
+                   p -> generate_series(p, p + {WINDOW_TOKENS_SQL - 1})))))
+                 AS cov
+          FROM toks t LEFT JOIN dup_pos d ON t.doc_id = d.doc_id
+        )
+        SELECT doc_id,
+               -- coalesce: DuckDB array_to_string([]) is NULL, Spark
+               -- concat_ws over an empty array is ''
+               coalesce(array_to_string(list_transform(
+                 list_filter(generate_series(1, len(tk)),
+                             i -> NOT list_contains(cov, i)),
+                 i -> tk[i]), ' '), '') AS deduped_text,
+               len(tk)::BIGINT AS n_tokens,
+               len(cov)::BIGINT AS n_removed_tokens
+        FROM calc
         """,
         "q_decontaminate": f"""
         WITH g AS (
@@ -3817,6 +3864,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_repetition": _pipe_repetition,
     "q_pii_scan": _pipe_pii,
     "q_dedup_substring": _pipe_shared_windows,
+    "q_dedup_substring_removal": _pipe_substring_removal,
 }
 
 
@@ -3913,23 +3961,58 @@ def _prepared(name: str, fn: Callable[[SparkSession, str], DataFrame]
 
 
 # Registry ordering: the correctness driver samples a PREFIX of the
-# registry each round, so entries that have never received a driver
-# correctness row are listed FIRST (round-5 verdict "What's missing" #1)
-# — dict order is the sampling order. Round 7: the four WindFarm
-# MultiGrouped analogues have never been driver-gated, and
-# q_dedup_simhash's only green row (r04) predates the 60-bit banded
-# rewrite, so its green is stale (round-6 verdict task 2).
-_GATE_FIRST = [
-    # round 7 additions — never driver-gated yet
-    "q_pii_scan", "q_dedup_substring",
-    "q_windfarm_multi1", "q_windfarm_multi2",
-    "q_windfarm_multi3", "q_windfarm_multi4",
-    "q_dedup_simhash",
-    "q_ann_quantized_topk", "q_graph_pagerank", "q_graph_triangles",
-    "q_text_repetition", "q_text_token_percentiles", "q_train_val_split",
-    "q_bsbm_bi_q4", "q_bsbm_bi_q6", "q_bsbm_bi_q8",
-    "q_bsbm_explore_q9", "q_bsbm_explore_q12",
-]
+# registry each round, so dict order is the sampling order. Rounds 5-7
+# hand-curated a _GATE_FIRST list here; round 7 then rewrote three LSH
+# operators AFTER their last driver gate without the list catching it
+# (round-7 verdict #1). The order is now DERIVED (gate_order.py): a query
+# whose implementing module changed in a later round than its last green
+# driver row is stale and re-queued automatically, least-recently-gated
+# first. _gate_modules maps each query to the files whose change
+# invalidates its gate; _FORCE_REGATE is the manual escape hatch for
+# edits git can't attribute (e.g. a SPEC/oracle text change inside THIS
+# file — mapping queries to entry_queries.py itself would mark the whole
+# registry stale every round). Rotation rule: edit an operator module →
+# its queries re-queue next round with no bookkeeping; edit a SPEC or
+# oracle string → add the query name to _FORCE_REGATE for one round.
+_ENGINE_MODULES = (
+    "rdf_fusion_spark/plans", "rdf_fusion_spark/functions",
+    "rdf_fusion_spark/sources", "rdf_fusion_spark/sparql",
+    "rdf_fusion_spark/store.py", "rdf_fusion_spark/terms.py",
+)
+
+_PIPELINE_MODULE_MAP = {
+    "q_ann_cosine_topk": "similarity.py", "q_ann_lsh": "similarity.py",
+    "q_ann_ivf": "similarity.py", "q_ann_quantized_topk": "similarity.py",
+    "q_dedup_embedding_cosine": "similarity.py",
+    "q_embedding_norms": "similarity.py",
+    "q_dedup_exact": "dedup.py", "q_dedup_jaccard_pairs": "dedup.py",
+    "q_dedup_minhash_lsh": "dedup.py", "q_dedup_clusters": "dedup.py",
+    "q_dedup_simhash": "dedup.py", "q_dedup_substring": "dedup.py",
+    "q_dedup_substring_removal": "dedup.py",
+    "q_text_stats": "text.py", "q_text_language_id": "text.py",
+    "q_text_top_words": "text.py", "q_text_chunks": "text.py",
+    "q_text_token_percentiles": "text.py", "q_text_repetition": "text.py",
+    "q_pii_scan": "pii.py",
+    "q_pack_shards": "curation.py", "q_mix_weighted": "curation.py",
+    "q_train_val_split": "curation.py", "q_decontaminate": "curation.py",
+    "q_events_sessionize": "sessions.py",
+    "q_multimodal_features": "multimodal.py",
+    "q_graph_pagerank": "graphs.py", "q_graph_triangles": "graphs.py",
+    "q_events_json_props": None,   # pure-Column body in this file
+}
+
+_FORCE_REGATE: set[str] = set()
+
+
+def _gate_modules(name: str) -> tuple[str, ...]:
+    if name == "q_stream_event_counts":
+        return ("rdf_fusion_spark/streaming",)
+    if name in _PIPELINE_MODULE_MAP:
+        mod = _PIPELINE_MODULE_MAP[name]
+        return (f"rdf_fusion_spark/pipeline/{mod}",) if mod else ()
+    # SPARQL queries: any engine-core change re-queues them (the driver
+    # prefix then rotates through the least-recently-gated ones first)
+    return _ENGINE_MODULES
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -3945,12 +4028,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out.update(PIPELINE_QUERIES)
     wrapped = {name: fn if name in _NOT_CACHEABLE else _prepared(name, fn)
                for name, fn in out.items()}
-    ordered: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
-    for name in _GATE_FIRST:
-        if name in wrapped:
-            ordered[name] = wrapped.pop(name)
-    ordered.update(wrapped)
-    return ordered
+    from .gate_order import order_registry
+    names = order_registry(list(wrapped), _gate_modules, _FORCE_REGATE)
+    return {name: wrapped[name] for name in names}
 
 
 _MIX_TYPES = ["STANDARD", "MEDIUM", "LARGE", "SMALL", "ECONOMY", "PROMO"]

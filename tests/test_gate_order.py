@@ -1,0 +1,83 @@
+"""Driver-gate staleness rotation (gate_order.py, round-7 verdict #1)."""
+
+from __future__ import annotations
+
+import rdf_fusion_spark.gate_order as GO
+from rdf_fusion_spark.gate_order import order_registry
+
+
+def _patch(monkeypatch, gated: dict[str, int], rounds: dict[str, int]):
+    monkeypatch.setattr(GO, "gated_rounds", lambda: gated)
+    monkeypatch.setattr(GO, "_module_round", lambda m: rounds.get(m, 0))
+
+
+def test_stale_first_sorted_by_last_gate(monkeypatch):
+    _patch(monkeypatch,
+           gated={"a": 7, "b": 4, "c": 6, "d": 7},
+           rounds={"mod_b": 7, "mod_c": 7})
+    names = ["a", "b", "c", "d"]
+    out = order_registry(names, lambda n: (f"mod_{n}",))
+    # b (gated r4, changed r7) and c (gated r6, changed r7) are stale,
+    # least-recently-gated first; a and d fresh in registry order
+    assert out == ["b", "c", "a", "d"]
+
+
+def test_never_gated_goes_first(monkeypatch):
+    _patch(monkeypatch, gated={"a": 7, "b": 2}, rounds={"mod_b": 5})
+    out = order_registry(["a", "new", "b"], lambda n: (f"mod_{n}",))
+    assert out == ["new", "b", "a"]
+
+
+def test_fresh_keeps_registry_order(monkeypatch):
+    _patch(monkeypatch, gated={"a": 7, "b": 7, "c": 7}, rounds={})
+    assert order_registry(["c", "a", "b"], lambda n: ()) == ["c", "a", "b"]
+
+
+def test_same_round_gate_is_fresh(monkeypatch):
+    # the driver gates at round END, after the round's commits: a module
+    # changed in round N with a round-N green row is NOT stale
+    _patch(monkeypatch, gated={"a": 7}, rounds={"mod_a": 7})
+    assert order_registry(["a"], lambda n: ("mod_a",)) == ["a"]
+
+
+def test_force_regate(monkeypatch):
+    _patch(monkeypatch, gated={"a": 7, "b": 3}, rounds={})
+    out = order_registry(["a", "b"], lambda n: (), force_regate={"a"})
+    # a re-queued by hand (SPEC-text edit); b untouched-and-gated = fresh
+    assert out == ["a", "b"]
+
+
+def test_ties_keep_registry_order(monkeypatch):
+    _patch(monkeypatch, gated={"a": 4, "b": 4}, rounds={"m": 9})
+    assert order_registry(["b", "a"], lambda n: ("m",)) == ["b", "a"]
+
+
+def test_real_registry_is_complete_permutation():
+    from rdf_fusion_spark import entry_queries as EQ
+    qs = list(EQ.queries())
+    assert len(qs) == len(set(qs))
+    # ordering must never drop or invent queries
+    assert set(qs) == set(EQ.queries())
+
+
+def test_real_gated_rounds_parse():
+    # the repo carries CORRECTNESS_r*.json records; parsing must find
+    # green rows (r7 had 50/50 green)
+    gated = GO.gated_rounds()
+    assert gated.get("q_pii_scan", 0) >= 7
+    assert gated.get("q1_pricing_summary", 0) >= 2
+
+
+def test_rewritten_lsh_operators_requeue():
+    """Round-7 regression: dedup.py/similarity.py were rewritten in r7
+    after these queries' r4 gates — the derived order must put them
+    inside the driver's 50-query prefix until re-gated."""
+    from rdf_fusion_spark import entry_queries as EQ
+    gated = GO.gated_rounds()
+    names = list(EQ.queries())
+    for q, mod in [("q_dedup_minhash_lsh", "rdf_fusion_spark/pipeline/dedup.py"),
+                   ("q_ann_lsh", "rdf_fusion_spark/pipeline/similarity.py"),
+                   ("q_dedup_embedding_cosine",
+                    "rdf_fusion_spark/pipeline/similarity.py")]:
+        if GO._module_round(mod) > gated.get(q, 0):
+            assert names.index(q) < 50, q
