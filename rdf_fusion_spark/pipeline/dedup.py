@@ -463,29 +463,47 @@ def shared_window_pairs(df: DataFrame, k: int = WINDOW_TOKENS,
     count. No all-pairs join ever materializes.
     """
     from pyspark import StorageLevel
-    from pyspark.sql import Window
+    # Materialize the per-doc window table ONCE: it feeds the candidate
+    # join and both exact-verify sides. Same lifecycle as minhash's `sig`
+    # above: blocks are dropped by the ContextCleaner when the frame goes
+    # out of scope (the caller holds no handle), so repeated calls don't
+    # pin memory beyond the session's next GC cycle.
     w = df.select(F.col(id_col).alias("id"),
                   shingles_col(F.col(text_col), n=k).alias("wins")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    # one materialization feeds the join and both verify sides; with a
-    # bucket cap the dropped-mass count materializes it as a side effect
-    if bucket_cap is None:
-        w.count()
+    # one materialization feeds the join and both verify sides; the
+    # cap-gate aggregate below (or this count) materializes it eagerly so
+    # the join's inputs don't race to compute the same blocks
+    w.count()
     ex = w.select("id", F.explode("wins").alias("win")) \
         .select("id", F.xxhash64("win").alias("wh"))
     if bucket_cap is not None:
-        win = Window.partitionBy("wh").orderBy("id")
-        ranked = ex.withColumn("__rn", F.row_number().over(win)) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
-        if n_dropped:
-            _log.warning(
-                "shared_window_pairs: %d window memberships beyond the "
-                "%d-doc bucket cap were dropped (boilerplate windows); "
-                "pairs among dropped members are NOT reported", n_dropped,
-                bucket_cap)
-        ex = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn")
-        ranked.unpersist()
+        # cap gate (same as simhash_near_dup_pairs): one exact aggregate
+        # finds over-cap buckets; the rank-and-truncate window runs ONLY
+        # when one exists. Boilerplate k-token windows (license headers,
+        # generated text) are the only way a bucket exceeds thousands of
+        # docs, so the common case pays one count-shuffle instead of a
+        # full window sort + eager materialization (round-8 ADVICE).
+        big = (ex.groupBy("wh").count()
+               .where(F.col("count") > bucket_cap))
+        if big.head(1):
+            from pyspark.sql import Window
+            win = Window.partitionBy("wh").orderBy("id")
+            ranked = ex.withColumn("__rn", F.row_number().over(win)) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
+            if n_dropped:
+                _log.warning(
+                    "shared_window_pairs: %d window memberships beyond "
+                    "the %d-doc bucket cap were dropped (boilerplate "
+                    "windows); pairs among dropped members are NOT "
+                    "reported", n_dropped, bucket_cap)
+            # eager checkpoint of the CAPPED table BEFORE releasing the
+            # ranked cache — unpersisting first recomputed the window for
+            # both sides of the self-join on every run (round-8 ADVICE)
+            ex = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn") \
+                .localCheckpoint(eager=True)
+            ranked.unpersist()
     a, b = ex.alias("a"), ex.alias("b")
     cand = (a.join(b, (F.col("a.wh") == F.col("b.wh"))
                    & (F.col("a.id") < F.col("b.id")))
@@ -498,6 +516,85 @@ def shared_window_pairs(df: DataFrame, k: int = WINDOW_TOKENS,
                     F.size(F.array_intersect("wa", "wb")).cast("long")
                     .alias("n_shared"))
             .where(F.col("n_shared") >= 1))
+
+
+def _positional_windows_col(tokens, k: int):
+    """Array<struct<pos:int, win:string>> of ALL k-token windows with
+    their 1-based start positions (no dedup — the transform below needs
+    every occurrence's position, unlike shingles_col)."""
+    idx = F.when(F.size(tokens) >= k,
+                 F.sequence(F.lit(1), F.size(tokens) - (k - 1))) \
+        .otherwise(F.array().cast("array<int>"))
+    return F.transform(
+        idx, lambda i: F.struct(
+            i.alias("pos"),
+            F.concat_ws(" ", *[F.element_at(tokens, i + j)
+                               for j in range(k)]).alias("win")))
+
+
+def remove_shared_windows(df: DataFrame, k: int = WINDOW_TOKENS,
+                          text_col: str = "text",
+                          id_col: str = "doc_id") -> DataFrame:
+    """Corpus TRANSFORM for exact sub-document duplication (Lee et al.
+    2022, "Deduplicating Training Data Makes Language Models Better",
+    ExactSubstr): every ≥k-token span that also appears in another
+    document is kept in ONE canonical occurrence (the document with the
+    smallest id containing that span) and removed everywhere else.
+
+    Output: one row per input document —
+    (doc_id, deduped_text, n_tokens, n_removed_tokens). `deduped_text`
+    is the space-join of the surviving tokens (words_col splits on
+    single spaces, so a document with no removals round-trips exactly).
+
+    Window semantics: a duplicated span of length L ≥ k is exactly the
+    union of its L-k+1 duplicated k-token windows, so removing every
+    token covered by a duplicated non-canonical window removes exactly
+    the maximal duplicated spans at window granularity (spans shorter
+    than k are below the dedup threshold by design). Duplication is
+    CROSS-document, matching shared_window_pairs: within-document
+    repeats of a span are not removed. A canonical keeper can still
+    lose tokens of an overlapping DIFFERENT span whose canonical doc is
+    another document — deterministic, and consistent with per-span
+    all-but-one removal.
+
+    Scale shape: windows join on their full k-token STRING value (not a
+    64-bit hash — a hash collision here would remove live text, unlike
+    the detection operator where it only adds a verified-away candidate).
+    min-id per window is one map-side-combinable aggregate; dup
+    occurrences come from one equi-join on the window value (AQE can
+    broadcast the aggregate or split skewed keys); per-doc removal is
+    pure array math on the doc's own row (array_except of covered
+    positions — linear in doc length). The token mass is never shuffled:
+    only window->min_id and the per-doc duplicated-position lists move.
+    """
+    tokens = words_col(F.col(text_col))
+    occ = df.select(F.col(id_col).alias("id"),
+                    F.explode(_positional_windows_col(tokens, k))
+                    .alias("o")) \
+        .select("id", F.col("o.pos").alias("pos"), F.col("o.win").alias("win"))
+    canon = occ.groupBy("win").agg(F.min("id").alias("min_id"))
+    dup_pos = (occ.join(canon, "win")
+               .where(F.col("min_id") < F.col("id"))
+               .groupBy("id")
+               .agg(F.sort_array(F.collect_set("pos")).alias("dps")))
+    base = df.select(F.col(id_col).alias("id"), tokens.alias("tk")) \
+        .join(dup_pos, "id", "left")
+    n = F.size("tk")
+    covered = F.array_sort(F.array_distinct(F.flatten(F.transform(
+        F.coalesce("dps", F.array().cast("array<int>")),
+        lambda p: F.sequence(p, p + (k - 1))))))
+    # guard: F.sequence auto-descends for n < 1 (null text); split never
+    # yields an empty array for non-null text, so this only covers nulls
+    kept_idx = F.when(n >= 1, F.array_except(F.sequence(F.lit(1), n),
+                                             covered)) \
+        .otherwise(F.array().cast("array<int>"))
+    return base.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", F.transform(kept_idx,
+                                     lambda i: F.element_at("tk", i)))
+        .alias("deduped_text"),
+        n.cast("long").alias("n_tokens"),
+        (n - F.size(kept_idx)).cast("long").alias("n_removed_tokens"))
 
 
 def dup_clusters(pairs: DataFrame, docs: DataFrame, id_col: str = "doc_id",

@@ -41,6 +41,7 @@ def curation_pipeline(
     sample_rate: Column = None,
     budget: int = PACK_BUDGET_TOKENS,
     num_shards: int = PACK_NUM_SHARDS,
+    substring_dedup: bool = False,
 ) -> DataFrame:
     """Run the full curation funnel; returns one row per stage:
     (stage_idx, stage, n_docs, n_tokens) with a final ('packed') row
@@ -80,6 +81,23 @@ def curation_pipeline(
         pairs.select(F.col("id_b").alias("doc_id")).distinct(),
         "doc_id", "left_anti")
     stages.append(("near_dedup", near_kept))
+
+    # optional sub-document dedup (Lee et al. 2022 ExactSubstr): rewrite
+    # the surviving docs with duplicated >=k-token spans removed (one
+    # canonical occurrence kept corpus-wide), then drop docs whose text
+    # was removed entirely. Doc count barely moves; the TOKEN column is
+    # where this stage shows up in the funnel.
+    if substring_dedup:
+        from .dedup import remove_shared_windows
+        rewritten = remove_shared_windows(near_kept)
+        near_kept = (near_kept.drop("text", "n_tokens")
+                     .join(rewritten.select(
+                         "doc_id",
+                         F.col("deduped_text").alias("text"),
+                         (F.col("n_tokens") - F.col("n_removed_tokens"))
+                         .alias("n_tokens")), "doc_id")
+                     .where(F.col("n_tokens") > 0))
+        stages.append(("substring_dedup", near_kept))
 
     # decontamination: the held-out benchmark slice leaves the corpus
     # entirely; contaminated training docs are dropped

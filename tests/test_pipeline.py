@@ -447,3 +447,48 @@ def test_minhash_survives_sub_shingle_docs(spark):
     got = {(r["id_a"], r["id_b"]) for r in
            minhash_lsh_pairs(df, 0.5).collect()}
     assert got == {(2, 3)}
+
+
+def test_remove_shared_windows_transform(spark):
+    """Span removal (Lee et al. 2022 ExactSubstr at window granularity):
+    the min-id doc keeps the duplicated span, every other doc loses
+    exactly the span's tokens, untouched docs round-trip."""
+    from rdf_fusion_spark.pipeline.dedup import remove_shared_windows
+    span = "one two three four five six seven eight"      # exactly k=8
+    df = spark.createDataFrame(
+        [(1, f"alpha beta {span} gamma"),
+         (2, f"x y {span} z"),
+         (3, "totally unique text here with no duplication at all"),
+         (4, span)],                      # the whole doc IS the span
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_shared_windows(df).collect()}
+    assert out[1]["deduped_text"] == f"alpha beta {span} gamma"   # canonical
+    assert out[1]["n_removed_tokens"] == 0
+    assert out[2]["deduped_text"] == "x y z"
+    assert out[2]["n_removed_tokens"] == 8
+    assert out[3]["n_removed_tokens"] == 0                        # untouched
+    assert out[4]["deduped_text"] == "" and out[4]["n_removed_tokens"] == 8
+    assert all(r["n_tokens"] - r["n_removed_tokens"]
+               == (len(r["deduped_text"].split(" "))
+                   if r["deduped_text"] else 0) for r in out.values())
+
+
+def test_remove_shared_windows_overlapping_spans(spark):
+    """Two overlapping duplicated spans with DIFFERENT canonical docs:
+    removal is per-window deterministic (a keeper of one span may lose
+    tokens to another span whose canonical doc is smaller)."""
+    from rdf_fusion_spark.pipeline.dedup import remove_shared_windows
+    s1 = "a b c d e f g h"                      # span 1, canonical: doc 1
+    df = spark.createDataFrame(
+        [(1, s1),                                # keeps s1
+         (2, f"{s1} tail"),                      # loses s1 (and h..tail? no: windows are 8 tokens)
+         (3, f"pre {s1}")],                      # loses s1
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in remove_shared_windows(df).collect()}
+    assert out[1]["n_removed_tokens"] == 0
+    # doc 2: windows "a..h" (dup, canonical=1) and "b..tail" (unique)
+    # -> only tokens covered SOLELY by the dup window go; b..h are also
+    # covered by the unique window but removal is per covered token, so
+    # a..h all go and "tail" stays
+    assert out[2]["deduped_text"] == "tail"
+    assert out[3]["deduped_text"] == "pre"
