@@ -1507,15 +1507,35 @@ def _translate_values(p: A.ValuesNode, ctx: Ctx) -> Solution:
 
 
 def _static_kind_of_row(row) -> Optional[int]:
-    """typed_ops static kind of a term_py_row tuple."""
-    from ..terms import TT_BNODE, TT_IRI, TT_LITERAL
-    t, _v, _dt, lang, k, *_ = row
+    """typed_ops static kind of a term_py_row tuple.
+
+    A static kind promises every row holds a WELL-FORMED value of that
+    kind — downstream consumers rely on it (e.g. _extend_certainly_bound
+    marks YEAR(?v) over a static K_DATETIME as total because the ts view
+    is populated by construction). An ill-formed literal like
+    "x"^^xsd:dateTime is still a bound TERM but its parsed view is NULL,
+    so trusting the datatype IRI alone let a BIND output be marked
+    certainly-bound while actually NULL — downstream compatibility joins
+    then took the plain-equality path and dropped rows SPARQL would join
+    (round-8 ADVICE). Withhold the static kind whenever the kind's value
+    view (x/d/ts) is unparsed; the dynamic path handles those rows."""
+    from ..terms import (TT_BNODE, TT_IRI, TT_LITERAL, K_INTEGER, K_DECIMAL,
+                         K_FLOAT, K_DOUBLE, K_BOOLEAN, K_DATETIME,
+                         K_DURATION, K_STRING)
+    t, _v, _dt, lang, k, x, d, ts = row
     if t == TT_IRI:
         return tv.SK_IRI
     if t == TT_BNODE:
         return tv.SK_BNODE
     if t == TT_LITERAL and k is not None:
-        from ..terms import K_STRING
+        if k in (K_INTEGER, K_DECIMAL) and d is None:
+            return None
+        if k in (K_FLOAT, K_DOUBLE, K_BOOLEAN) and x is None:
+            return None
+        if k == K_DATETIME and ts is None:
+            return None
+        if k == K_DURATION and (x is None or d is None):
+            return None
         if k == K_STRING and lang is None:
             return tv.SK_PLAIN
         return k
@@ -1763,11 +1783,12 @@ def reregister_persists(session, dfs: list) -> None:
     if not dfs:
         return
     from pyspark import StorageLevel
+    installed = list(dfs)
     with _PERSIST_LOCK:
         _, old = _PERSIST_REGISTRY.pop(_session_key(session), (None, []))
         stale = [d for d in old if all(d is not n for n in dfs)]
         stale += _prune_stopped_sessions()
-        _PERSIST_REGISTRY[_session_key(session)] = (session, list(dfs))
+        _PERSIST_REGISTRY[_session_key(session)] = (session, installed)
     for d in stale:
         try:
             d.unpersist(blocking=False)
@@ -1778,6 +1799,22 @@ def reregister_persists(session, dfs: list) -> None:
             d.persist(StorageLevel.MEMORY_AND_DISK)
         except Exception:
             pass
+    # Re-check under the lock that OUR entry still holds the slot: a
+    # concurrent _release_prior_persists on the same session can pop and
+    # unpersist the set between the install above and the persist() loop,
+    # after which the loop re-marks the DataFrames for caching with no
+    # registry entry tracking them — cached blocks would leak until
+    # session stop (multi-threaded sessions only). If the slot moved,
+    # undo the untracked persists (round-8 ADVICE).
+    with _PERSIST_LOCK:
+        cur = _PERSIST_REGISTRY.get(_session_key(session))
+        still_ours = cur is not None and cur[1] is installed
+    if not still_ours:
+        for d in dfs:
+            try:
+                d.unpersist(blocking=False)
+            except Exception:
+                pass
 
 
 def _persist_shared_subquery(key, p: A.Project, sol: Solution,
@@ -1923,15 +1960,28 @@ def _translate_slice(p: A.Slice, ctx: Ctx) -> Solution:
 #   exists_join's equality would.
 # - D is syntactically Distinct (row multiplicity 1 per f — a dup f in
 #   D would scale direct-eval aggregates by its multiplicity).
+# - multi-key grouping (round 8): GROUP BY ?g ... ?f generalizes the
+#   identity per extra key g: without(g, f) = total(g) − with(g, f).
+#   The totals side becomes ONE grouped aggregate over the g-keys (a
+#   broadcast bounded by |distinct g| — itself a lower bound on the
+#   output's candidate space V × g), the with-side groups by (f, g).
+#   Extra keys must be R-variables, certainly bound, with narrow
+#   IRI/plain kinds (both groupings key on the identity string).
 # ---------------------------------------------------------------------------
 
 def _complement_agg_shape(p: A.Group):
     """Syntactic match for the (NOT) EXISTS grouped-dimension rewrites;
-    returns (f_name, D, R, P, negated) or None. R absorbs non-EXISTS
-    filter conjuncts."""
-    if len(p.keys) != 1 or not p.aggregates or not isinstance(p.inner, A.Filter):
+    returns (f_name, extra_keys, D, R, P, negated) or None. R absorbs
+    non-EXISTS filter conjuncts.
+
+    Multi-key grouping (round 8): exactly ONE group key is the
+    D-dimension ?f; any other keys must be R variables (e.g. per
+    type × feature). The identity is per (extra-keys, f):
+    without(g, f) = total(g) − with(g, f), so the totals side becomes a
+    grouped aggregate over the extra keys instead of one global row."""
+    if not p.keys or not p.aggregates or not isinstance(p.inner, A.Filter):
         return None
-    f = p.keys[0].name
+    key_names = [v.name for v in p.keys]
 
     def exists_of(c):
         # [NOT] EXISTS {..} parses as EExists; the equivalent
@@ -1952,16 +2002,23 @@ def _complement_agg_shape(p: A.Group):
     (ex_node, negated), = exs
     if not isinstance(p.inner.inner, A.Join):
         return None
+    f = None
     for D, R in ((p.inner.inner.left, p.inner.inner.right),
                  (p.inner.inner.right, p.inner.inner.left)):
-        if isinstance(D, A.Distinct) and A.pattern_variables(D) == {f} \
-                and f not in A.pattern_variables(R):
-            break
-    else:
+        if isinstance(D, A.Distinct):
+            dv = A.pattern_variables(D)
+            if (len(dv) == 1 and (fv := next(iter(dv))) in key_names
+                    and fv not in A.pattern_variables(R)):
+                f = fv
+                break
+    if f is None:
         return None
     if f not in _certainly_bound(D):
         return None
     rv = A.pattern_variables(R)
+    extra = [k for k in key_names if k != f]
+    if not set(extra) <= rv:
+        return None
     for c in rest:
         vs = _expr_vars(c)
         if vs is None or not vs <= rv:
@@ -2000,7 +2057,7 @@ def _complement_agg_shape(p: A.Group):
                 if vs is None or not vs <= (rv | {f}) \
                         or _has_exists(call.expr):
                     return None
-    return f, D, R, P, negated
+    return f, extra, D, R, P, negated
 
 
 def _translate_complement_agg(p: A.Group, ctx: Ctx) -> Optional[Solution]:
@@ -2014,7 +2071,7 @@ def _translate_complement_agg(p: A.Group, ctx: Ctx) -> Optional[Solution]:
     shape = _complement_agg_shape(p)
     if shape is None:
         return None
-    f, D, R, P, negated = shape
+    f, extra, D, R, P, negated = shape
     solR = translate(R, ctx)
 
     specs = []  # (out_name, mode, static_kind, input Column)
@@ -2050,6 +2107,16 @@ def _translate_complement_agg(p: A.Group, ctx: Ctx) -> Optional[Solution]:
         if solR.kinds.get(v) not in narrow \
                 or solP.kinds.get(v) != solR.kinds.get(v):
             return None
+    if negated and extra:
+        # the per-(g, f) subtraction groups both sides by the extra
+        # keys' VALUE strings, so they must be certainly bound with
+        # narrow identity kinds (the positive path needs neither: its
+        # keys go through _translate_group's full normalization)
+        if not set(extra) <= solR.bound:
+            return None
+        for v in extra:
+            if solR.kinds.get(v) not in narrow:
+                return None
 
     if not negated:
         # positive EXISTS: each R row joins each V feature it matches
@@ -2085,33 +2152,46 @@ def _translate_complement_agg(p: A.Group, ctx: Ctx) -> Optional[Solution]:
                 out.append(F.sum(tmp[i]).alias(f"{prefix}s{i}"))
         return out
 
-    # the 1-row totals attach via an EQUI join on an always-1 key built
-    # from non-foldable expressions on BOTH sides — a literal key would
+    # the totals attach via an EQUI join on an always-1 key built from
+    # non-foldable expressions on BOTH sides — a literal key would
     # constant-fold to `ON true` and plan as a BroadcastNestedLoopJoin
     # cross, tripping the no-BNLJ scale invariant; with real keys Spark
-    # plans a BroadcastHashJoin over the single broadcast row. The
-    # aggregate side is MIN(1) (NULL iff R is empty, in which case
+    # plans a BroadcastHashJoin over the broadcast totals. The aggregate
+    # side is MIN(1) (NULL iff its group is empty — only possible for the
+    # global no-extra-keys aggregate over an empty R, in which case
     # joining nothing is exactly right: no row survives NOT EXISTS).
-    tot = rdf.agg(*raw_aggs("__cat_"),
-                  F.min(F.lit(1).cast("long")).alias("__ca_one"))
+    # With extra group keys the totals are PER-EXTRA-KEY groups (one row
+    # per distinct g in R — the candidate output space is V × g by
+    # definition, so the broadcast is bounded by the output, not by R);
+    # their term structs ride along via FIRST (narrow kinds make the
+    # struct a pure function of the grouped value).
+    gcols = {v: ctx.fresh("ca_gk") for v in extra}
+    tot_aggs = raw_aggs("__cat_") + [
+        F.min(F.lit(1).cast("long")).alias("__ca_one")] + [
+        F.first(F.col(v)).alias(v) for v in extra]
+    tot = (rdf.groupBy(*[F.col(v)["v"].alias(gcols[v]) for v in extra])
+           .agg(*tot_aggs) if extra else rdf.agg(*tot_aggs))
     pair_sol = Solution(
         df=solP.df.select(*corr), bound=set(corr), maybe=set(corr),
         kinds={k: v for k, v in solP.kinds.items() if k in corr})
     solM = replace(pair_sol, df=_dedupe_normalized(pair_sol))
     solW = join_solutions(replace(solR, df=rdf), solM, "inner")
-    wdf = solW.df.groupBy(F.col(f)["v"].alias("__ca_fk")) \
+    wdf = solW.df.groupBy(
+        F.col(f)["v"].alias("__ca_fk"),
+        *[F.col(v)["v"].alias(gcols[v]) for v in extra]) \
         .agg(*raw_aggs("__caw_"))
 
-    # per-f combine: V left-join with-side, broadcast-hash the 1-row
-    # totals on the always-1 non-foldable key (see `tot` above)
+    # per-(f, g) combine: V broadcast-hash-joins the totals on the
+    # always-1 non-foldable key (candidate space V × g), then left-joins
+    # the with-side on (f, g) values
     joined = (solV.df.withColumn("__ca_fk", F.col(f)["v"])
-              .join(wdf, "__ca_fk", "left")
               .withColumn(
                   "__ca_one",
                   F.pmod(F.xxhash64(F.col("__ca_fk")), F.lit(1)) + F.lit(1))
-              .join(F.broadcast(tot), "__ca_one"))
+              .join(F.broadcast(tot), "__ca_one")
+              .join(wdf, ["__ca_fk", *gcols.values()], "left"))
     n_wo = F.col("__cat_n") - F.coalesce(F.col("__caw_n"), F.lit(0))
-    out_cols = [F.col(f)]
+    out_cols = [F.col(f)] + [F.col(v) for v in extra]
     for i, (name, mode, sk, _c) in enumerate(specs):
         if mode == "count_star":
             out_cols.append(tv.int_term(n_wo).alias(name))
@@ -2135,10 +2215,12 @@ def _translate_complement_agg(p: A.Group, ctx: Ctx) -> Optional[Solution]:
     out = joined.where(n_wo > 0).select(*out_cols)
 
     agg_names = {v.name for v, _ in p.aggregates}
-    bound = {f} | {v.name for v, call in p.aggregates
-                   if call.name == "COUNT"}
-    return Solution(df=out, bound=bound, maybe={f} | agg_names,
-                    kinds={f: solV.kinds[f]}, expensive=set(agg_names))
+    bound = {f, *extra} | {v.name for v, call in p.aggregates
+                           if call.name == "COUNT"}
+    kinds = {f: solV.kinds[f]}
+    kinds.update({v: solR.kinds[v] for v in extra})
+    return Solution(df=out, bound=bound, maybe={f, *extra} | agg_names,
+                    kinds=kinds, expensive=set(agg_names))
 
 
 def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,

@@ -317,3 +317,28 @@ def test_prepare_reexecutes_fresh_data(spiderman, spark):
     a = prepared.df.collect()
     b = prepared.df.collect()
     assert a == b and term_to_python(a[0]["n"]).lexical == "7"
+
+
+def test_illformed_datetime_values_not_certainly_bound(spiderman):
+    """Round-8 ADVICE (medium): an ill-formed "x"^^xsd:dateTime in VALUES
+    must NOT grant the column a static K_DATETIME kind. BIND(YEAR(?v))
+    over it errors (?y unbound), and the unbound row is compatible with
+    ANY ?y in the downstream join — marking ?y certainly-bound sent the
+    join down the plain-equality path and dropped those rows."""
+    res = spiderman.query("""
+        PREFIX xsd: <http://www.w3.org/2001/XMLSchema#>
+        SELECT ?v ?y WHERE {
+          {
+            VALUES ?v { "nope"^^xsd:dateTime
+                        "2020-05-05T00:00:00"^^xsd:dateTime }
+            BIND(YEAR(?v) AS ?y)
+          }
+          VALUES ?y { 2019 2020 }
+        }
+    """)
+    rows = d(res)
+    got = {(r["v"].lexical, r["y"].lexical) for r in rows}
+    # ill-formed row: ?y unbound -> joins BOTH 2019 and 2020;
+    # well-formed row: YEAR = 2020 -> joins 2020 only
+    assert got == {("nope", "2019"), ("nope", "2020"),
+                   ("2020-05-05T00:00:00", "2020")}
