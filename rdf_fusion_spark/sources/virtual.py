@@ -72,6 +72,13 @@ class VirtualRelationalStore(GraphStore):
         self.tables = list(tables) if tables else list(TPCH_TABLES)
         self._table_dfs: dict[str, DataFrame] = {}
         self._quads: Optional[DataFrame] = None
+        # memoized term-Column trees (round-8 cold-path profile: building
+        # them was ~1/3 of per-cold-query translation, all py4j chatter).
+        # Safe to reuse across queries: Columns are immutable unresolved
+        # expressions over F.col(name), and a table's mapping is frozen
+        # once registered (register_table_mapping raises on conflicting
+        # re-registration).
+        self._term_col_cache: dict[tuple, Column] = {}
         # predicate IRI → (table, column); class IRI → table
         self._pred_map: dict[str, tuple[str, str]] = {}
         self._class_map: dict[str, str] = {}
@@ -261,7 +268,7 @@ class VirtualRelationalStore(GraphStore):
                 from ..terms import term_lit
                 df = self.table_df(target)
                 sol = df.select(
-                    subject_term(target, df).alias("subject"),
+                    self._subj_term(target, df).alias("subject"),
                     term_lit(NamedNode(RDF_TYPE)).alias("predicate"),
                     term_lit(obj).alias("object"))
                 parts_out.append(sol)
@@ -287,7 +294,7 @@ class VirtualRelationalStore(GraphStore):
                         from ..terms import term_lit
                         parts_out.append(
                             df.where(kcol == F.lit(kval)).select(
-                                subject_term(t2, df).alias("subject"),
+                                self._subj_term(t2, df).alias("subject"),
                                 term_lit(NamedNode(predicate_iri(t2, col))
                                          ).alias("predicate"),
                                 term_lit(obj).alias("object")))
@@ -357,7 +364,7 @@ class VirtualRelationalStore(GraphStore):
                     df = self.table_df(t)
                     from ..terms import term_lit
                     parts.append(df.select(
-                        subject_term(t, df).alias(src),
+                        self._subj_term(t, df).alias(src),
                         term_lit(NamedNode(class_iri(t))).alias(tgt)))
                 continue
             m = self._pred_map.get(iri.iri)
@@ -365,11 +372,11 @@ class VirtualRelationalStore(GraphStore):
                 continue  # mapped graph has no such predicate: no edges
             t, c = m
             df = self.table_df(t)
-            ot = object_term(t, c, df, lazy=True)
+            ot = self._obj_term(t, c, df, lazy=True)
             if ot is None:
                 continue
             parts.append(df.where(F.col(c).isNotNull())
-                         .select(subject_term(t, df).alias(src),
+                         .select(self._subj_term(t, df).alias(src),
                                  ot.alias(tgt)))
         if not parts:
             from ..terms import TERM_TYPE
@@ -384,6 +391,22 @@ class VirtualRelationalStore(GraphStore):
     # ------------------------------------------------------------------
     # star scan: same-subject patterns with constant predicates → one scan
     # ------------------------------------------------------------------
+
+
+    def _subj_term(self, table: str, df: DataFrame) -> Column:
+        key = ("s", table)
+        hit = self._term_col_cache.get(key)
+        if hit is None:
+            hit = self._term_col_cache[key] = subject_term(table, df)
+        return hit
+
+    def _obj_term(self, table: str, col_name: str, df: DataFrame,
+                  lazy: bool = False) -> Optional[Column]:
+        key = ("o", table, col_name, lazy)
+        if key not in self._term_col_cache:
+            self._term_col_cache[key] = object_term(table, col_name, df,
+                                                    lazy=lazy)
+        return self._term_col_cache[key]
 
     def star_scan(self, subject: TermOrVar,
                   items: list[tuple[NamedNode, TermOrVar]],
@@ -441,7 +464,7 @@ class VirtualRelationalStore(GraphStore):
         from .relational import static_object_kind
 
         df = self.table_df(table)
-        subj_term = subject_term(table, df)
+        subj_term = self._subj_term(table, df)
         out_vars: dict[str, Column] = {}
         out_kinds: dict[str, int] = {}
         conds: list[Column] = []
@@ -470,7 +493,7 @@ class VirtualRelationalStore(GraphStore):
                     continue
             else:
                 col_name = self._pred_map[pred.iri][1]
-                ot = object_term(table, col_name, df, lazy=True)
+                ot = self._obj_term(table, col_name, df, lazy=True)
                 if ot is None:
                     return self._empty_solution(subject, items, graph_var)
                 oterm = ot
@@ -611,7 +634,7 @@ class VirtualRelationalStore(GraphStore):
             # prune the subject set to this table's id space first
             subs = subjects.where(code_col == TPCH_SPEC[t][0])
             matched = df.join(
-                subs, subject_term(t, df) == F.col("subject"), "left_semi")
+                subs, self._subj_term(t, df) == F.col("subject"), "left_semi")
             parts.append(table_to_quads(matched, t)
                          .select("subject", "predicate", "object"))
         out = parts[0]
@@ -632,12 +655,12 @@ class VirtualRelationalStore(GraphStore):
             if allowed is not None and t not in allowed:
                 continue
             df = self.table_df(t)
-            parts.append(df.select(subject_term(t, df).alias("n")))
+            parts.append(df.select(self._subj_term(t, df).alias("n")))
             # the table's class IRI appears as an rdf:type object
             parts.append(self.spark.range(1).select(
                 term_lit(NamedNode(class_iri(t))).alias("n")))
             for f in df.schema.fields:
-                ot = object_term(t, f.name, df)
+                ot = self._obj_term(t, f.name, df)
                 if ot is None:
                     continue
                 parts.append(df.where(F.col(f.name).isNotNull())
@@ -689,7 +712,7 @@ class VirtualRelationalStore(GraphStore):
                 return F.col(key_cols[0]) == int(suffix)
             except ValueError:
                 return F.lit(False)
-        return subject_term(table, df)["v"] == subject.iri
+        return self._subj_term(table, df)["v"] == subject.iri
 
     def _object_filter(self, table: str, col_name: str, df: DataFrame,
                        obj) -> Column:
@@ -725,7 +748,7 @@ class VirtualRelationalStore(GraphStore):
                 except ValueError:
                     pass
                 return F.lit(False)
-        ot = object_term(table, col_name, df)
+        ot = self._obj_term(table, col_name, df)
         return term_matches(ot, obj) if not isinstance(obj, Variable) \
             else F.lit(True)
 
