@@ -130,10 +130,18 @@ def main() -> None:
     from pyspark.sql import SparkSession
     ns = [int(x) for x in sys.argv[1:]] or [100_000, 1_000_000]
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    # removal's canon aggregate shuffles the full window STRINGS (73M ×
+    # ~50 B at 10^6 docs) through the ONE local JVM that is driver +
+    # every executor at once — 16g OOMed its heap. On a cluster this
+    # shuffle spreads across executors; locally, give the single JVM
+    # real heap and more partitions so per-task hash tables stay small
+    # enough to spill.
     spark = (SparkSession.builder.master(f"local[{cpus}]")
              .appName("window-scale-study")
-             .config("spark.driver.memory", "16g")
-             .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
+             .config("spark.driver.memory",
+                     os.environ.get("SPARK_GRAFT_STUDY_MEM", "48g"))
+             .config("spark.sql.shuffle.partitions",
+                     str(max(int(cpus) * 4, 64)))
              .config("spark.sql.adaptive.enabled", "true")
              .getOrCreate())
     spark.sparkContext.setLogLevel("ERROR")
