@@ -821,6 +821,14 @@ def _pipe_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_shared_windows(_docs(spark, sf_dir))
 
 
+def _pipe_substring_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paper-exact ExactSubstr: every repeated ≥k-token span keeps its
+    globally FIRST occurrence (min (doc_id, position)) — within-document
+    repeats collapse too (remove_shared_windows mode="corpus")."""
+    from .pipeline.dedup import remove_shared_windows
+    return remove_shared_windows(_docs(spark, sf_dir), mode="corpus")
+
+
 def _pipe_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup clusters: connected components over the LSH pairs with a
     canonical doc per cluster (the keep/drop decision of a corpus dedup)."""
@@ -1229,6 +1237,44 @@ def _pipeline_oracles() -> dict[str, str]:
         SELECT doc_id,
                -- coalesce: DuckDB array_to_string([]) is NULL, Spark
                -- concat_ws over an empty array is ''
+               coalesce(array_to_string(list_transform(
+                 list_filter(generate_series(1, len(tk)),
+                             i -> NOT list_contains(cov, i)),
+                 i -> tk[i]), ' '), '') AS deduped_text,
+               len(tk)::BIGINT AS n_tokens,
+               len(cov)::BIGINT AS n_removed_tokens
+        FROM calc
+        """,
+        # paper-exact ExactSubstr: canonical = globally FIRST occurrence
+        # (min (doc_id, pos)); within-doc repeats collapse too
+        "q_dedup_substring_corpus": f"""
+        WITH toks AS (SELECT doc_id, {words} AS tk FROM documents),
+        occ AS (
+          SELECT t.doc_id, g.i AS pos,
+                 array_to_string(tk[g.i : g.i + {WINDOW_TOKENS_SQL - 1}],
+                                 ' ') AS win
+          FROM toks t, LATERAL (SELECT unnest(generate_series(
+                 1, len(tk) - {WINDOW_TOKENS_SQL - 1})) AS i) g
+        ),
+        ranked AS (
+          SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY win
+                                    ORDER BY doc_id, pos) AS rn
+          FROM occ
+        ),
+        dup_pos AS (
+          SELECT doc_id, list_sort(list_distinct(list(pos))) AS dps
+          FROM ranked WHERE rn > 1 GROUP BY doc_id
+        ),
+        calc AS (
+          SELECT t.doc_id, t.tk,
+                 list_sort(list_distinct(flatten(list_transform(
+                   coalesce(d.dps, []),
+                   p -> generate_series(p, p + {WINDOW_TOKENS_SQL - 1})))))
+                 AS cov
+          FROM toks t LEFT JOIN dup_pos d ON t.doc_id = d.doc_id
+        )
+        SELECT doc_id,
                coalesce(array_to_string(list_transform(
                  list_filter(generate_series(1, len(tk)),
                              i -> NOT list_contains(cov, i)),
@@ -3865,6 +3911,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pii_scan": _pipe_pii,
     "q_dedup_substring": _pipe_shared_windows,
     "q_dedup_substring_removal": _pipe_substring_removal,
+    "q_dedup_substring_corpus": _pipe_substring_corpus,
 }
 
 
@@ -3989,6 +4036,7 @@ _PIPELINE_MODULE_MAP = {
     "q_dedup_minhash_lsh": "dedup.py", "q_dedup_clusters": "dedup.py",
     "q_dedup_simhash": "dedup.py", "q_dedup_substring": "dedup.py",
     "q_dedup_substring_removal": "dedup.py",
+    "q_dedup_substring_corpus": "dedup.py",
     "q_text_stats": "text.py", "q_text_language_id": "text.py",
     "q_text_top_words": "text.py", "q_text_chunks": "text.py",
     "q_text_token_percentiles": "text.py", "q_text_repetition": "text.py",

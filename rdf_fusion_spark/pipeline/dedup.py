@@ -534,7 +534,8 @@ def _positional_windows_col(tokens, k: int):
 
 def remove_shared_windows(df: DataFrame, k: int = WINDOW_TOKENS,
                           text_col: str = "text",
-                          id_col: str = "doc_id") -> DataFrame:
+                          id_col: str = "doc_id",
+                          mode: str = "cross_doc") -> DataFrame:
     """Corpus TRANSFORM for exact sub-document duplication (Lee et al.
     2022, "Deduplicating Training Data Makes Language Models Better",
     ExactSubstr): every ≥k-token span that also appears in another
@@ -550,12 +551,19 @@ def remove_shared_windows(df: DataFrame, k: int = WINDOW_TOKENS,
     union of its L-k+1 duplicated k-token windows, so removing every
     token covered by a duplicated non-canonical window removes exactly
     the maximal duplicated spans at window granularity (spans shorter
-    than k are below the dedup threshold by design). Duplication is
-    CROSS-document, matching shared_window_pairs: within-document
-    repeats of a span are not removed. A canonical keeper can still
-    lose tokens of an overlapping DIFFERENT span whose canonical doc is
-    another document — deterministic, and consistent with per-span
-    all-but-one removal.
+    than k are below the dedup threshold by design). A canonical keeper
+    can still lose tokens of an overlapping DIFFERENT span whose
+    canonical occurrence lies elsewhere — deterministic, and consistent
+    with per-span all-but-one removal.
+
+    `mode` selects the duplication scope:
+    - "cross_doc" (default): a window occurrence is removable iff a doc
+      with a SMALLER id contains the same window — within-document
+      repeats are kept, matching shared_window_pairs' pair scope.
+    - "corpus": the paper-exact ExactSubstr rule — every occurrence of a
+      repeated window is removed except the globally FIRST one (minimal
+      (doc_id, position)), so spans repeated WITHIN one document also
+      collapse to their first occurrence.
 
     Scale shape: windows join on their full k-token STRING value (not a
     64-bit hash — a hash collision here would remove live text, unlike
@@ -567,14 +575,26 @@ def remove_shared_windows(df: DataFrame, k: int = WINDOW_TOKENS,
     positions — linear in doc length). The token mass is never shuffled:
     only window->min_id and the per-doc duplicated-position lists move.
     """
+    if mode not in ("cross_doc", "corpus"):
+        raise ValueError(f"unknown mode {mode!r}: cross_doc | corpus")
     tokens = words_col(F.col(text_col))
     occ = df.select(F.col(id_col).alias("id"),
                     F.explode(_positional_windows_col(tokens, k))
                     .alias("o")) \
         .select("id", F.col("o.pos").alias("pos"), F.col("o.win").alias("win"))
-    canon = occ.groupBy("win").agg(F.min("id").alias("min_id"))
+    if mode == "corpus":
+        # canonical OCCURRENCE per window value: the lexicographically
+        # smallest (doc_id, pos) — min over a struct is exactly that
+        canon = occ.groupBy("win").agg(
+            F.min(F.struct("id", "pos")).alias("mo"))
+        removable = (F.col("mo.id") != F.col("id")) \
+            | (F.col("mo.pos") != F.col("pos"))
+    else:
+        canon = occ.groupBy("win").agg(
+            F.min("id").alias("min_id"))
+        removable = F.col("min_id") < F.col("id")
     dup_pos = (occ.join(canon, "win")
-               .where(F.col("min_id") < F.col("id"))
+               .where(removable)
                .groupBy("id")
                .agg(F.sort_array(F.collect_set("pos")).alias("dps")))
     base = df.select(F.col(id_col).alias("id"), tokens.alias("tk")) \

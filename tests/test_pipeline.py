@@ -492,3 +492,25 @@ def test_remove_shared_windows_overlapping_spans(spark):
     # a..h all go and "tail" stays
     assert out[2]["deduped_text"] == "tail"
     assert out[3]["deduped_text"] == "pre"
+
+
+def test_remove_shared_windows_corpus_mode(spark):
+    """mode='corpus' (paper-exact ExactSubstr): within-document repeats
+    collapse to the globally first occurrence; cross-doc behavior is a
+    superset of the default mode."""
+    from rdf_fusion_spark.pipeline.dedup import remove_shared_windows
+    span = "one two three four five six seven eight"      # exactly k=8
+    df = spark.createDataFrame(
+        [(1, f"{span} middle {span}"),       # within-doc repeat
+         (2, f"pre {span} post")],           # cross-doc dup
+        "doc_id long, text string")
+    cross = {r["doc_id"]: r for r in remove_shared_windows(df).collect()}
+    corp = {r["doc_id"]: r for r in
+            remove_shared_windows(df, mode="corpus").collect()}
+    # default mode: doc 1 keeps BOTH copies (within-doc repeats kept)
+    assert cross[1]["n_removed_tokens"] == 0
+    assert cross[2]["deduped_text"] == "pre post"
+    # corpus mode: doc 1 keeps only the FIRST copy
+    assert corp[1]["deduped_text"] == f"{span} middle"
+    assert corp[1]["n_removed_tokens"] == 8
+    assert corp[2]["deduped_text"] == "pre post"
