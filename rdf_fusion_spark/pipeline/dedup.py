@@ -207,8 +207,9 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     # eager: compute the cache in ONE job before the join fans out —
     # otherwise the band self-join's two inputs (and their broadcast-build
     # jobs) race to compute the same blocks and serialize on block locks.
-    # With a bucket cap the dropped-mass count below materializes the
-    # ranked table (and sig's cache with it), so the extra job is skipped.
+    # With a bucket cap the gate aggregate below scans every signature
+    # and materializes sig's cache as a side effect, so the extra job is
+    # skipped.
     if bucket_cap is None:
         sig.count()
     # one FUSED long bucket key per band: xxhash64 over (band index, the
@@ -231,29 +232,40 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     # hash joins on id).
     exploded = sig.select("id", F.explode(bands).alias("bk"))
     if bucket_cap is not None:
-        # rank within each bucket (the window shuffles on exactly the join
-        # key, so the self-join below reuses the partitioning); keep the
-        # first `bucket_cap` ids. One extra count job reports dropped mass
-        # — a silent cap would read as full coverage when it isn't.
-        from pyspark import StorageLevel
-        from pyspark.sql import Window
-        w = Window.partitionBy("bk").orderBy("id")
-        ranked = exploded.withColumn("__rn", F.row_number().over(w)) \
-            .persist(StorageLevel.MEMORY_AND_DISK)
-        n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
-        if n_dropped:
-            _log.warning(
-                "minhash_lsh_pairs: %d (doc, band) bucket memberships "
-                "beyond the %d-per-bucket cap were dropped (duplicate-"
-                "heavy corpus; run exact dedup upstream to remove "
-                "identical-text mega-clusters)", n_dropped, bucket_cap)
-        # eager checkpoint of the CAPPED table, then release the ranked
-        # cache immediately: the self-join reads the checkpoint blocks, so
-        # repeated calls in a long-lived session don't accumulate pinned
-        # persist blocks (round-5 ADVICE)
-        exploded = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn") \
-            .localCheckpoint(eager=True)
-        ranked.unpersist()
+        # cap gate (round 8, same as simhash/shared-window paths): one
+        # exact aggregate finds over-cap buckets — and materializes sig's
+        # persist as a side effect — and the rank-and-truncate window
+        # runs ONLY when one exists. A band bucket needs thousands of
+        # near-identical docs to trip, so the common case pays one
+        # count-shuffle of the (id, bk) memberships instead of a full
+        # window sort + eager checkpoint.
+        big = (exploded.groupBy("bk").count()
+               .where(F.col("count") > bucket_cap))
+        if big.head(1):
+            # rank within each bucket (the window shuffles on exactly the
+            # join key, so the self-join below reuses the partitioning);
+            # keep the first `bucket_cap` ids. One extra count job reports
+            # dropped mass — a silent cap would read as full coverage when
+            # it isn't.
+            from pyspark import StorageLevel
+            from pyspark.sql import Window
+            w = Window.partitionBy("bk").orderBy("id")
+            ranked = exploded.withColumn("__rn", F.row_number().over(w)) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
+            if n_dropped:
+                _log.warning(
+                    "minhash_lsh_pairs: %d (doc, band) bucket memberships "
+                    "beyond the %d-per-bucket cap were dropped (duplicate-"
+                    "heavy corpus; run exact dedup upstream to remove "
+                    "identical-text mega-clusters)", n_dropped, bucket_cap)
+            # eager checkpoint of the CAPPED table, then release the
+            # ranked cache immediately: the self-join reads the checkpoint
+            # blocks, so repeated calls in a long-lived session don't
+            # accumulate pinned persist blocks (round-5 ADVICE)
+            exploded = ranked.where(F.col("__rn") <= bucket_cap) \
+                .drop("__rn").localCheckpoint(eager=True)
+            ranked.unpersist()
     a, b = exploded.alias("a"), exploded.alias("b")
     cand = (
         a.join(b, (F.col("a.bk") == F.col("b.bk"))

@@ -1,7 +1,9 @@
 """End-to-end corpus-curation recipe: the composed pipeline a training
 run actually executes, built entirely from the individual operators in
-this package — language ID, quality scoring, exact + MinHash-LSH dedup,
-benchmark decontamination, weighted sampling, token-budget packing.
+this package — language ID, quality scoring, repetition filtering,
+exact + MinHash-LSH dedup, optional sub-document span removal
+(ExactSubstr), benchmark decontamination, weighted sampling,
+token-budget packing.
 
 The output is the per-stage funnel (stage order, documents surviving,
 tokens surviving) plus the final shard-packing summary — the numbers a
