@@ -4049,7 +4049,10 @@ _PIPELINE_MODULE_MAP = {
     "q_events_json_props": None,   # pure-Column body in this file
 }
 
-_FORCE_REGATE: set[str] = set()
+# round 8: shared_window_pairs gained the cap gate + eager-checkpoint
+# fix AFTER q_dedup_substring's r7 green — re-gate it now rather than
+# waiting for the rotation to reach the r7 cohort
+_FORCE_REGATE: set[str] = {"q_dedup_substring"}
 
 
 def _gate_modules(name: str) -> tuple[str, ...]:

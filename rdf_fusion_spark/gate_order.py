@@ -147,7 +147,9 @@ def order_registry(names: Sequence[str],
     for i, name in enumerate(names):
         last_gated = gated.get(name, 0)
         if name in force:
-            stale.append((0 if last_gated == 0 else last_gated, i, name))
+            # force = re-gate NOW: front of the queue alongside
+            # never-gated queries, regardless of when it was last green
+            stale.append((0, i, name))
             continue
         try:
             changed = max((_module_round(m) for m in modules_of(name)),

@@ -483,10 +483,12 @@ def shared_window_pairs(df: DataFrame, k: int = WINDOW_TOKENS,
     w = df.select(F.col(id_col).alias("id"),
                   shingles_col(F.col(text_col), n=k).alias("wins")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    # one materialization feeds the join and both verify sides; the
-    # cap-gate aggregate below (or this count) materializes it eagerly so
-    # the join's inputs don't race to compute the same blocks
-    w.count()
+    # one materialization feeds the join and both verify sides; with a
+    # bucket cap the gate aggregate below scans every window set and
+    # materializes w's cache as a side effect, so the extra job is
+    # skipped (same pattern as minhash_lsh_pairs' sig)
+    if bucket_cap is None:
+        w.count()
     ex = w.select("id", F.explode("wins").alias("win")) \
         .select("id", F.xxhash64("win").alias("wh"))
     if bucket_cap is not None:
