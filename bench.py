@@ -99,8 +99,11 @@ BENCH_QUERIES = [
     "q_pii_scan",
     "q_dedup_substring",
     # round 8: sub-document dedup as a corpus transform (span removal,
-    # dedup.py remove_shared_windows)
+    # dedup.py remove_shared_windows) + lexical relevance (text.py
+    # tfidf_top_terms / bm25_topk)
     "q_dedup_substring_removal",
+    "q_text_tfidf_terms",
+    "q_text_bm25_topk",
 ]
 
 

@@ -962,6 +962,10 @@ def _pipeline_oracles() -> dict[str, str]:
     from .pipeline.text import LID_FLOOR, LID_MARKERS, TOKEN_RE
     from .pipeline.text import ROLL_B as ROLL_B_SQL
     from .pipeline.text import ROLL_P as ROLL_P_SQL
+    from .pipeline.text import BM25_B as BM25_B_SQL
+    from .pipeline.text import BM25_K1 as BM25_K1_SQL
+    bm25_terms = ", ".join(
+        f"'{t}'" for t in sorted({t for t in BM25_QUERY.split(" ") if t}))
 
     md5i = "('0x'||substr(md5({}),1,8))::BIGINT"
     words = "string_split(text,' ')"
@@ -1108,6 +1112,48 @@ def _pipeline_oracles() -> dict[str, str]:
                      ELSE 0.0 END, 6) AS repetition_ratio
         FROM b
         ORDER BY repetition_ratio DESC, doc_id LIMIT 20
+        """,
+        # smoothed TF-IDF (sklearn idf), scores rounded to 6 decimals on
+        # BOTH sides before ranking so the top-k agrees exactly
+        "q_text_tfidf_terms": f"""
+        WITH d AS (SELECT * FROM documents WHERE doc_id < 50),
+        toks AS (SELECT doc_id, unnest({words}) AS w FROM d),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+               GROUP BY doc_id, w),
+        dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        n AS (SELECT count(*)::DOUBLE AS n_docs FROM d),
+        scored AS (
+          SELECT tf.doc_id, tf.w AS term, tf.tf,
+                 ROUND(tf.tf * (ln((1 + n.n_docs) / (1 + dfreq.df)) + 1),
+                       6) AS score
+          FROM tf JOIN dfreq ON tf.w = dfreq.w, n)
+        SELECT doc_id, term, tf::BIGINT AS tf, score FROM (
+          SELECT *, row_number() OVER (PARTITION BY doc_id
+                     ORDER BY score DESC, term ASC) AS rn FROM scored)
+        WHERE rn <= 5
+        """,
+        # BM25 (Robertson/Sparck Jones idf, Lucene formulation); sum
+        # rounded to 6 decimals absorbs float summation-order drift
+        "q_text_bm25_topk": f"""
+        WITH lens AS (SELECT doc_id, len({words}) AS dl FROM documents),
+        stats AS (SELECT count(*)::DOUBLE AS n_docs,
+                         avg(dl)::DOUBLE AS avgdl FROM lens),
+        toks AS (SELECT doc_id, unnest({words}) AS w FROM documents),
+        tf AS (SELECT doc_id, w, count(*) AS tf FROM toks
+               WHERE w IN ({bm25_terms}) GROUP BY doc_id, w),
+        dfreq AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        scored AS (
+          SELECT tf.doc_id,
+                 ROUND(SUM(
+                   ln(1 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                   * tf.tf * ({BM25_K1_SQL} + 1)
+                   / (tf.tf + {BM25_K1_SQL} * (1 - {BM25_B_SQL}
+                      + {BM25_B_SQL} * l.dl / s.avgdl))), 6) AS score
+          FROM tf JOIN dfreq d ON tf.w = d.w
+               JOIN lens l ON tf.doc_id = l.doc_id, stats s
+          GROUP BY tf.doc_id)
+        SELECT doc_id, score FROM scored
+        ORDER BY score DESC, doc_id LIMIT 10
         """,
         "q_train_val_split": f"""
         WITH stats AS (
@@ -3696,6 +3742,26 @@ def _pipe_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(20))
 
 
+BM25_QUERY = "spark hash join window"
+
+
+def _pipe_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per document by smoothed TF-IDF
+    (pipeline/text.py tfidf_top_terms), limited to the first 50 docs so
+    the gate compares a bounded relation."""
+    from .pipeline.text import tfidf_top_terms
+    return tfidf_top_terms(
+        _docs(spark, sf_dir).where(F.col("doc_id") < 50), k=5)
+
+
+def _pipe_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 documents for a fixed query string (pipeline/text.py
+    bm25_topk) — lexical retrieval, the non-embedding half of similarity
+    search."""
+    from .pipeline.text import bm25_topk
+    return bm25_topk(_docs(spark, sf_dir), BM25_QUERY, k=10)
+
+
 def _pipe_token_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-shard token-count distribution (p50/p90/p99) — the corpus
     length-profile report every training-data pipeline runs before
@@ -3908,6 +3974,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_train_val_split": _pipe_train_val_split,
     "q_ann_quantized_topk": _pipe_ann_quantized,
     "q_text_repetition": _pipe_repetition,
+    "q_text_tfidf_terms": _pipe_tfidf_terms,
+    "q_text_bm25_topk": _pipe_bm25,
     "q_pii_scan": _pipe_pii,
     "q_dedup_substring": _pipe_shared_windows,
     "q_dedup_substring_removal": _pipe_substring_removal,

@@ -208,3 +208,105 @@ def chunk_documents(df: DataFrame, chunk_size: int = 64, overlap: int = 16,
         F.col("chunk_idx").cast("long").alias("chunk_idx"),
         F.size(chunk).cast("long").alias("n_chunk_words"),
         F.array_join(chunk, " ").alias("chunk_text"))
+
+
+# ---------------------------------------------------------------------------
+# Lexical relevance (round 8): TF-IDF term extraction and BM25 retrieval —
+# the non-embedding half of similarity search. Classic corpus-curation
+# uses: characteristic-term profiling, lexical decontamination probes,
+# query-based corpus slicing.
+# ---------------------------------------------------------------------------
+
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _corpus_stats(docs: DataFrame, text_col: str, id_col: str):
+    """(tokens relation (id, w), per-doc lengths (id, dl), 1-row stats
+    (n_docs, avgdl)). Tokens are words_col terms; empty docs keep dl from
+    split semantics (split('', ' ') = [''] → dl 1, consistent with
+    with_text_stats)."""
+    w = words_col(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), w.alias("__w"))
+    toks = base.select("id", F.explode("__w").alias("w"))
+    lens = base.select("id", F.size("__w").alias("dl"))
+    stats = lens.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    return toks, lens, stats
+
+
+def tfidf_top_terms(docs: DataFrame, k: int = 5, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Top-k characteristic terms per document by smoothed TF-IDF.
+
+    score(t, D) = tf(t, D) * (ln((1 + N) / (1 + df(t))) + 1)   (sklearn's
+    smooth idf — never negative, never divides by zero). Output one row
+    per kept term: (doc_id, term, tf, score) with score rounded to 6
+    decimals so the DuckDB oracle compares exactly; ties break on the
+    term string for determinism.
+
+    Scale shape: one explode scan → per-(doc, term) count (map-side
+    combined) → per-term document frequency (second small aggregate,
+    broadcast back — it's one row per distinct TERM, vocabulary-sized,
+    not corpus-sized) → per-doc top-k via a row_number window
+    partitioned by doc (shuffles the (doc, term, tf) relation once on
+    the doc id). No driver-side work. The tf relation feeds both the
+    df-aggregate and the scoring join, so Spark re-runs the explode
+    scan once per consumer (2 linear passes total, each map-side
+    combined before its shuffle) — persist tf at giant corpus sizes if
+    the second scan matters more than the cache footprint.
+    """
+    from pyspark.sql import Window
+    toks, _lens, stats = _corpus_stats(docs, text_col, id_col)
+    tf = toks.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    scored = (tf.join(dfreq, "w")
+              .crossJoin(F.broadcast(stats))
+              .withColumn("score", F.round(
+                  F.col("tf") * (F.log((1 + F.col("n_docs"))
+                                       / (1 + F.col("df"))) + F.lit(1.0)),
+                  6)))
+    win = Window.partitionBy("id").orderBy(F.col("score").desc(),
+                                           F.col("w").asc())
+    return (scored.withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") <= k)
+            .select(F.col("id").alias(id_col), F.col("w").alias("term"),
+                    F.col("tf").cast("long").alias("tf"), "score"))
+
+
+def bm25_topk(docs: DataFrame, query: str, k: int = 10,
+              k1: float = BM25_K1, b: float = BM25_B,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Top-k documents for a query string by BM25 (Robertson/Sparck
+    Jones idf, the Lucene-standard formulation).
+
+    score(D, q) = Σ_t idf(t) · tf(t,D)·(k1+1) / (tf(t,D) + k1·(1 − b + b·|D|/avgdl))
+    with idf(t) = ln(1 + (N − df(t) + 0.5) / (df(t) + 0.5)), query terms
+    deduplicated, tokenization = words_col (same as every text operator
+    here). Output (doc_id, score) — score rounded to 6 decimals, global
+    top-k ordered by (score desc, doc_id) → TakeOrderedAndProject.
+
+    Scale shape: the token scan filters to the query's terms FIRST
+    (predicate on the exploded word — a handful of values, pushed into
+    the scan), so the per-(doc, term) aggregate only sees matching
+    postings; df comes off that same relation; corpus N/avgdl is a 1-row
+    broadcast. One shuffle on doc id for the final per-doc sum.
+    """
+    qterms = sorted({t for t in query.split(" ") if t})
+    if not qterms:
+        raise ValueError("empty query")
+    toks, lens, stats = _corpus_stats(docs, text_col, id_col)
+    tf = (toks.where(F.col("w").isin(qterms))
+          .groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
+    contrib = idf * F.col("tf") * (k1 + 1) / denom
+    scored = (tf.join(F.broadcast(dfreq), "w")
+              .join(lens, "id")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("id").agg(F.round(F.sum(contrib), 6).alias("score")))
+    return (scored.select(F.col("id").alias(id_col), "score")
+            .orderBy(F.col("score").desc(), F.col(id_col).asc())
+            .limit(k))

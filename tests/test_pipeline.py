@@ -514,3 +514,46 @@ def test_remove_shared_windows_corpus_mode(spark):
     assert corp[1]["deduped_text"] == f"{span} middle"
     assert corp[1]["n_removed_tokens"] == 8
     assert corp[2]["deduped_text"] == "pre post"
+
+
+def test_tfidf_top_terms(spark):
+    """A term unique to one doc outranks corpus-ubiquitous terms."""
+    import math
+    from rdf_fusion_spark.pipeline.text import tfidf_top_terms
+    df = spark.createDataFrame(
+        [(1, "common rare"),
+         (2, "common common common"),
+         (3, "common other other")],
+        "doc_id long, text string")
+    out = {(r["doc_id"], r["term"]): r for r in
+           tfidf_top_terms(df, k=2).collect()}
+    # doc 1: 'rare' (df=1) must beat 'common' (df=3) at equal tf
+    d1 = sorted((k[1] for k in out if k[0] == 1))
+    assert set(d1) == {"common", "rare"}
+    r = out[(1, "rare")]
+    assert r["tf"] == 1
+    assert r["score"] == round(1 * (math.log((1 + 3) / (1 + 1)) + 1), 6)
+    c = out[(1, "common")]
+    assert c["tf"] == 1 and c["score"] == 1.0
+    assert r["score"] > c["score"]
+
+
+def test_bm25_topk_ranking(spark):
+    """Hand-checked BM25: the doc matching the RARE query term outranks
+    docs matching only the common one; scores match the closed form."""
+    import math
+    from rdf_fusion_spark.pipeline.text import bm25_topk, BM25_K1, BM25_B
+    df = spark.createDataFrame(
+        [(1, "alpha beta beta beta"),     # matches alpha (rare)
+         (2, "beta beta beta beta"),      # matches beta only
+         (3, "beta gamma gamma gamma"),   # matches beta only
+         (4, "gamma gamma gamma gamma")], # no match
+        "doc_id long, text string")
+    rows = bm25_topk(df, "alpha beta", k=10).collect()
+    got = {r["doc_id"]: r["score"] for r in rows}
+    assert 4 not in got                   # no matching term, no row
+    assert got[1] == max(got.values())    # rare-term doc wins
+    # closed form for doc 2: tf(beta)=4, df(beta)=3, N=4, dl=avgdl=4
+    idf = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
+    expect = idf * 4 * (BM25_K1 + 1) / (4 + BM25_K1 * (1 - BM25_B + BM25_B))
+    assert got[2] == round(expect, 6)
