@@ -4119,7 +4119,9 @@ _PIPELINE_MODULE_MAP = {
 
 # round 8: shared_window_pairs gained the cap gate + eager-checkpoint
 # fix AFTER q_dedup_substring's r7 green — re-gate it now rather than
-# waiting for the rotation to reach the r7 cohort
+# waiting for the rotation to reach the r7 cohort. REMOVE the entry
+# once CORRECTNESS_r08 lands its green row (force entries are for one
+# round; the derived rotation takes over after).
 _FORCE_REGATE: set[str] = {"q_dedup_substring"}
 
 
