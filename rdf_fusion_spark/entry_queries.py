@@ -887,6 +887,26 @@ def _pipe_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return embedding_near_dup_pairs(_embs(spark, sf_dir), EMB_NEARDUP_THRESHOLD)
 
 
+# ~p90 of within-cluster max-lower-sim at sf0.01, so the keep flag is
+# exercised in both polarities on the synthetic embeddings
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def _pipe_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (pipeline/similarity.py semantic_dedup): k-means-scoped
+    semantic near-dup removal over the embeddings table. Reuses the IVF
+    coarse quantizer index cache — SemDeDup's clustering IS an IVF-style
+    index, trained once per corpus."""
+    from .pipeline.similarity import kmeans_centroids, semantic_dedup
+    embs = _embs(spark, sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    cent = _IVF_INDEX_CACHE.get(key)
+    if cent is None:
+        cent = kmeans_centroids(embs)
+        _IVF_INDEX_CACHE[key] = cent
+    return semantic_dedup(embs, SEMDEDUP_THRESHOLD, centroids=cent)
+
+
 _COS_SQL = ("list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a}))"
             " * sqrt(list_dot_product({b}, {b})))")
 
@@ -1503,6 +1523,28 @@ def _pipeline_oracles() -> dict[str, str]:
               FROM s)
         WHERE rnk <= {ANN_K}
         """,
+        "q_dedup_semantic": f"""
+        WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS e
+                   FROM embeddings),
+        {_kmeans_sql()},
+        a AS (
+          SELECT vec_id, e, cid AS cluster FROM (
+            SELECT v.vec_id, v.e, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY
+                     {_COS_SQL.format(a='v.e', b='c.ce')} DESC, c.cid) AS rn
+            FROM v CROSS JOIN cent{IVF_KMEANS_ITERS} c)
+          WHERE rn = 1),
+        best AS (
+          SELECT y.vec_id AS id,
+                 MAX({_COS_SQL.format(a='x.e', b='y.e')}) AS max_lower_sim
+          FROM a x JOIN a y
+            ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+          GROUP BY y.vec_id)
+        SELECT a.vec_id, a.cluster::BIGINT AS cluster, best.max_lower_sim,
+               COALESCE(best.max_lower_sim < {SEMDEDUP_THRESHOLD}, TRUE)
+                 AS keep
+        FROM a LEFT JOIN best ON a.vec_id = best.id
+        """,
         "q_dedup_embedding_cosine": f"""
         WITH v AS (SELECT vec_id AS id,
                           list_transform(embedding, x -> x::DOUBLE) AS e,
@@ -1589,6 +1631,31 @@ def _pipeline_oracles() -> dict[str, str]:
                MAX(n_events)::BIGINT AS max_session_events,
                SUM(span_s)::BIGINT AS active_seconds
         FROM per_session GROUP BY user_id
+        """,
+        # Independent implementation: DuckDB's NATIVE ASOF JOIN (a real
+        # merge-based asof executor) vs our union-tag windowed plan —
+        # a genuinely different algorithm computing the same relation.
+        "q_events_asof": f"""
+        WITH l AS (SELECT event_id, user_id, ts, value FROM events
+                   WHERE event_type = 'click'),
+        r AS (SELECT user_id, ts AS err_ts, MAX(value) AS err_value
+              FROM events WHERE event_type = 'error'
+              GROUP BY user_id, ts),
+        j AS (SELECT l.user_id, l.event_id, l.ts, l.value,
+                     r.err_ts, r.err_value
+              FROM l ASOF LEFT JOIN r
+                ON l.user_id = r.user_id AND l.ts >= r.err_ts),
+        t AS (SELECT user_id, event_id, ts, value,
+                     CASE WHEN epoch_us(ts) - epoch_us(err_ts)
+                          <= {ASOF_TOLERANCE_S}::BIGINT * 1000000
+                          THEN err_ts END AS err_ts,
+                     CASE WHEN epoch_us(ts) - epoch_us(err_ts)
+                          <= {ASOF_TOLERANCE_S}::BIGINT * 1000000
+                          THEN err_value END AS err_value
+              FROM j)
+        SELECT user_id, event_id, ts, value, err_ts, err_value,
+               epoch_us(ts) - epoch_us(err_ts) AS lag_us
+        FROM t
         """,
     }
     # connected components over the LSH pairs: recursive label spreading
@@ -3837,6 +3904,35 @@ def _pipe_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("active_seconds"))
 
 
+ASOF_TOLERANCE_S = 172_800  # 2 days: splits sf0.01 clicks ~55/45 match/drop
+
+
+def _pipe_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (pipeline/temporal.py asof_join): attach to each click
+    event the latest prior-or-equal error event of the same user within
+    a 2-day tolerance — the feature-attach temporal join the brief lists
+    as a first-class custom operator (the reference, an RDF engine, has
+    no temporal joins). Errors are pre-aggregated per (user, ts) because
+    asof ties on the right side are unspecified in any engine."""
+    from .pipeline.temporal import asof_join, micros
+    from .sources.relational import read_table
+    ev = read_table(spark, sf_dir, "events")
+    ts_dt = dict(ev.dtypes)["ts"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    errors = (ev.where(F.col("event_type") == "error")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("err_value")))
+    out = asof_join(clicks, errors, ts_col="ts", by=("user_id",),
+                    tolerance_s=ASOF_TOLERANCE_S)
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        F.col("ts_r").alias("err_ts"),
+        F.col("err_value_r").alias("err_value"),
+        (micros(F.col("ts"), ts_dt) - micros(F.col("ts_r"), ts_dt))
+        .cast("long").alias("lag_us"))
+
+
 def _pipe_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics: count and min/max L2 norm — the
     sanity-check pass every embedding corpus gets before indexing."""
@@ -3960,10 +4056,12 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_ann_lsh": _pipe_ann_lsh,
     "q_ann_ivf": _pipe_ann_ivf,
     "q_dedup_embedding_cosine": _pipe_dedup_embedding,
+    "q_dedup_semantic": _pipe_dedup_semantic,
     "q_text_top_words": _pipe_top_words,
     "q_pack_shards": _pipe_pack_shards,
     "q_mix_weighted": _pipe_mix_weighted,
     "q_events_sessionize": _pipe_sessions,
+    "q_events_asof": _pipe_events_asof,
     "q_stream_event_counts": _pipe_stream_event_counts,
     "q_multimodal_features": _pipe_multimodal_features,
     "q_events_json_props": _pipe_events_json,
@@ -4099,6 +4197,7 @@ _PIPELINE_MODULE_MAP = {
     "q_ann_cosine_topk": "similarity.py", "q_ann_lsh": "similarity.py",
     "q_ann_ivf": "similarity.py", "q_ann_quantized_topk": "similarity.py",
     "q_dedup_embedding_cosine": "similarity.py",
+    "q_dedup_semantic": "similarity.py",
     "q_embedding_norms": "similarity.py",
     "q_dedup_exact": "dedup.py", "q_dedup_jaccard_pairs": "dedup.py",
     "q_dedup_minhash_lsh": "dedup.py", "q_dedup_clusters": "dedup.py",
@@ -4112,6 +4211,8 @@ _PIPELINE_MODULE_MAP = {
     "q_pack_shards": "curation.py", "q_mix_weighted": "curation.py",
     "q_train_val_split": "curation.py", "q_decontaminate": "curation.py",
     "q_events_sessionize": "sessions.py",
+    "q_events_asof": "temporal.py",
+    "q_text_tfidf_terms": "text.py", "q_text_bm25_topk": "text.py",
     "q_multimodal_features": "multimodal.py",
     "q_graph_pagerank": "graphs.py", "q_graph_triangles": "graphs.py",
     "q_events_json_props": None,   # pure-Column body in this file

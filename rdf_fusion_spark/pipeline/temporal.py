@@ -1,0 +1,112 @@
+"""Temporal joins over event logs — the as-of join a training-data /
+feature-engineering pipeline runs constantly (attach the latest sensor
+reading, price, or error to each observation).
+
+Spark has no built-in ASOF JOIN (DuckDB/Pandas do). The naive encoding
+``l JOIN r ON l.key = r.key AND r.ts <= l.ts`` is a range join: every
+left row pairs with ALL earlier right rows before the per-row max is
+taken — quadratic in events-per-key and a guaranteed 100-TB blowup.
+
+This implementation is the union-tag + ordered-window plan instead:
+tag both sides, union them, and carry the most recent right payload
+forward (or the next one backward) with ``last(ignorenulls)`` /
+``first(ignorenulls)`` over a per-key time-ordered window. Cost is ONE
+shuffle on the key plus a per-key sort — the same shape as a merge-join
+based ASOF (and as sessions.py sessionize), linear in |L|+|R|, with
+skew bounded by the largest single key.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def micros(c: Column, dtype: str) -> Column:
+    """Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column.
+
+    ``unix_micros`` rejects TIMESTAMP_NTZ, so NTZ is cast to TIMESTAMP
+    first, which reads the wall-clock in the session zone. Callers here
+    only ever compare DIFFERENCES of two such values, which is exact
+    under any fixed-offset session zone (the engine pins UTC)."""
+    if dtype.startswith("timestamp_ntz"):
+        c = c.cast("timestamp")
+    return F.unix_micros(c)
+
+
+def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
+              by: Sequence[str] = ("user_id",),
+              direction: str = "backward",
+              tolerance_s: float | None = None,
+              suffix: str = "_r") -> DataFrame:
+    """As-of join: for each left row, attach the single right row of the
+    same `by` key with the greatest ``right.ts <= left.ts`` (backward,
+    the default) or the smallest ``right.ts >= left.ts`` (forward).
+    Matching is inclusive at equal timestamps, like DuckDB's ASOF JOIN
+    and ``pandas.merge_asof``.
+
+    Output: every left row and column, plus each right non-key column
+    renamed ``<name><suffix>`` (including the matched right ``ts_col``);
+    all-NULL when no right row qualifies — LEFT OUTER semantics.
+
+    ``tolerance_s`` (optional): a match further than this many seconds
+    from the left timestamp is discarded (NULLs), like merge_asof's
+    ``tolerance``.
+
+    Right rows must be unique per (by, ts) — with ties the carried row
+    is unspecified (DuckDB's ASOF documents the same caveat); aggregate
+    the right side first when ties are possible.
+
+    The right payload travels as ONE struct so a NULL inside a right
+    column never makes ``last(ignorenulls)`` skip over that row and mix
+    fields from two different right rows.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    by = list(by)
+    l_dt = dict(left.dtypes)
+    lonly = [c for c in left.columns if c not in by and c != ts_col]
+    rpay = [c for c in right.columns if c not in by]
+    if ts_col not in l_dt or ts_col not in dict(right.dtypes):
+        raise ValueError(f"ts_col {ts_col!r} must exist on both sides")
+
+    # Equal-ts inclusivity: the right row must land inside the left
+    # row's window frame, so at equal ts the right row sorts before the
+    # left row when looking backward and after it when looking forward.
+    l_side, r_side = (1, 0) if direction == "backward" else (0, 1)
+    r_struct = F.struct(*[F.col(c).alias(c) for c in rpay])
+    struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+
+    l2 = left.select(
+        *by, F.col(ts_col).alias("__ts"), F.lit(l_side).alias("__side"),
+        *[F.col(c) for c in lonly],
+        F.lit(None).cast(struct_type).alias("__r"))
+    r2 = right.select(
+        *by, F.col(ts_col).alias("__ts"), F.lit(r_side).alias("__side"),
+        *[F.lit(None).cast(l_dt[c]).alias(c) for c in lonly],
+        r_struct.alias("__r"))
+
+    w = Window.partitionBy(*by).orderBy(F.asc("__ts"), F.asc("__side"))
+    if direction == "backward":
+        carried = F.last("__r", ignorenulls=True).over(
+            w.rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        carried = F.first("__r", ignorenulls=True).over(
+            w.rowsBetween(0, Window.unboundedFollowing))
+
+    m = (l2.unionByName(r2)
+         .select(*by, "__ts", "__side", *lonly, carried.alias("__r"))
+         .where(F.col("__side") == l_side))
+    if tolerance_s is not None:
+        lag_us = micros(F.col("__ts"), l_dt[ts_col]) \
+            - micros(F.col("__r")[ts_col], dict(right.dtypes)[ts_col])
+        if direction == "forward":
+            lag_us = -lag_us
+        m = m.withColumn(
+            "__r", F.when(lag_us <= int(tolerance_s * 1_000_000),
+                          F.col("__r")))
+    return m.select(
+        *by, F.col("__ts").alias(ts_col), *lonly,
+        *[F.col("__r")[c].alias(c + suffix) for c in rpay])

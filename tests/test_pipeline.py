@@ -557,3 +557,60 @@ def test_bm25_topk_ranking(spark):
     idf = math.log(1 + (4 - 3 + 0.5) / (3 + 0.5))
     expect = idf * 4 * (BM25_K1 + 1) / (4 + BM25_K1 * (1 - BM25_B + BM25_B))
     assert got[2] == round(expect, 6)
+
+
+def _brute_semantic_dedup(vecs, centroids, threshold):
+    """Pure-Python SemDeDup reference: nearest centroid by cosine (ties
+    -> lowest cid), then max cosine to any lower-id same-cluster vector."""
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    assign = {}
+    for vid, v in vecs:
+        best = max(((cos(v, cv), -cid) for cid, cv in centroids))
+        assign[vid] = -best[1]
+    out = {}
+    for vid, v in vecs:
+        sims = [cos(x, v) for xid, x in vecs
+                if xid < vid and assign[xid] == assign[vid]]
+        best = max(sims, default=None)
+        keep = best is None or best < threshold
+        out[vid] = (assign[vid], best, keep)
+    return out
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    import random
+    rng = random.Random(7)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(40)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>")
+    cent = similarity.kmeans_centroids(df, nlist=4, iters=2)
+    got = {r.vec_id: (r.cluster, r.max_lower_sim, r.keep)
+           for r in similarity.semantic_dedup(
+               df, 0.5, nlist=4, centroids=cent).collect()}
+    centroids = [(r.cid, list(r.cv)) for r in cent.collect()]
+    want = _brute_semantic_dedup(vecs, centroids, 0.5)
+    assert set(got) == set(want)
+    for vid in want:
+        wc, ws, wk = want[vid]
+        gc, gs, gk = got[vid]
+        assert gc == wc and gk == wk
+        assert (gs is None) == (ws is None)
+        if ws is not None:
+            assert abs(gs - ws) < 1e-9
+
+
+def test_semantic_dedup_exact_duplicates_keep_lowest_id(spark):
+    v = [0.5, -0.25, 1.0, 0.0]
+    df = spark.createDataFrame(
+        [(0, v), (1, v), (2, [1.0, 1.0, -1.0, 0.5]), (3, v)],
+        "vec_id long, embedding array<double>")
+    out = {r.vec_id: r.keep for r in
+           similarity.semantic_dedup(df, 0.999, nlist=2).collect()}
+    # 0 is the first copy -> kept; 1 and 3 are duplicates of 0 -> dropped
+    assert out == {0: True, 1: False, 2: True, 3: False}

@@ -1,0 +1,125 @@
+"""asof_join (pipeline/temporal.py) vs a pure-Python reference.
+
+The reference implements the textbook definition directly — for every
+left row, scan ALL right rows of the same key and pick the greatest
+right.ts <= left.ts (backward) / smallest right.ts >= left.ts
+(forward), inclusive, tolerance applied after the pick (merge_asof
+semantics). The operator under test is the union-tag windowed plan,
+a completely different algorithm.
+"""
+
+import datetime as dt
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from rdf_fusion_spark.pipeline.temporal import asof_join
+
+BASE = dt.datetime(2024, 1, 1)
+
+
+def T(s):
+    return BASE + dt.timedelta(seconds=s)
+
+
+def ref_asof(left_rows, right_rows, direction="backward", tolerance_s=None):
+    """left_rows: [(key, ts_s, tag)]; right_rows: [(key, ts_s, val)].
+    Returns {(key, ts_s, tag): (r_ts_s, val) | None}."""
+    out = {}
+    for key, lts, tag in left_rows:
+        if direction == "backward":
+            cand = [(rts, v) for k, rts, v in right_rows
+                    if k == key and rts <= lts]
+            pick = max(cand, key=lambda c: c[0], default=None)
+        else:
+            cand = [(rts, v) for k, rts, v in right_rows
+                    if k == key and rts >= lts]
+            pick = min(cand, key=lambda c: c[0], default=None)
+        if pick is not None and tolerance_s is not None \
+                and abs(lts - pick[0]) > tolerance_s:
+            pick = None
+        out[(key, lts, tag)] = pick
+    return out
+
+
+def _random_case(seed):
+    rng = random.Random(seed)
+    keys = [1, 2, 3]
+    # distinct (key, ts) on the right: asof ties are unspecified
+    right_slots = {(k, rng.randrange(0, 120)) for k in keys
+                   for _ in range(rng.randrange(0, 8))}
+    right = [(k, ts, rng.choice([None, round(rng.uniform(0, 9), 2)]))
+             for k, ts in sorted(right_slots)]
+    left = [(rng.choice(keys + [4]), rng.randrange(0, 120), f"t{i}")
+            for i in range(rng.randrange(1, 25))]
+    return left, right
+
+
+def _run(spark, left, right, **kw):
+    ldf = spark.createDataFrame(
+        [(k, T(ts), tag) for k, ts, tag in left],
+        "user_id long, ts timestamp, tag string")
+    rdf = spark.createDataFrame(
+        [(k, T(ts), v) for k, ts, v in right],
+        "user_id long, ts timestamp, val double")
+    rows = asof_join(ldf, rdf, "ts", ("user_id",), **kw).collect()
+    return {(r.user_id, int((r.ts - BASE).total_seconds()), r.tag):
+            (None if r.ts_r is None
+             else (int((r.ts_r - BASE).total_seconds()), r.val_r))
+            for r in rows}
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_matches_reference(spark, seed, direction):
+    left, right = _random_case(seed)
+    got = _run(spark, left, right, direction=direction)
+    want = ref_asof(left, right, direction=direction)
+    assert len(got) == len(left)
+    # NULL val with a matched ts is a REAL match whose payload is null —
+    # the reference keeps (ts, None); an unmatched row maps to None.
+    assert got == want
+
+
+@pytest.mark.parametrize("tolerance_s", [0, 7, 30])
+def test_asof_tolerance(spark, tolerance_s):
+    left, right = _random_case(99)
+    got = _run(spark, left, right, tolerance_s=tolerance_s)
+    want = ref_asof(left, right, tolerance_s=tolerance_s)
+    assert got == want
+
+
+def test_asof_null_payload_does_not_leak_older_row(spark):
+    # right rows: ts=10 val=1.0, ts=15 val=NULL. A left row at ts=20
+    # must match (15, NULL) — carrying columns independently would skip
+    # the NULL and mix 15's ts with 10's value.
+    got = _run(spark, [(1, 20, "a")], [(1, 10, 1.0), (1, 15, None)])
+    assert got == {(1, 20, "a"): (15, None)}
+
+
+def test_asof_inclusive_at_equal_ts_both_directions(spark):
+    left = [(1, 10, "a")]
+    right = [(1, 10, 5.0)]
+    assert _run(spark, left, right)[(1, 10, "a")] == (10, 5.0)
+    assert _run(spark, left, right, direction="forward")[(1, 10, "a")] \
+        == (10, 5.0)
+
+
+def test_asof_no_match_is_left_outer(spark):
+    got = _run(spark, [(7, 5, "x")], [(1, 1, 2.0)])
+    assert got == {(7, 5, "x"): None}
+
+
+def test_asof_single_shuffle_no_range_join(spark):
+    # The plan must be ONE exchange on the key feeding a window — never
+    # a (range/theta) join that pairs every left row with every earlier
+    # right row. At 100 TB the latter is quadratic in events-per-key.
+    ldf = spark.createDataFrame([(1, T(1), "a")],
+                                "user_id long, ts timestamp, tag string")
+    rdf = spark.createDataFrame([(1, T(1), 1.0)],
+                                "user_id long, ts timestamp, val double")
+    plan = asof_join(ldf, rdf, "ts", ("user_id",)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Window" in plan
