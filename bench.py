@@ -104,6 +104,11 @@ BENCH_QUERIES = [
     "q_dedup_substring_removal",
     "q_text_tfidf_terms",
     "q_text_bm25_topk",
+    # round 8 (continued): as-of temporal join (pipeline/temporal.py)
+    # and SemDeDup semantic dedup (similarity.py semantic_dedup)
+    "q_events_asof",
+    "q_events_interval_join",
+    "q_dedup_semantic",
 ]
 
 

@@ -1657,6 +1657,20 @@ def _pipeline_oracles() -> dict[str, str]:
                epoch_us(ts) - epoch_us(err_ts) AS lag_us
         FROM t
         """,
+        # Independent implementation: DuckDB plans the BETWEEN predicate
+        # directly (IEJoin); ours is the bucketized equi-join.
+        "q_events_interval_join": f"""
+        WITH p AS (SELECT event_id, user_id, ts FROM events
+                   WHERE event_type = 'click'),
+        i AS (SELECT user_id, event_id AS err_id, ts AS err_ts
+              FROM events WHERE event_type = 'error')
+        SELECT p.user_id, p.event_id, p.ts, i.err_id, i.err_ts,
+               epoch_us(p.ts) - epoch_us(i.err_ts) AS lag_us
+        FROM p JOIN i ON p.user_id = i.user_id
+         AND epoch_us(p.ts)
+             BETWEEN epoch_us(i.err_ts) - {INTERVAL_WINDOW_S}::BIGINT*1000000
+                 AND epoch_us(i.err_ts) + {INTERVAL_WINDOW_S}::BIGINT*1000000
+        """,
     }
     # connected components over the LSH pairs: recursive label spreading
     # (UNION-dedup), component id = min reachable doc id
@@ -3933,6 +3947,37 @@ def _pipe_events_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long").alias("lag_us"))
 
 
+INTERVAL_WINDOW_S = 21_600  # ±6 h: 491 qualifying pairs at sf0.01
+
+
+def _pipe_events_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (pipeline/temporal.py interval_join): every click
+    within ±6 h of an error of the same user — the bucketized
+    containment join (Spark's own plan for the BETWEEN predicate is a
+    quadratic nested loop; this is one equi-shuffle). Bucket width =
+    the full interval length, so each interval explodes to ≤2 buckets."""
+    from .pipeline.temporal import interval_join, micros
+    from .sources.relational import read_table
+    ev = read_table(spark, sf_dir, "events")
+    ts_dt = dict(ev.dtypes)["ts"]
+    us = INTERVAL_WINDOW_S * 1_000_000
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts",
+        micros(F.col("ts"), ts_dt).alias("p_us"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        "user_id", F.col("event_id").alias("err_id"),
+        F.col("ts").alias("err_ts"),
+        (micros(F.col("ts"), ts_dt) - us).alias("lo_us"),
+        (micros(F.col("ts"), ts_dt) + us).alias("hi_us"))
+    out = interval_join(clicks, errors, "p_us", "lo_us", "hi_us",
+                        bucket_width=2 * us, by=("user_id",))
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.col("err_id_i").alias("err_id"),
+        F.col("err_ts_i").alias("err_ts"),
+        (F.col("p_us") - F.col("lo_us_i") - us).alias("lag_us"))
+
+
 def _pipe_embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-label vector statistics: count and min/max L2 norm — the
     sanity-check pass every embedding corpus gets before indexing."""
@@ -4062,6 +4107,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_mix_weighted": _pipe_mix_weighted,
     "q_events_sessionize": _pipe_sessions,
     "q_events_asof": _pipe_events_asof,
+    "q_events_interval_join": _pipe_events_interval,
     "q_stream_event_counts": _pipe_stream_event_counts,
     "q_multimodal_features": _pipe_multimodal_features,
     "q_events_json_props": _pipe_events_json,
@@ -4212,6 +4258,7 @@ _PIPELINE_MODULE_MAP = {
     "q_train_val_split": "curation.py", "q_decontaminate": "curation.py",
     "q_events_sessionize": "sessions.py",
     "q_events_asof": "temporal.py",
+    "q_events_interval_join": "temporal.py",
     "q_text_tfidf_terms": "text.py", "q_text_bm25_topk": "text.py",
     "q_multimodal_features": "multimodal.py",
     "q_graph_pagerank": "graphs.py", "q_graph_triangles": "graphs.py",

@@ -110,3 +110,54 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
     return m.select(
         *by, F.col("__ts").alias(ts_col), *lonly,
         *[F.col("__r")[c].alias(c + suffix) for c in rpay])
+
+
+_INTEGRAL = ("tinyint", "smallint", "int", "bigint", "long")
+
+
+def _floor_div(c: Column, width: int, dtype: str) -> Column:
+    """floor(c / width) as BIGINT, exact for integral inputs (pmod-based
+    integer arithmetic — double division can misplace boundary values)."""
+    if dtype in _INTEGRAL:
+        return ((c - F.pmod(c, F.lit(width))) / F.lit(width)).cast("long")
+    return F.floor(c / F.lit(width)).cast("long")
+
+
+def interval_join(points: DataFrame, intervals: DataFrame,
+                  point_col: str, lo_col: str, hi_col: str,
+                  bucket_width: int, by: Sequence[str] = (),
+                  suffix: str = "_i") -> DataFrame:
+    """Range (interval containment) join: every (point, interval) pair
+    with ``lo <= point <= hi``, optionally key-scoped by `by` — inner
+    semantics, one output row per qualifying pair.
+
+    Spark's own planner turns the BETWEEN predicate into a broadcast
+    nested loop (all |P|x|I| comparisons) — quadratic at 100 TB. This is
+    the bucketized plan instead: slice the number line into fixed
+    `bucket_width` buckets, explode each interval into the buckets it
+    covers, bucket each point once, and equi-join on (by..., bucket)
+    before the exact containment filter. A point lives in EXACTLY one
+    bucket, so no pair is emitted twice and no dedup pass is needed.
+    Cost: one equi-shuffle over |P| + |I| * (len/width + 1) rows — pick
+    `bucket_width` near the typical interval length so the explosion
+    factor stays ~2.
+
+    `point_col`, `lo_col`, `hi_col` must be numeric (for timestamps,
+    convert with `micros()` first). Interval columns other than `by`
+    come back suffixed; intervals with lo > hi yield nothing.
+    """
+    by = list(by)
+    pdt, idt = dict(points.dtypes), dict(intervals.dtypes)
+    ipay = [c for c in intervals.columns if c not in by]
+    p = points.withColumn(
+        "__bkt", _floor_div(F.col(point_col), bucket_width, pdt[point_col]))
+    i = intervals.select(
+        *by, *[F.col(c).alias(c + suffix) for c in ipay],
+        F.explode(F.sequence(
+            _floor_div(F.col(lo_col), bucket_width, idt[lo_col]),
+            _floor_div(F.col(hi_col), bucket_width, idt[hi_col])))
+        .alias("__bkt"))
+    return (p.join(i, on=by + ["__bkt"])
+            .where((F.col(point_col) >= F.col(lo_col + suffix))
+                   & (F.col(point_col) <= F.col(hi_col + suffix)))
+            .drop("__bkt"))

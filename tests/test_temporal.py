@@ -14,7 +14,7 @@ import random
 import pytest
 from pyspark.sql import functions as F
 
-from rdf_fusion_spark.pipeline.temporal import asof_join
+from rdf_fusion_spark.pipeline.temporal import asof_join, interval_join
 
 BASE = dt.datetime(2024, 1, 1)
 
@@ -123,3 +123,57 @@ def test_asof_single_shuffle_no_range_join(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Window" in plan
+
+
+# ---------------------------------------------------------------- interval
+
+
+def ref_interval(points, intervals):
+    """points: [(key, x, tag)]; intervals: [(key, lo, hi, iid)]."""
+    return {(k, x, tag, iid)
+            for k, x, tag in points
+            for ik, lo, hi, iid in intervals
+            if k == ik and lo <= x <= hi}
+
+
+def _run_interval(spark, points, intervals, width):
+    pdf = spark.createDataFrame(points, "user_id long, x long, tag string")
+    idf = spark.createDataFrame(intervals,
+                                "user_id long, lo long, hi long, iid long")
+    rows = interval_join(pdf, idf, "x", "lo", "hi", width,
+                         by=("user_id",)).collect()
+    return {(r.user_id, r.x, r.tag, r.iid_i) for r in rows}
+
+
+@pytest.mark.parametrize("seed", range(6))
+@pytest.mark.parametrize("width", [1, 7, 100])
+def test_interval_join_matches_bruteforce(spark, seed, width):
+    rng = random.Random(seed)
+    points = [(rng.randrange(1, 4), rng.randrange(-50, 150), f"p{i}")
+              for i in range(30)]
+    intervals = []
+    for i in range(12):
+        lo = rng.randrange(-60, 140)
+        intervals.append((rng.randrange(1, 4), lo,
+                          lo + rng.randrange(0, 40), i))
+    # include a degenerate lo > hi interval: must match nothing
+    intervals.append((1, 50, 40, 99))
+    got = _run_interval(spark, points, intervals, width)
+    assert got == ref_interval(points, intervals)
+
+
+def test_interval_join_boundary_inclusive(spark):
+    got = _run_interval(spark, [(1, 10, "a"), (1, 20, "b"), (1, 21, "c")],
+                        [(1, 10, 20, 0)], width=10)
+    assert got == {(1, 10, "a", 0), (1, 20, "b", 0)}
+
+
+def test_interval_join_no_nested_loop(spark):
+    pdf = spark.createDataFrame([(1, 5, "a")],
+                                "user_id long, x long, tag string")
+    idf = spark.createDataFrame([(1, 0, 9, 0)],
+                                "user_id long, lo long, hi long, iid long")
+    plan = interval_join(pdf, idf, "x", "lo", "hi", 10, by=("user_id",)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
