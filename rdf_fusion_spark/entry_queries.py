@@ -1632,6 +1632,15 @@ def _pipeline_oracles() -> dict[str, str]:
                SUM(span_s)::BIGINT AS active_seconds
         FROM per_session GROUP BY user_id
         """,
+        "q_curation_topk_quality": f"""
+        WITH q AS ({_quality_oracle()})
+        SELECT source, doc_id, quality_score, rnk::BIGINT AS rank
+        FROM (SELECT d.source, q.doc_id, q.quality_score,
+                     row_number() OVER (PARTITION BY d.source
+                       ORDER BY q.quality_score DESC, q.doc_id) AS rnk
+              FROM q JOIN documents d USING (doc_id))
+        WHERE rnk <= {TOPK_PER_SOURCE}
+        """,
         # Independent implementation: DuckDB's NATIVE ASOF JOIN (a real
         # merge-based asof executor) vs our union-tag windowed plan —
         # a genuinely different algorithm computing the same relation.
@@ -3918,6 +3927,21 @@ def _pipe_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("active_seconds"))
 
 
+TOPK_PER_SOURCE = 3
+
+
+def _pipe_curation_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group top-k curation (pipeline/curation.py top_k_per_group):
+    the 3 highest-quality documents per source, doc_id tiebreak."""
+    from .pipeline.curation import top_k_per_group
+    from .pipeline.text import with_quality_score
+    docs = with_quality_score(_docs(spark, sf_dir))
+    out = top_k_per_group(docs, TOPK_PER_SOURCE, "source",
+                          "quality_score", "doc_id")
+    return out.select("source", "doc_id", "quality_score",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 ASOF_TOLERANCE_S = 172_800  # 2 days: splits sf0.01 clicks ~55/45 match/drop
 
 
@@ -4108,6 +4132,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_sessionize": _pipe_sessions,
     "q_events_asof": _pipe_events_asof,
     "q_events_interval_join": _pipe_events_interval,
+    "q_curation_topk_quality": _pipe_curation_topk,
     "q_stream_event_counts": _pipe_stream_event_counts,
     "q_multimodal_features": _pipe_multimodal_features,
     "q_events_json_props": _pipe_events_json,
@@ -4255,6 +4280,7 @@ _PIPELINE_MODULE_MAP = {
     "q_text_token_percentiles": "text.py", "q_text_repetition": "text.py",
     "q_pii_scan": "pii.py",
     "q_pack_shards": "curation.py", "q_mix_weighted": "curation.py",
+    "q_curation_topk_quality": "curation.py",
     "q_train_val_split": "curation.py", "q_decontaminate": "curation.py",
     "q_events_sessionize": "sessions.py",
     "q_events_asof": "temporal.py",

@@ -155,3 +155,24 @@ def weighted_sample(
     boolean; callers filter or aggregate on it."""
     keep = sample_hash(F.col(id_col)) < (rate * F.lit(_HASH_SPACE))
     return df.withColumn("sample_keep", keep)
+
+
+def top_k_per_group(df: DataFrame, k: int, group_cols,
+                    order_col: str, tiebreak_col: str,
+                    descending: bool = True) -> DataFrame:
+    """Deterministic per-group top-k selection — the domain-capping /
+    best-of-source curation step (keep the k highest-quality documents
+    per domain, language, or shard).
+
+    `tiebreak_col` makes the selection a total order, so the survivors
+    are engine-independent (and oracle-checkable). One shuffle on the
+    group key; the per-group sort is partial (row_number stops ranking
+    being global), so the plan scales with group count, not corpus size.
+    Adds a 1-based `rank` column and keeps only rank <= k.
+    """
+    group_cols = [group_cols] if isinstance(group_cols, str) else list(group_cols)
+    order = [F.desc(order_col) if descending else F.asc(order_col),
+             F.asc(tiebreak_col)]
+    w = Window.partitionBy(*group_cols).orderBy(*order)
+    return (df.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k))

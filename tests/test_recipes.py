@@ -132,3 +132,21 @@ def test_curation_funnel_substring_dedup_stage(spark):
     assert 0 < sub["n_tokens"] <= near["n_tokens"]
     # downstream stages consume the REWRITTEN corpus and still complete
     assert stages[-1] == "packed" and got[-1]["n_tokens"] > 0
+
+
+def test_top_k_per_group_deterministic(spark):
+    from rdf_fusion_spark.pipeline.curation import top_k_per_group
+    rows = [(i, f"s{i % 3}", float(i % 5)) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, score double")
+    got = top_k_per_group(df, 2, "source", "score", "doc_id").collect()
+    by_group = {}
+    for r in got:
+        by_group.setdefault(r.source, []).append((r.rank, r.doc_id, r.score))
+    assert set(by_group) == {"s0", "s1", "s2"}
+    for g, rows_ in by_group.items():
+        assert sorted(r[0] for r in rows_) == [1, 2]
+        # brute force: best score desc, then lowest doc_id
+        want = sorted([(d, s) for d, src, s in
+                       [(i, f"s{i % 3}", float(i % 5)) for i in range(30)]
+                       if src == g], key=lambda t: (-t[1], t[0]))[:2]
+        assert sorted((d, s) for _, d, s in rows_) == sorted(want)
