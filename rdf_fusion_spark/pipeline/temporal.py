@@ -151,7 +151,10 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     ipay = [c for c in intervals.columns if c not in by]
     p = points.withColumn(
         "__bkt", _floor_div(F.col(point_col), bucket_width, pdt[point_col]))
-    i = intervals.select(
+    i = intervals.where(F.col(lo_col) <= F.col(hi_col)).select(
+        # the filter is required, not just an optimization: sequence()
+        # steps BACKWARDS when start > stop, so a degenerate interval
+        # would still explode into (empty-after-filter) bucket rows
         *by, *[F.col(c).alias(c + suffix) for c in ipay],
         F.explode(F.sequence(
             _floor_div(F.col(lo_col), bucket_width, idt[lo_col]),
