@@ -83,6 +83,19 @@ PIPELINE_SCALE_SAFE = [
     "q_graph_triangles",
     "q_text_token_percentiles",
     "q_train_val_split",
+    # round-7/8 additions: sub-document dup, PII, temporal joins,
+    # per-group curation. Excluded by design, like q_ann_ivf:
+    # q_dedup_semantic (centroid assignment IS the bounded broadcast
+    # nested loop of IVF coarse quantization) and q_text_tfidf_terms /
+    # q_text_bm25_topk (1-row corpus-stats scalar attached by a bounded
+    # broadcast cross join — the bi_q6 global-average shape)
+    "q_pii_scan",
+    "q_dedup_substring",
+    "q_dedup_substring_removal",
+    "q_text_repetition",
+    "q_events_asof",
+    "q_events_interval_join",
+    "q_curation_topk_quality",
 ]
 
 
