@@ -1,0 +1,224 @@
+"""Differential fuzzing of the SPARQL algebra core.
+
+Random pattern trees (BGP / Join / LeftJoin / Union / Minus /
+FILTER [NOT] EXISTS) over random small graphs are rendered to SPARQL
+text for the engine AND evaluated by a spec-literal pure-Python
+evaluator (compatible-mapping joins, LeftJoin padding, MINUS
+dom-overlap rule, EXISTS substitution semantics — W3C SPARQL 1.1
+§18.5). Results compare as BAGS (Counter of solution mappings), so
+multiplicity bugs fail too.
+
+This complements the hand-built compat-join tests
+(test_split_union_join.py) and the W3C suites: those pin known shapes;
+this hunts unknown interactions (e.g. MINUS under UNION under
+OPTIONAL with partially-shared variables).
+"""
+
+import random
+from collections import Counter
+
+import pytest
+
+EX = "http://example.org/"
+
+# ------------------------------------------------------------ generator
+#
+# term reps: ("var", name) | ("i", full_iri) | ("l", lexical)
+
+VARS = ["a", "b", "c", "d"]
+SUBJECTS = [("i", f"{EX}s{i}") for i in range(5)]
+PREDICATES = [("i", f"{EX}p{i}") for i in range(3)]
+LITERALS = [("l", f"v{i}") for i in range(4)]
+
+
+def gen_data(rng):
+    triples = set()
+    for _ in range(rng.randrange(12, 30)):
+        s = rng.choice(SUBJECTS)
+        p = rng.choice(PREDICATES)
+        o = rng.choice(SUBJECTS + LITERALS)
+        triples.add((s, p, o))
+    return sorted(triples)
+
+
+def gen_term(rng, allow_lit):
+    r = rng.random()
+    if r < 0.55:
+        return ("var", rng.choice(VARS))
+    pool = SUBJECTS + (LITERALS if allow_lit else [])
+    return rng.choice(pool)
+
+
+def gen_pattern(rng):
+    s = gen_term(rng, allow_lit=False)
+    p = ("var", rng.choice(VARS)) if rng.random() < 0.15 \
+        else rng.choice(PREDICATES)
+    o = gen_term(rng, allow_lit=True)
+    return (s, p, o)
+
+
+def gen_bgp(rng):
+    return ("bgp", [gen_pattern(rng) for _ in range(rng.randrange(1, 3))])
+
+
+def gen_tree(rng, depth):
+    if depth <= 0 or rng.random() < 0.3:
+        return gen_bgp(rng)
+    op = rng.choice(["join", "leftjoin", "union", "minus",
+                     "exists", "notexists"])
+    a = gen_tree(rng, depth - 1)
+    # EXISTS bodies stay BGPs: substitution into nested MINUS is the one
+    # corner the spec itself marks as contentious (sparql-exists errata)
+    b = gen_bgp(rng) if op in ("exists", "notexists") \
+        else gen_tree(rng, depth - 1)
+    return (op, a, b)
+
+
+# ------------------------------------------------------------- renderer
+
+
+def r_term(t):
+    kind, v = t
+    if kind == "var":
+        return f"?{v}"
+    if kind == "i":
+        return f"<{v}>"
+    return f'"{v}"'
+
+
+def render(node):
+    op = node[0]
+    if op == "bgp":
+        inner = " ".join(f"{r_term(s)} {r_term(p)} {r_term(o)} ."
+                         for s, p, o in node[1])
+        return "{ " + inner + " }"
+    a, b = render(node[1]), render(node[2])
+    if op == "join":
+        return "{ " + a + " " + b + " }"
+    if op == "leftjoin":
+        return "{ " + a + " OPTIONAL " + b + " }"
+    if op == "union":
+        return "{ " + a + " UNION " + b + " }"
+    if op == "minus":
+        return "{ " + a + " MINUS " + b + " }"
+    neg = "" if op == "exists" else "NOT "
+    return "{ " + a + f" FILTER {neg}EXISTS " + b + " }"
+
+
+# ------------------------------------------- spec-literal reference eval
+
+
+def _unify(mu, pairs):
+    out = dict(mu)
+    for pat, val in pairs:
+        if pat[0] == "var":
+            bound = out.get(pat[1])
+            if bound is None:
+                out[pat[1]] = val
+            elif bound != val:
+                return None
+        elif pat != val:
+            return None
+    return out
+
+
+def _compatible(m1, m2):
+    return all(m2.get(k) in (None, v) for k, v in m1.items()
+               if k in m2)
+
+
+def _merge(m1, m2):
+    out = dict(m1)
+    out.update(m2)
+    return out
+
+
+def ref_eval(node, data):
+    op = node[0]
+    if op == "bgp":
+        sols = [dict()]
+        for s, p, o in node[1]:
+            sols = [m2 for mu in sols for (ds, dp, do) in data
+                    if (m2 := _unify(mu, [(s, ds), (p, dp), (o, do)]))
+                    is not None]
+        return sols
+    if op == "join":
+        a, b = ref_eval(node[1], data), ref_eval(node[2], data)
+        return [_merge(x, y) for x in a for y in b if _compatible(x, y)]
+    if op == "leftjoin":
+        a, b = ref_eval(node[1], data), ref_eval(node[2], data)
+        out = []
+        for x in a:
+            ms = [_merge(x, y) for y in b if _compatible(x, y)]
+            out.extend(ms if ms else [x])
+        return out
+    if op == "union":
+        return ref_eval(node[1], data) + ref_eval(node[2], data)
+    if op == "minus":
+        a, b = ref_eval(node[1], data), ref_eval(node[2], data)
+        return [x for x in a
+                if not any(_compatible(x, y) and set(x) & set(y)
+                           for y in b)]
+    # EXISTS / NOT EXISTS: substitution semantics (§18.6) — replace the
+    # body's variables that mu binds, then evaluate the body
+    a = ref_eval(node[1], data)
+    body = node[2]
+    want = (op == "exists")
+    out = []
+    for mu in a:
+        patterns = [tuple(mu.get(t[1], t) if t[0] == "var" else t
+                          for t in pat) for pat in body[1]]
+        if bool(ref_eval(("bgp", patterns), data)) == want:
+            out.append(mu)
+    return out
+
+
+# ------------------------------------------------------------- the test
+
+
+def _vars_of(node):
+    if node[0] == "bgp":
+        return {t[1] for pat in node[1] for t in pat if t[0] == "var"}
+    return _vars_of(node[1]) | _vars_of(node[2])
+
+
+def _key(term):
+    # engine term -> generator rep
+    from rdf_fusion_spark.terms import Literal, NamedNode
+    if term is None:
+        return None
+    if isinstance(term, NamedNode):
+        return ("i", term.iri)
+    assert isinstance(term, Literal)
+    return ("l", term.lexical)
+
+
+def _build_store(spark, data):
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+    quads = [(None,
+              NamedNode(s[1]), NamedNode(p[1]),
+              NamedNode(o[1]) if o[0] == "i" else Literal(o[1]))
+             for s, p, o in data]
+    return GraphStore.from_python_quads(spark, quads).cached()
+
+
+@pytest.mark.parametrize("seed", range(24))
+def test_algebra_differential(spark, seed):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(1000 + seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    for q in range(3):
+        tree = gen_tree(rng, depth=3)
+        sparql = "SELECT * WHERE " + render(tree)
+        want = Counter(
+            frozenset(mu.items()) for mu in ref_eval(tree, data))
+        res = store.query(sparql)
+        got = Counter(
+            frozenset(
+                (v, k) for v in res.variables
+                if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
