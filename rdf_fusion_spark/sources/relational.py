@@ -116,6 +116,23 @@ def configure_session(spark: SparkSession) -> SparkSession:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Spark 4.1 bug (found by tests/test_algebra_fuzz.py, seeds 2103 /
+    # 2161 at depth 4): PushDownLeftSemiAntiJoin asserts
+    # (PushDownLeftSemiAntiJoin.scala:100) while pushing an EXISTS /
+    # NOT-EXISTS semi/anti join below certain Project/Union shapes our
+    # compat-join translation emits — the whole query then dies with
+    # SparkException[INTERNAL_ERROR] at optimization time. Excluding the
+    # rule only loses a pushdown (semi joins still execute; results
+    # identical, verified by the 400-query differential sweep and the
+    # full oracle-parity suite), never correctness.
+    _excl = "org.apache.spark.sql.catalyst.optimizer.PushDownLeftSemiAntiJoin"
+    try:
+        cur = spark.conf.get("spark.sql.optimizer.excludedRules") or ""
+    except Exception:
+        cur = ""
+    if _excl not in cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules",
+                       f"{cur},{_excl}" if cur else _excl)
     # Term-struct expressions are wide (8-field structs, kind CASEs): at the
     # default 1024 Janino is asked to compile few huge methods and a
     # 13-BIND projection chain overflows the 64 KB method limit — the whole

@@ -222,3 +222,23 @@ def test_algebra_differential(spark, seed):
         assert got == want, (
             f"seed={seed} q={q}\n{sparql}\n"
             f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", [2103, 2161])
+def test_pushdown_leftsemi_crash_seeds(spark, seed):
+    """Regression: these depth-4 trees made Spark 4.1's
+    PushDownLeftSemiAntiJoin rule fail an internal assertion
+    (SparkException[INTERNAL_ERROR] at optimize time). configure_session
+    excludes the rule; the queries must now run AND match the reference."""
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    tree = gen_tree(rng, depth=4)
+    want = Counter(frozenset(mu.items()) for mu in ref_eval(tree, data))
+    res = store.query("SELECT * WHERE " + render(tree))
+    got = Counter(
+        frozenset((v, k) for v in res.variables
+                  if (k := _key(term_to_python(row[v]))) is not None)
+        for row in res.df.collect())
+    assert got == want
