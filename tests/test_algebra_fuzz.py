@@ -65,8 +65,21 @@ def gen_tree(rng, depth):
     if depth <= 0 or rng.random() < 0.3:
         return gen_bgp(rng)
     op = rng.choice(["join", "leftjoin", "union", "minus",
-                     "exists", "notexists"])
+                     "exists", "notexists", "filter_eq", "values"])
     a = gen_tree(rng, depth - 1)
+    if op == "filter_eq":
+        # FILTER(?v =/!= X): X a var, IRI, or literal; unbound -> type
+        # error -> row dropped (SPARQL error semantics)
+        lhs = rng.choice(VARS)
+        rhs = gen_term(rng, allow_lit=True)
+        return ("filter_eq", a, (lhs, rhs, rng.random() < 0.5))
+    if op == "values":
+        # VALUES (?v ?w) { ... } with UNDEF holes, joined into the group
+        vs = rng.sample(VARS, rng.randrange(1, 3))
+        rows = [tuple(None if rng.random() < 0.25
+                      else rng.choice(SUBJECTS + LITERALS) for _ in vs)
+                for _ in range(rng.randrange(1, 4))]
+        return ("values", a, (vs, rows))
     # EXISTS bodies stay BGPs: substitution into nested MINUS is the one
     # corner the spec itself marks as contentious (sparql-exists errata)
     b = gen_bgp(rng) if op in ("exists", "notexists") \
@@ -92,6 +105,19 @@ def render(node):
         inner = " ".join(f"{r_term(s)} {r_term(p)} {r_term(o)} ."
                          for s, p, o in node[1])
         return "{ " + inner + " }"
+    if op == "filter_eq":
+        lhs, rhs, neg = node[2]
+        cmp_ = "!=" if neg else "="
+        return ("{ " + render(node[1])
+                + f" FILTER(?{lhs} {cmp_} {r_term(rhs)}) " + "}")
+    if op == "values":
+        vs, rows = node[2]
+        head = " ".join(f"?{v}" for v in vs)
+        body = " ".join(
+            "(" + " ".join("UNDEF" if t is None else r_term(t)
+                           for t in row) + ")" for row in rows)
+        return ("{ " + render(node[1])
+                + f" VALUES ({head}) {{ {body} }} " + "}")
     a, b = render(node[1]), render(node[2])
     if op == "join":
         return "{ " + a + " " + b + " }"
@@ -133,6 +159,19 @@ def _merge(m1, m2):
     return out
 
 
+def _eq_holds(mu, cond):
+    """FILTER(?v =/!= X) under SPARQL error semantics: unbound operand
+    -> type error -> row dropped. IRIs compare as terms; xsd:string
+    value equality equals lexical equality; IRI vs literal -> FALSE
+    (string comparison is supported, so never an error here)."""
+    lhs, rhs, neg = cond
+    lv = mu.get(lhs)
+    rv = mu.get(rhs[1]) if rhs[0] == "var" else rhs
+    if lv is None or rv is None:
+        return False
+    return (lv == rv) != neg
+
+
 def ref_eval(node, data):
     op = node[0]
     if op == "bgp":
@@ -146,12 +185,37 @@ def ref_eval(node, data):
         a, b = ref_eval(node[1], data), ref_eval(node[2], data)
         return [_merge(x, y) for x in a for y in b if _compatible(x, y)]
     if op == "leftjoin":
-        a, b = ref_eval(node[1], data), ref_eval(node[2], data)
+        # SPARQL 18.2.2.2: OPTIONAL { P FILTER(E) } with the filter at
+        # the TOP LEVEL of the optional group becomes LeftJoin(A, P, E)
+        # — E is evaluated over the MERGED mapping, so it sees the left
+        # side's bindings (caught live by seed 3114: the engine
+        # implemented this; this evaluator originally didn't)
+        a = ref_eval(node[1], data)
+        right, cond = node[2], None
+        if right[0] == "filter_eq":
+            cond = right[2]
+            right = right[1]
+        b = ref_eval(right, data)
         out = []
         for x in a:
-            ms = [_merge(x, y) for y in b if _compatible(x, y)]
+            ms = []
+            for y in b:
+                if not _compatible(x, y):
+                    continue
+                m = _merge(x, y)
+                if cond is None or _eq_holds(m, cond):
+                    ms.append(m)
             out.extend(ms if ms else [x])
         return out
+    if op == "filter_eq":
+        return [mu for mu in ref_eval(node[1], data)
+                if _eq_holds(mu, node[2])]
+    if op == "values":
+        vs, rows = node[2]
+        table = [{v: t for v, t in zip(vs, row) if t is not None}
+                 for row in rows]
+        return [_merge(x, y) for x in ref_eval(node[1], data)
+                for y in table if _compatible(x, y)]
     if op == "union":
         return ref_eval(node[1], data) + ref_eval(node[2], data)
     if op == "minus":
@@ -179,6 +243,10 @@ def ref_eval(node, data):
 def _vars_of(node):
     if node[0] == "bgp":
         return {t[1] for pat in node[1] for t in pat if t[0] == "var"}
+    if node[0] == "filter_eq":
+        return _vars_of(node[1])
+    if node[0] == "values":
+        return _vars_of(node[1]) | set(node[2][0])
     return _vars_of(node[1]) | _vars_of(node[2])
 
 
@@ -222,6 +290,29 @@ def test_algebra_differential(spark, seed):
         assert got == want, (
             f"seed={seed} q={q}\n{sparql}\n"
             f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", [3114])
+def test_optional_filter_sees_left_bindings(spark, seed):
+    """Pinned from the depth-4 sweep: OPTIONAL { P FILTER(E) } where E
+    references a LEFT-side variable, with a VALUES block inside P that
+    duplicates matches. The engine applies the 18.2.2.2 LeftJoin
+    condition rule (E over the merged mapping) and the x2 multiplicity;
+    the original reference evaluator scoped E inside P and disagreed —
+    the engine was right."""
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    for _ in range(2):
+        tree = gen_tree(rng, depth=4)
+        want = Counter(frozenset(mu.items()) for mu in ref_eval(tree, data))
+        res = store.query("SELECT * WHERE " + render(tree))
+        got = Counter(
+            frozenset((v, k) for v in res.variables
+                      if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want
 
 
 @pytest.mark.parametrize("seed", [2103, 2161])
