@@ -278,9 +278,13 @@ def test_algebra_differential(spark, seed):
     store = _build_store(spark, data)
     for q in range(3):
         tree = gen_tree(rng, depth=3)
-        sparql = "SELECT * WHERE " + render(tree)
+        distinct = rng.random() < 0.3
+        sparql = ("SELECT DISTINCT * WHERE " if distinct
+                  else "SELECT * WHERE ") + render(tree)
         want = Counter(
             frozenset(mu.items()) for mu in ref_eval(tree, data))
+        if distinct:
+            want = Counter(dict.fromkeys(want, 1))
         res = store.query(sparql)
         got = Counter(
             frozenset(
