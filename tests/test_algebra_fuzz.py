@@ -87,6 +87,33 @@ def gen_tree(rng, depth):
     return (op, a, b)
 
 
+def gen_path(rng, depth):
+    if depth <= 0 or rng.random() < 0.45:
+        return ("link", rng.choice(PREDICATES))
+    op = rng.choice(["inv", "seq", "alt", "plus", "star", "opt"])
+    if op in ("seq", "alt"):
+        return (op, gen_path(rng, depth - 1), gen_path(rng, depth - 1))
+    return (op, gen_path(rng, depth - 1))
+
+
+def gen_pathpat(rng):
+    # subject: var or IRI (possibly absent from the data — exercises the
+    # fresh-term zero-step corner); object: var/IRI/literal
+    return ("pathpat", gen_term(rng, allow_lit=False),
+            gen_path(rng, 2), gen_term(rng, allow_lit=True))
+
+
+def gen_tree_paths(rng, depth):
+    """gen_tree variant whose leaves may be property-path patterns.
+    Separate function so the pinned crash/scope seeds (which replay
+    gen_tree's exact random stream) stay byte-stable."""
+    if depth <= 0 or rng.random() < 0.3:
+        return gen_pathpat(rng) if rng.random() < 0.45 else gen_bgp(rng)
+    op = rng.choice(["join", "leftjoin", "union", "minus"])
+    return (op, gen_tree_paths(rng, depth - 1),
+            gen_tree_paths(rng, depth - 1))
+
+
 # ------------------------------------------------------------- renderer
 
 
@@ -99,8 +126,25 @@ def r_term(t):
     return f'"{v}"'
 
 
+def r_path(P):
+    op = P[0]
+    if op == "link":
+        return r_term(P[1])
+    if op == "inv":
+        return "^(" + r_path(P[1]) + ")"
+    if op == "seq":
+        return "(" + r_path(P[1]) + "/" + r_path(P[2]) + ")"
+    if op == "alt":
+        return "(" + r_path(P[1]) + "|" + r_path(P[2]) + ")"
+    return "(" + r_path(P[1]) + ")" + {"plus": "+", "star": "*",
+                                       "opt": "?"}[op]
+
+
 def render(node):
     op = node[0]
+    if op == "pathpat":
+        s, P, o = node[1], node[2], node[3]
+        return "{ " + f"{r_term(s)} {r_path(P)} {r_term(o)} ." + " }"
     if op == "bgp":
         inner = " ".join(f"{r_term(s)} {r_term(p)} {r_term(o)} ."
                          for s, p, o in node[1])
@@ -172,8 +216,69 @@ def _eq_holds(mu, cond):
     return (lv == rv) != neg
 
 
+def _nodes(data):
+    return {t for (s, _, o) in data for t in (s, o)}
+
+
+def eval_path(P, X, Y, data):
+    """Bag of (x, y) pairs for pattern `X P Y` per SPARQL 1.1 18.4.
+    X/Y are term reps; ("var", _) means unbound. link/inv/seq/alt are
+    bag-semantic; closures (+ * ?) are DISTINCT pairs, with the start
+    set per the spec: the bound endpoint if any (a zero-step matches a
+    term even when it is absent from the graph), else nodes(G)."""
+    op = P[0]
+    xv, yv = X[0] == "var", Y[0] == "var"
+    if op == "link":
+        return [(s, o) for (s, p, o) in data if p == P[1]
+                and (xv or s == X) and (yv or o == Y)]
+    if op == "inv":
+        return [(y, x) for (x, y) in eval_path(P[1], Y, X, data)]
+    if op == "seq":
+        FREE = ("var", "__m")
+        a = eval_path(P[1], X, FREE, data)
+        b = eval_path(P[2], FREE, Y, data)
+        return [(x, y2) for (x, m) in a for (m2, y2) in b if m == m2]
+    if op == "alt":
+        return eval_path(P[1], X, Y, data) + eval_path(P[2], X, Y, data)
+    # closures
+    if not xv:
+        starts = [X]
+    elif not yv:
+        return [(x, y) for (y, x)
+                in eval_path((op, ("inv", P[1])), Y, X, data)]
+    else:
+        starts = sorted(_nodes(data))
+    out = set()
+    for c in starts:
+        if op == "opt":
+            out.add((c, c))
+            for (_, y) in eval_path(P[1], c, ("var", "__y"), data):
+                out.add((c, y))
+            continue
+        if op == "star":
+            out.add((c, c))
+        seen, frontier = set(), {c}
+        while frontier:
+            nxt = {y for f in frontier
+                   for (_, y) in eval_path(P[1], f, ("var", "__y"), data)}
+            frontier = nxt - seen
+            seen |= nxt
+        out |= {(c, y) for y in seen}
+    if not yv:
+        out = {(x, y) for (x, y) in out if y == Y}
+    return sorted(out)
+
+
 def ref_eval(node, data):
     op = node[0]
+    if op == "pathpat":
+        s, P, o = node[1], node[2], node[3]
+        out = []
+        for (x, y) in eval_path(P, s, o, data):
+            mu = _unify({}, [(s, x), (o, y)])
+            if mu is not None:
+                out.append(mu)
+        return out
     if op == "bgp":
         sols = [dict()]
         for s, p, o in node[1]:
@@ -243,6 +348,8 @@ def ref_eval(node, data):
 def _vars_of(node):
     if node[0] == "bgp":
         return {t[1] for pat in node[1] for t in pat if t[0] == "var"}
+    if node[0] == "pathpat":
+        return {t[1] for t in (node[1], node[3]) if t[0] == "var"}
     if node[0] == "filter_eq":
         return _vars_of(node[1])
     if node[0] == "values":
@@ -337,3 +444,29 @@ def test_pushdown_leftsemi_crash_seeds(spark, seed):
                   if (k := _key(term_to_python(row[v]))) is not None)
         for row in res.df.collect())
     assert got == want
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_path_differential(spark, seed):
+    """Property paths under the same differential harness: random path
+    expressions (^ / | + * ?) at pattern leaves, composed under
+    join/OPTIONAL/UNION/MINUS; reference implements W3C 18.4 (bag for
+    link/inv/seq/alt, DISTINCT closures, zero-step matches for bound
+    endpoints absent from the graph, nodes(G) enumeration otherwise)."""
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(5000 + seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    for q in range(2):
+        tree = gen_tree_paths(rng, depth=2)
+        sparql = "SELECT * WHERE " + render(tree)
+        want = Counter(
+            frozenset(mu.items()) for mu in ref_eval(tree, data))
+        res = store.query(sparql)
+        got = Counter(
+            frozenset((v, k) for v in res.variables
+                      if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
