@@ -135,9 +135,33 @@ def eval_path(path, ctx) -> DataFrame:
     raise NotImplementedError(f"path: {type(path).__name__}")
 
 
+def _const_self_pairs(ctx, graphs: Optional[DataFrame]) -> Optional[DataFrame]:
+    """Self-pairs for the path pattern's CONSTANT endpoints: a
+    zero-length path matches a bound endpoint even when that term
+    appears nowhere in the graph (`<fresh> p? ?y` -> y=<fresh>; W3C pp
+    semantics, caught by test_algebra_fuzz seeds 6044/6144). Harmless
+    for nested closures: an extra (c,c) pair only reaches the output if
+    c flows to that position, which requires c in the graph or c being
+    the pattern endpoint. `graphs` (when GRAPH ?g is in scope) is the
+    distinct in-scope graph-name relation the pairs must replicate over."""
+    terms = getattr(ctx, "path_endpoints", ()) or ()
+    if not terms:
+        return None
+    spark = ctx.store.quads.sparkSession
+    one = spark.range(1)
+    pair = None
+    for t in dict.fromkeys(terms):
+        p = one.select(term_lit(t).alias(SRC), term_lit(t).alias(TGT))
+        pair = p if pair is None else pair.unionByName(p)
+    if graphs is not None:
+        pair = graphs.crossJoin(pair)
+    return pair
+
+
 def _zero_length(ctx) -> DataFrame:
     """Zero-length paths: every graph node relates to itself
-    (reference: rewrite.rs:248-266 — union of subjects and objects)."""
+    (reference: rewrite.rs:248-266 — union of subjects and objects),
+    plus the pattern's constant endpoints (see _const_self_pairs)."""
     store = ctx.store
     if ctx.graph_var is None:
         virtual_nodes = getattr(store, "node_terms", None)
@@ -146,8 +170,10 @@ def _zero_length(ctx) -> DataFrame:
             if nodes is not None:
                 # per-table key/column projections (column-pruned scans),
                 # never the exploded quads union (VERDICT r2 #5)
-                return nodes.select(F.col("n").alias(SRC),
-                                    F.col("n").alias(TGT))
+                out = nodes.select(F.col("n").alias(SRC),
+                                   F.col("n").alias(TGT))
+                extra = _const_self_pairs(ctx, None)
+                return out if extra is None else out.unionByName(extra)
     df = store.quads
     ag = ctx.active_graph
     g = F.col("graph")
@@ -167,8 +193,12 @@ def _zero_length(ctx) -> DataFrame:
     nodes = (df.select(F.col("subject").alias("n"), *extra)
              .unionByName(df.select(F.col("object").alias("n"), *extra))
              .dropDuplicates())
-    return nodes.select(F.col("n").alias(SRC), F.col("n").alias(TGT),
-                        *[F.col(c) for c in gcols])
+    out = nodes.select(F.col("n").alias(SRC), F.col("n").alias(TGT),
+                       *[F.col(c) for c in gcols])
+    graphs = (df.select(g.alias(gcols[0])).dropDuplicates()
+              if gcols else None)
+    pairs = _const_self_pairs(ctx, graphs)
+    return out if pairs is None else out.unionByName(pairs)
 
 
 # test/diagnostic instrumentation: rounds of the most recent fixpoint
@@ -385,6 +415,10 @@ def translate_path_pattern(p: A.PathPattern, ctx) -> Solution:
         from .translator import _scan
         return _scan(A.TriplePattern(p.subject, p.path.iri, p.object), ctx)
 
+    consts = tuple(t for t in (p.subject, p.object)
+                   if not isinstance(t, Variable))
+    if consts:
+        ctx = replace(ctx, path_endpoints=consts)
     df = _eval_kleene_seeded(p, ctx)
     if df is None:
         df = eval_path(p.path, ctx)

@@ -90,6 +90,12 @@ class Ctx:
     # _persist_shared_subquery); None disables the persist (tests that
     # assert raw plan shapes)
     shared_persisted: Optional[set] = field(default_factory=set)
+    # constant endpoint terms of the path PATTERN currently being
+    # lowered (paths.translate_path_pattern): a zero-length path must
+    # self-relate a bound endpoint even when that term appears nowhere
+    # in the graph (W3C pp: `<fresh> p? ?y` yields y=<fresh>) — found by
+    # tests/test_algebra_fuzz.py seeds 6044/6144
+    path_endpoints: tuple = ()
     # optimization knob (reference OptimizationLevel::{None,Default,Full},
     # lib/execution/src/sparql/optimizer.rs:18): False disables the
     # translator-level rewrites (CSE, sideways information passing,

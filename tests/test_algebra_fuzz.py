@@ -470,3 +470,26 @@ def test_path_differential(spark, seed):
         assert got == want, (
             f"seed={seed} q={q}\n{sparql}\n"
             f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", [6044, 6144])
+def test_zero_length_path_bound_endpoint_seeds(spark, seed):
+    """Pinned engine bugs from the path sweep: a zero-length path must
+    self-relate a BOUND endpoint even when that term appears nowhere in
+    the graph — `<s0> (p1|(p2)*) ?b` must yield b=s0 when s0 is absent
+    from the data, and `?c (p0/p2)? "v0"` must yield c="v0". Fixed by
+    threading the pattern's constant endpoints into _zero_length
+    (plans/paths.py _const_self_pairs)."""
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    for _ in range(2):
+        tree = gen_tree_paths(rng, depth=3)
+        want = Counter(frozenset(mu.items()) for mu in ref_eval(tree, data))
+        res = store.query("SELECT * WHERE " + render(tree))
+        got = Counter(
+            frozenset((v, k) for v in res.variables
+                      if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want
