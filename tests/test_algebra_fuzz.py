@@ -114,6 +114,56 @@ def gen_tree_paths(rng, depth):
             gen_tree_paths(rng, depth - 1))
 
 
+def gen_path_v2(rng, depth):
+    """gen_path plus negated property sets !(p|^q)."""
+    if rng.random() < 0.2:
+        fwd = rng.sample(PREDICATES, rng.randrange(0, 3))
+        inv = rng.sample(PREDICATES, rng.randrange(0 if fwd else 1, 2))
+        return ("nps", fwd, inv)
+    if depth <= 0 or rng.random() < 0.45:
+        return ("link", rng.choice(PREDICATES))
+    op = rng.choice(["inv", "seq", "alt", "plus", "star", "opt"])
+    if op in ("seq", "alt"):
+        return (op, gen_path_v2(rng, depth - 1), gen_path_v2(rng, depth - 1))
+    return (op, gen_path_v2(rng, depth - 1))
+
+
+def gen_tree_full(rng, depth):
+    """Everything generator: paths (incl. NPS) at leaves, BIND and
+    sub-SELECT combinators. Separate from gen_tree / gen_tree_paths so
+    every pinned seed keeps replaying its original random stream."""
+    if depth <= 0 or rng.random() < 0.3:
+        if rng.random() < 0.35:
+            return ("pathpat", gen_term(rng, allow_lit=False),
+                    gen_path_v2(rng, 2), gen_term(rng, allow_lit=True))
+        return gen_bgp(rng)
+    op = rng.choice(["join", "leftjoin", "union", "minus",
+                     "exists", "notexists", "filter_eq", "values",
+                     "bind", "subsel"])
+    a = gen_tree_full(rng, depth - 1)
+    if op == "filter_eq":
+        return ("filter_eq", a,
+                (rng.choice(VARS), gen_term(rng, allow_lit=True),
+                 rng.random() < 0.5))
+    if op == "values":
+        vs = rng.sample(VARS, rng.randrange(1, 3))
+        rows = [tuple(None if rng.random() < 0.25
+                      else rng.choice(SUBJECTS + LITERALS) for _ in vs)
+                for _ in range(rng.randrange(1, 4))]
+        return ("values", a, (vs, rows))
+    if op == "bind":
+        free = sorted(set(VARS) - _vars_of(a))
+        if not free:
+            return a
+        return ("bind", a, (rng.choice(VARS), rng.choice(free)))
+    if op == "subsel":
+        vs = rng.sample(VARS, rng.randrange(1, 3))
+        return ("subsel", a, (sorted(vs), rng.random() < 0.4))
+    b = gen_bgp(rng) if op in ("exists", "notexists") \
+        else gen_tree_full(rng, depth - 1)
+    return (op, a, b)
+
+
 # ------------------------------------------------------------- renderer
 
 
@@ -128,6 +178,9 @@ def r_term(t):
 
 def r_path(P):
     op = P[0]
+    if op == "nps":
+        elems = [r_term(p) for p in P[1]] + ["^" + r_term(p) for p in P[2]]
+        return "!(" + "|".join(elems) + ")"
     if op == "link":
         return r_term(P[1])
     if op == "inv":
@@ -162,6 +215,14 @@ def render(node):
                            for t in row) + ")" for row in rows)
         return ("{ " + render(node[1])
                 + f" VALUES ({head}) {{ {body} }} " + "}")
+    if op == "bind":
+        src, dst = node[2]
+        return "{ " + render(node[1]) + f" BIND(?{src} AS ?{dst}) " + "}"
+    if op == "subsel":
+        vs, distinct = node[2]
+        head = " ".join(f"?{v}" for v in vs)
+        kw = "SELECT DISTINCT" if distinct else "SELECT"
+        return "{ { " + f"{kw} {head} WHERE " + render(node[1]) + " } }"
     a, b = render(node[1]), render(node[2])
     if op == "join":
         return "{ " + a + " " + b + " }"
@@ -231,6 +292,18 @@ def eval_path(P, X, Y, data):
     if op == "link":
         return [(s, o) for (s, p, o) in data if p == P[1]
                 and (xv or s == X) and (yv or o == Y)]
+    if op == "nps":
+        # 18.2.2.3: forward-NPS and inverse-NPS halves are an ALTERNATIVE
+        # (bag union); a pure-inverse set has no forward half
+        fwd, inv = P[1], P[2]
+        out = []
+        if fwd or not inv:
+            out += [(s, o) for (s, p, o) in data if p not in fwd
+                    and (xv or s == X) and (yv or o == Y)]
+        if inv:
+            out += [(o, s) for (s, p, o) in data if p not in inv
+                    and (xv or o == X) and (yv or s == Y)]
+        return out
     if op == "inv":
         return [(y, x) for (x, y) in eval_path(P[1], Y, X, data)]
     if op == "seq":
@@ -321,6 +394,30 @@ def ref_eval(node, data):
                  for row in rows]
         return [_merge(x, y) for x in ref_eval(node[1], data)
                 for y in table if _compatible(x, y)]
+    if op == "bind":
+        # Extend: dst := value of src (unbound src -> error -> dst
+        # stays unbound; the row always survives)
+        src, dst = node[2]
+        out = []
+        for mu in ref_eval(node[1], data):
+            mu2 = dict(mu)
+            if src in mu:
+                mu2[dst] = mu[src]
+            out.append(mu2)
+        return out
+    if op == "subsel":
+        vs, distinct = node[2]
+        sols = [{k: v for k, v in mu.items() if k in vs}
+                for mu in ref_eval(node[1], data)]
+        if distinct:
+            seen, out = set(), []
+            for mu in sols:
+                key = frozenset(mu.items())
+                if key not in seen:
+                    seen.add(key)
+                    out.append(mu)
+            return out
+        return sols
     if op == "union":
         return ref_eval(node[1], data) + ref_eval(node[2], data)
     if op == "minus":
@@ -354,6 +451,10 @@ def _vars_of(node):
         return _vars_of(node[1])
     if node[0] == "values":
         return _vars_of(node[1]) | set(node[2][0])
+    if node[0] == "bind":
+        return _vars_of(node[1]) | {node[2][1]}
+    if node[0] == "subsel":
+        return _vars_of(node[1]) & set(node[2][0])
     return _vars_of(node[1]) | _vars_of(node[2])
 
 
@@ -493,3 +594,27 @@ def test_zero_length_path_bound_endpoint_seeds(spark, seed):
                       if (k := _key(term_to_python(row[v]))) is not None)
             for row in res.df.collect())
         assert got == want
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_full_differential(spark, seed):
+    """All shapes at once: paths with negated property sets at leaves,
+    BIND / sub-SELECT (with DISTINCT) / FILTER / VALUES / EXISTS / MINUS
+    combinators."""
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(8000 + seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    for q in range(2):
+        tree = gen_tree_full(rng, depth=3)
+        sparql = "SELECT * WHERE " + render(tree)
+        want = Counter(
+            frozenset(mu.items()) for mu in ref_eval(tree, data))
+        res = store.query(sparql)
+        got = Counter(
+            frozenset((v, k) for v in res.variables
+                      if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
