@@ -454,7 +454,10 @@ def _vars_of(node):
     if node[0] == "bind":
         return _vars_of(node[1]) | {node[2][1]}
     if node[0] == "subsel":
-        return _vars_of(node[1]) & set(node[2][0])
+        # 18.2.1: a sub-SELECT's PROJECTED variables are all in scope,
+        # even ones never bound inside (the parser correctly rejects a
+        # BIND rebinding such a var — caught live by sweep seed 9244)
+        return set(node[2][0])
     return _vars_of(node[1]) | _vars_of(node[2])
 
 
