@@ -366,12 +366,17 @@ def ref_eval(node, data):
         # SPARQL 18.2.2.2: OPTIONAL { P FILTER(E) } with the filter at
         # the TOP LEVEL of the optional group becomes LeftJoin(A, P, E)
         # — E is evaluated over the MERGED mapping, so it sees the left
-        # side's bindings (caught live by seed 3114: the engine
-        # implemented this; this evaluator originally didn't)
+        # side's bindings. Caught live twice: seed 3114 (FILTER =) and
+        # seed 9076 (FILTER EXISTS whose body uses a left-bound literal
+        # as a predicate — substitution makes it unmatchable). The
+        # engine implemented both; this evaluator originally didn't.
         a = ref_eval(node[1], data)
         right, cond = node[2], None
         if right[0] == "filter_eq":
-            cond = right[2]
+            cond = ("eq", right[2])
+            right = right[1]
+        elif right[0] in ("exists", "notexists"):
+            cond = ("ex", right[0] == "exists", right[2])
             right = right[1]
         b = ref_eval(right, data)
         out = []
@@ -381,7 +386,10 @@ def ref_eval(node, data):
                 if not _compatible(x, y):
                     continue
                 m = _merge(x, y)
-                if cond is None or _eq_holds(m, cond):
+                if cond is None \
+                        or (cond[0] == "eq" and _eq_holds(m, cond[1])) \
+                        or (cond[0] == "ex"
+                            and _exists_holds(m, cond[2], cond[1], data)):
                     ms.append(m)
             out.extend(ms if ms else [x])
         return out
@@ -425,18 +433,18 @@ def ref_eval(node, data):
         return [x for x in a
                 if not any(_compatible(x, y) and set(x) & set(y)
                            for y in b)]
-    # EXISTS / NOT EXISTS: substitution semantics (§18.6) — replace the
-    # body's variables that mu binds, then evaluate the body
-    a = ref_eval(node[1], data)
-    body = node[2]
-    want = (op == "exists")
-    out = []
-    for mu in a:
-        patterns = [tuple(mu.get(t[1], t) if t[0] == "var" else t
-                          for t in pat) for pat in body[1]]
-        if bool(ref_eval(("bgp", patterns), data)) == want:
-            out.append(mu)
-    return out
+    # EXISTS / NOT EXISTS: substitution semantics (§18.6)
+    return [mu for mu in ref_eval(node[1], data)
+            if _exists_holds(mu, node[2], op == "exists", data)]
+
+
+def _exists_holds(mu, body, want, data):
+    """[NOT] EXISTS under substitution semantics: replace the BGP body's
+    variables that mu binds (a bound literal landing in predicate
+    position simply matches nothing), then evaluate."""
+    patterns = [tuple(mu.get(t[1], t) if t[0] == "var" else t
+                      for t in pat) for pat in body[1]]
+    return bool(ref_eval(("bgp", patterns), data)) == want
 
 
 # ------------------------------------------------------------- the test
@@ -621,3 +629,26 @@ def test_full_differential(spark, seed):
         assert got == want, (
             f"seed={seed} q={q}\n{sparql}\n"
             f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", [9076])
+def test_optional_exists_condition_seed(spark, seed):
+    """Pinned: OPTIONAL { P FILTER EXISTS { ?d ?b ?d ... } } where ?b is
+    bound on the LEFT to a literal — the EXISTS is the LeftJoin
+    condition (18.2.2.2) and substitution puts the literal in predicate
+    position, matching nothing, so the left row must come back padded.
+    The engine got this right; the reference evaluator originally
+    scoped the EXISTS inside the optional group."""
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    for _ in range(2):
+        tree = gen_tree_full(rng, depth=4)
+        want = Counter(frozenset(mu.items()) for mu in ref_eval(tree, data))
+        res = store.query("SELECT * WHERE " + render(tree))
+        got = Counter(
+            frozenset((v, k) for v in res.variables
+                      if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want
