@@ -652,3 +652,67 @@ def test_optional_exists_condition_seed(spark, seed):
                       if (k := _key(term_to_python(row[v]))) is not None)
             for row in res.df.collect())
         assert got == want
+
+
+# -------------------------------------------------- aggregation wrapper
+
+
+def gen_group(rng, depth):
+    """Wrap a gen_tree_full pattern in a grouped sub-SELECT:
+    { SELECT ?g... (COUNT(*|?v) AS ?cnt) WHERE A GROUP BY ?g... }.
+    Group keys may be unbound in some rows (OPTIONAL/UNION inside A) —
+    SPARQL groups unbound like any other key value."""
+    a = gen_tree_full(rng, depth)
+    gvars = rng.sample(VARS, rng.randrange(1, 3))
+    what = None if rng.random() < 0.5 else rng.choice(VARS)
+    return ("group", a, (sorted(gvars), what))
+
+
+def render_group(node):
+    a = render(node[1])
+    gvars, what = node[2]
+    head = " ".join(f"?{v}" for v in gvars)
+    arg = "*" if what is None else f"?{what}"
+    return ("{ { SELECT " + head + f" (COUNT({arg}) AS ?cnt) WHERE "
+            + a + " GROUP BY " + head + " } }")
+
+
+def ref_eval_group(node, data):
+    gvars, what = node[2]
+    groups = {}
+    for mu in ref_eval(node[1], data):
+        key = tuple(mu.get(v) for v in gvars)
+        groups.setdefault(key, []).append(mu)
+    out = []
+    for key, mus in groups.items():
+        mu = {v: k for v, k in zip(gvars, key) if k is not None}
+        n = len(mus) if what is None \
+            else sum(1 for m in mus if m.get(what) is not None)
+        mu["cnt"] = ("l", str(n))
+        out.append(mu)
+    return out
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_group_count_differential(spark, seed):
+    """GROUP BY + COUNT(*) / COUNT(?v) over arbitrary random patterns,
+    including group keys that are unbound in some rows (one NULL group,
+    like SQL GROUP BY but part of the solution) and projected-but-
+    never-bound keys."""
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(11000 + seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    for q in range(2):
+        tree = gen_group(rng, depth=3)
+        sparql = "SELECT * WHERE " + render_group(tree)
+        want = Counter(
+            frozenset(mu.items()) for mu in ref_eval_group(tree, data))
+        res = store.query(sparql)
+        got = Counter(
+            frozenset((v, k) for v in res.variables
+                      if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
