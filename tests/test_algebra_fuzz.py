@@ -716,3 +716,178 @@ def test_group_count_differential(spark, seed):
         assert got == want, (
             f"seed={seed} q={q}\n{sparql}\n"
             f"extra={got - want}\nmissing={want - got}")
+
+
+# -------------------------------------------- typed-literal data layer
+#
+# extra term kinds: ("lt", lexical, lang) — @lang literal;
+#                   ("ti", lexical)      — xsd:integer, lexical form
+#                                          possibly non-canonical ("01")
+
+TYPED_OBJECTS = [("lt", "v0", "en"), ("lt", "v0", "fr"), ("lt", "v1", "en"),
+                 ("ti", "1"), ("ti", "01"), ("ti", "2"), ("ti", "-3")]
+
+
+def gen_data_typed(rng):
+    triples = set()
+    for _ in range(rng.randrange(14, 32)):
+        s = rng.choice(SUBJECTS)
+        p = rng.choice(PREDICATES)
+        o = rng.choice(SUBJECTS + LITERALS + TYPED_OBJECTS * 2)
+        triples.add((s, p, o))
+    return sorted(triples)
+
+
+_R_TERM_BASE = r_term
+
+
+def r_term_typed(t):
+    if t[0] == "lt":
+        return f'"{t[1]}"@{t[2]}'
+    if t[0] == "ti":
+        return f'"{t[1]}"^^<http://www.w3.org/2001/XMLSchema#integer>'
+    return _R_TERM_BASE(t)
+
+
+def _key_typed(term):
+    from rdf_fusion_spark.terms import (XSD_INTEGER, Literal, NamedNode)
+    if term is None:
+        return None
+    if isinstance(term, NamedNode):
+        return ("i", term.iri)
+    assert isinstance(term, Literal)
+    if term.language:
+        return ("lt", term.lexical, term.language)
+    if term.datatype == XSD_INTEGER:
+        return ("ti", term.lexical)
+    return ("l", term.lexical)
+
+
+def _value_eq(lv, rv):
+    """SPARQL '=' result for two bound terms: True / False / None
+    (type error). Operator mapping: numeric pair -> value comparison
+    (so "01"^^xsd:integer = "1"^^xsd:integer is TRUE with different
+    terms); xsd:string pair -> codepoint compare; everything else falls
+    to RDFterm-equal: same term TRUE, two non-identical literals with
+    no value comparison (lang tags, mixed kinds) ERROR, else FALSE."""
+    if lv == rv:
+        return True
+    k1, k2 = lv[0], rv[0]
+    if k1 == "ti" and k2 == "ti":
+        return int(lv[1]) == int(rv[1])
+    if k1 == "i" or k2 == "i":
+        return False
+    if k1 == "l" and k2 == "l":
+        return False
+    return None
+
+
+def _build_store_typed(spark, data):
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+    from rdf_fusion_spark.terms import XSD_INTEGER
+
+    def term(t):
+        if t[0] == "i":
+            return NamedNode(t[1])
+        if t[0] == "lt":
+            return Literal(t[1], language=t[2])
+        if t[0] == "ti":
+            return Literal(t[1], XSD_INTEGER)
+        return Literal(t[1])
+    quads = [(None, term(s), term(p), term(o)) for s, p, o in data]
+    return GraphStore.from_python_quads(spark, quads).cached()
+
+
+def ref_eval_typed(node, data):
+    """ref_eval with value-semantics FILTER = (the only place typed
+    literals change the semantics: BGP/VALUES/compat joins all use
+    sameTerm, which the tuple reps model already)."""
+    if node[0] == "filter_eq":
+        lhs, rhs, neg = node[2]
+        out = []
+        for mu in ref_eval_typed(node[1], data):
+            lv = mu.get(lhs)
+            rv = mu.get(rhs[1]) if rhs[0] == "var" else rhs
+            if lv is None or rv is None:
+                continue
+            eq = _value_eq(lv, rv)
+            if eq is not None and eq != neg:
+                out.append(mu)
+        return out
+    if node[0] in ("join", "leftjoin", "union", "minus") \
+            and node[2][0] != "filter_eq":
+        a = ref_eval_typed(node[1], data)
+        b = ref_eval_typed(node[2], data)
+        if node[0] == "join":
+            return [_merge(x, y) for x in a for y in b if _compatible(x, y)]
+        if node[0] == "leftjoin":
+            out = []
+            for x in a:
+                ms = [_merge(x, y) for y in b if _compatible(x, y)]
+                out.extend(ms if ms else [x])
+            return out
+        if node[0] == "union":
+            return a + b
+        return [x for x in a
+                if not any(_compatible(x, y) and set(x) & set(y)
+                           for y in b)]
+    return ref_eval(node, data)
+
+
+def gen_tree_typed(rng, depth):
+    """join/OPTIONAL/UNION/MINUS over BGPs with typed-literal objects,
+    plus value-semantics FILTER =/!= (rhs var or typed constant).
+    No nested OPTIONAL{..FILTER} shapes so ref_eval_typed's filter
+    handling stays top-level-only."""
+    if depth <= 0 or rng.random() < 0.35:
+        return gen_bgp(rng)
+    op = rng.choice(["join", "leftjoin", "union", "minus", "filter_eq"])
+    a = gen_tree_typed(rng, depth - 1)
+    if op == "filter_eq":
+        rhs = ("var", rng.choice(VARS)) if rng.random() < 0.5 \
+            else rng.choice(SUBJECTS + LITERALS + TYPED_OBJECTS)
+        return ("filter_eq", a, (rng.choice(VARS), rhs,
+                                 rng.random() < 0.5))
+    b = gen_tree_typed(rng, depth - 1)
+    if op == "leftjoin" and b[0] == "filter_eq":
+        # keep the 18.2.2.2 condition shape out of this layer
+        b = b[1]
+    return (op, a, b)
+
+
+def render_typed(node):
+    """render() with typed-literal constants."""
+    global r_term
+    saved = r_term
+    r_term = r_term_typed  # noqa: F841 — r_path/render close over global
+    try:
+        return render(node)
+    finally:
+        r_term = saved
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_typed_literal_differential(spark, seed):
+    """Joins stay sameTerm-based while FILTER = is value-based:
+    "01"^^xsd:integer and "1"^^xsd:integer are distinct terms (BGP and
+    compat joins keep them apart, lexical forms preserved) but compare
+    equal under FILTER; lang-tagged vs plain literals are a type error
+    under =/!= (row dropped) yet join fine under compatibility."""
+    rng = random.Random(13000 + seed)
+    data = gen_data_typed(rng)
+    store = _build_store_typed(spark, data)
+    for q in range(2):
+        tree = gen_tree_typed(rng, depth=3)
+        sparql = "SELECT * WHERE " + render_typed(tree)
+        want = Counter(
+            frozenset(mu.items()) for mu in ref_eval_typed(tree, data))
+        from rdf_fusion_spark.terms import term_to_python
+        res = store.query(sparql)
+        got = Counter(
+            frozenset((v, k) for v in res.variables
+                      if (k := _key_typed(term_to_python(row[v])))
+                      is not None)
+            for row in res.df.collect())
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
