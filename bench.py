@@ -146,6 +146,12 @@ BEST_KNOWN = {
     "q_windfarm_multi1": 1.125, "q_windfarm_multi2": 1.16,
     "q_windfarm_multi3": 1.891, "q_windfarm_multi4": 0.954,
     "q_pii_scan": 0.112, "q_dedup_substring": 1.603,
+    # round-8 entries: provisional pins from the builder's closing SOLO
+    # runs (no driver record yet — replace with BENCH_r08 driver values
+    # when the round closes)
+    "q_dedup_substring_removal": 1.53, "q_text_tfidf_terms": 0.828,
+    "q_text_bm25_topk": 1.065, "q_events_asof": 0.256,
+    "q_events_interval_join": 0.172, "q_dedup_semantic": 1.003,
 }
 TRIPWIRE_RATIO = 1.5
 
