@@ -4291,12 +4291,10 @@ _PIPELINE_MODULE_MAP = {
     "q_events_json_props": None,   # pure-Column body in this file
 }
 
-# round 8: shared_window_pairs gained the cap gate + eager-checkpoint
-# fix AFTER q_dedup_substring's r7 green — re-gate it now rather than
-# waiting for the rotation to reach the r7 cohort. REMOVE the entry
-# once CORRECTNESS_r08 lands its green row (force entries are for one
-# round; the derived rotation takes over after).
-_FORCE_REGATE: set[str] = {"q_dedup_substring"}
+# (empty this round: the r8 q_dedup_substring force entry was consumed
+# by its CORRECTNESS_r08 green — force entries are for one round; the
+# derived rotation, now with an age term, takes over after.)
+_FORCE_REGATE: set[str] = set()
 
 
 def _gate_modules(name: str) -> tuple[str, ...]:

@@ -21,8 +21,11 @@ already records:
    ``round N`` boundary belong to round N+1.
 
 A query is STALE iff its implementing module changed in a later round
-than its last green driver gate (or it was never gated). Stale queries
-are listed first, least-recently-gated first (ties keep registry order),
+than its last green driver gate, its green is older than
+``MAX_GATE_AGE`` rounds (round-8 verdict: a query whose module never
+changes — or maps to no module at all — was fresh forever, carrying
+r3 greens five rounds old), or it was never gated. Stale queries are
+listed first, least-recently-gated first (ties keep registry order),
 so any future rewrite automatically re-queues its queries — no hand-list
 to forget. Fresh queries follow in registry order; the driver's 50-query
 prefix then always spends its budget on the rows whose greens are oldest
@@ -45,6 +48,12 @@ from typing import Callable, Iterable, Sequence
 REPO_ROOT = Path(__file__).resolve().parent.parent
 
 _BOUNDARY_RE = re.compile(r"^round (\d+):")
+
+# A green driver row this many rounds old (or older) is re-queued even
+# if its implementing module never changed: module attribution is
+# best-effort (a query mapped to no module would otherwise never rotate
+# back in), and environment/driver changes aren't module changes.
+MAX_GATE_AGE = 4
 _CORRECTNESS_RE = re.compile(r"^CORRECTNESS_r(\d+)\.json$")
 
 
@@ -90,6 +99,19 @@ def _module_round(path: str) -> int:
         if not h:
             return 0
         return _commit_rounds().get(h, 0)
+    except Exception:
+        return 0
+
+
+def current_round() -> int:
+    """The in-progress round number: newest driver boundary + 1 (the
+    ``round N`` artifact commit closes round N). 0 when git is
+    unavailable — age staleness is then disabled."""
+    try:
+        lines = _git("log", "--format=%s").splitlines()
+        newest = max((int(m.group(1)) for ln in lines
+                      if (m := _BOUNDARY_RE.match(ln))), default=0)
+        return newest + 1 if newest else 0
     except Exception:
         return 0
 
@@ -141,6 +163,7 @@ def order_registry(names: Sequence[str],
         gated = gated_rounds()
     except Exception:
         gated = {}
+    cur = current_round()
     force = set(force_regate)
     stale: list[tuple[int, int, str]] = []
     fresh: list[str] = []
@@ -156,7 +179,8 @@ def order_registry(names: Sequence[str],
                           default=0)
         except Exception:
             changed = 0
-        if last_gated == 0 or changed > last_gated:
+        aged_out = bool(cur) and cur - last_gated >= MAX_GATE_AGE
+        if last_gated == 0 or changed > last_gated or aged_out:
             stale.append((last_gated, i, name))
         else:
             fresh.append(name)

@@ -6,9 +6,11 @@ import rdf_fusion_spark.gate_order as GO
 from rdf_fusion_spark.gate_order import order_registry
 
 
-def _patch(monkeypatch, gated: dict[str, int], rounds: dict[str, int]):
+def _patch(monkeypatch, gated: dict[str, int], rounds: dict[str, int],
+           current: int = 8):
     monkeypatch.setattr(GO, "gated_rounds", lambda: gated)
     monkeypatch.setattr(GO, "_module_round", lambda m: rounds.get(m, 0))
+    monkeypatch.setattr(GO, "current_round", lambda: current)
 
 
 def test_stale_first_sorted_by_last_gate(monkeypatch):
@@ -50,6 +52,43 @@ def test_force_regate(monkeypatch):
 def test_ties_keep_registry_order(monkeypatch):
     _patch(monkeypatch, gated={"a": 4, "b": 4}, rounds={"m": 9})
     assert order_registry(["b", "a"], lambda n: ("m",)) == ["b", "a"]
+
+
+def test_age_term_requeues_old_greens(monkeypatch):
+    # round-8 verdict #2: a query whose module never changes (or maps to
+    # no module) was fresh forever — a green >= MAX_GATE_AGE rounds old
+    # must re-queue even with zero module changes
+    _patch(monkeypatch, gated={"old": 3, "young": 7}, rounds={}, current=9)
+    out = order_registry(["young", "old"], lambda n: ())
+    assert out == ["old", "young"]
+
+
+def test_age_term_boundary(monkeypatch):
+    # age == MAX_GATE_AGE is stale; one round younger is fresh
+    cur = 9
+    edge, fresh_r = cur - GO.MAX_GATE_AGE, cur - GO.MAX_GATE_AGE + 1
+    _patch(monkeypatch, gated={"edge": edge, "ok": fresh_r}, rounds={},
+           current=cur)
+    assert order_registry(["ok", "edge"], lambda n: ()) == ["edge", "ok"]
+
+
+def test_age_term_disabled_without_git(monkeypatch):
+    # current_round() == 0 (no git) must not mark everything stale
+    _patch(monkeypatch, gated={"a": 1, "b": 2}, rounds={}, current=0)
+    assert order_registry(["a", "b"], lambda n: ()) == ["a", "b"]
+
+
+def test_aged_out_real_queries_requeue():
+    """q_events_sessionize / q_events_json_props carry r3 greens (module
+    unchanged / unmapped) — the age term must put them in the driver's
+    50-query prefix."""
+    from rdf_fusion_spark import entry_queries as EQ
+    gated = GO.gated_rounds()
+    cur = GO.current_round()
+    names = list(EQ.queries())
+    for q in ("q_events_sessionize", "q_events_json_props"):
+        if cur and cur - gated.get(q, 0) >= GO.MAX_GATE_AGE:
+            assert names.index(q) < 50, q
 
 
 def test_real_registry_is_complete_permutation():
