@@ -65,6 +65,10 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward: {direction}")
+    clash = {"__ts", "__side", "__r"} & (set(left.columns) | set(right.columns))
+    if clash:  # internal tags — a column of the same name would be
+        raise ValueError(  # silently shadowed in the union/select below
+            f"asof_join: reserved column names in input: {sorted(clash)}")
     by = list(by)
     l_dt = dict(left.dtypes)
     lonly = [c for c in left.columns if c not in by and c != ts_col]
@@ -116,17 +120,24 @@ _INTEGRAL = ("tinyint", "smallint", "int", "bigint", "long")
 
 
 def _floor_div(c: Column, width: int, dtype: str) -> Column:
-    """floor(c / width) as BIGINT, exact for integral inputs (pmod-based
-    integer arithmetic — double division can misplace boundary values)."""
+    """floor(c / width) as BIGINT, exact for integral inputs. pmod makes
+    the numerator an exact multiple of width (also for negative c); the
+    division then runs in DECIMAL so no step rounds through binary
+    doubles — a long > 2^53 divided as a double can land in the wrong
+    bucket (a 19-digit quotient at scale 6 is 25 digits, exact within
+    decimal(38,x))."""
     if dtype in _INTEGRAL:
-        return ((c - F.pmod(c, F.lit(width))) / F.lit(width)).cast("long")
+        exact = c.cast("decimal(38,0)") \
+            - F.pmod(c, F.lit(width)).cast("decimal(38,0)")
+        return (exact / F.lit(width)).cast("long")
     return F.floor(c / F.lit(width)).cast("long")
 
 
 def interval_join(points: DataFrame, intervals: DataFrame,
                   point_col: str, lo_col: str, hi_col: str,
                   bucket_width: int, by: Sequence[str] = (),
-                  suffix: str = "_i") -> DataFrame:
+                  suffix: str = "_i",
+                  max_buckets_per_interval: int | None = 65536) -> DataFrame:
     """Range (interval containment) join: every (point, interval) pair
     with ``lo <= point <= hi``, optionally key-scoped by `by` — inner
     semantics, one output row per qualifying pair.
@@ -142,6 +153,20 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     `bucket_width` near the typical interval length so the explosion
     factor stays ~2.
 
+    Sentinel-interval guard (round-8 verdict): real warehouses carry
+    open-ended intervals (``valid_to = 9999-12-31``) that the naive
+    explode turns into ~10^9 bucket rows. Each interval's bucket range
+    is therefore CLAMPED to the observed per-key [min, max] point bucket
+    (a small groupBy aggregate of the point side, equi-joined onto the
+    intervals) — semantics unchanged, because a bucket outside its key's
+    point range can never match a point, and an interval whose key has
+    no points at all matches nothing and is dropped before the explode.
+    After clamping, any interval still spanning more than
+    `max_buckets_per_interval` buckets raises at execution time with an
+    explicit message (instead of Spark's opaque array-length error):
+    that only happens when `bucket_width` is far too small for the data
+    span. Pass ``max_buckets_per_interval=None`` to disable the raise.
+
     `point_col`, `lo_col`, `hi_col` must be numeric (for timestamps,
     convert with `micros()` first). Interval columns other than `by`
     come back suffixed; intervals with lo > hi yield nothing.
@@ -149,17 +174,44 @@ def interval_join(points: DataFrame, intervals: DataFrame,
     by = list(by)
     pdt, idt = dict(points.dtypes), dict(intervals.dtypes)
     ipay = [c for c in intervals.columns if c not in by]
-    p = points.withColumn(
-        "__bkt", _floor_div(F.col(point_col), bucket_width, pdt[point_col]))
-    i = intervals.where(F.col(lo_col) <= F.col(hi_col)).select(
-        # the filter is required, not just an optimization: sequence()
-        # steps BACKWARDS when start > stop, so a degenerate interval
-        # would still explode into (empty-after-filter) bucket rows
-        *by, *[F.col(c).alias(c + suffix) for c in ipay],
-        F.explode(F.sequence(
-            _floor_div(F.col(lo_col), bucket_width, idt[lo_col]),
-            _floor_div(F.col(hi_col), bucket_width, idt[hi_col])))
-        .alias("__bkt"))
+    pbkt = _floor_div(F.col(point_col), bucket_width, pdt[point_col])
+    p = points.withColumn("__bkt", pbkt)
+    # per-key point-bucket bounds; with no `by` keys a constant key
+    # makes it an equi-join on a single guaranteed-1-row broadcast side
+    # (NOT a crossJoin — this operator's plan invariant is "no
+    # BroadcastNestedLoopJoin", tests/test_temporal.py)
+    keyed = by if by else ["__one"]
+    pts = points if by else points.withColumn("__one", F.lit(1))
+    bounds = pts.groupBy(*keyed).agg(F.min(pbkt).alias("__pmin"),
+                                     F.max(pbkt).alias("__pmax"))
+    if not by:
+        bounds = F.broadcast(bounds)
+    c_lo = F.greatest(
+        _floor_div(F.col(lo_col), bucket_width, idt[lo_col]),
+        F.col("__pmin"))
+    c_hi = F.least(
+        _floor_div(F.col(hi_col), bucket_width, idt[hi_col]),
+        F.col("__pmax"))
+    seq = F.sequence(c_lo, c_hi)
+    if max_buckets_per_interval is not None:
+        n = c_hi - c_lo + F.lit(1)
+        seq = F.when(n <= F.lit(max_buckets_per_interval), seq).otherwise(
+            F.raise_error(F.concat(
+                F.lit("interval_join: an interval spans "),
+                n.cast("string"),
+                F.lit(f" buckets even after clamping to the point range "
+                      f"(> max_buckets_per_interval="
+                      f"{max_buckets_per_interval}); bucket_width="
+                      f"{bucket_width} is too small for this data span"))))
+    ints = intervals if by else intervals.withColumn("__one", F.lit(1))
+    i = (ints.where(F.col(lo_col) <= F.col(hi_col))
+         .join(bounds, on=keyed)
+         # the c_lo <= c_hi filter is required, not an optimization: an
+         # interval entirely outside its key's point range would make
+         # sequence() step BACKWARDS (same reason as the lo > hi filter)
+         .where(c_lo <= c_hi)
+         .select(*by, *[F.col(c).alias(c + suffix) for c in ipay],
+                 F.explode(seq).alias("__bkt")))
     return (p.join(i, on=by + ["__bkt"])
             .where((F.col(point_col) >= F.col(lo_col + suffix))
                    & (F.col(point_col) <= F.col(hi_col + suffix)))

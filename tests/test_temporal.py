@@ -177,3 +177,82 @@ def test_interval_join_no_nested_loop(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_asof_reserved_names_rejected(spark):
+    ldf = spark.createDataFrame([(1, T(1), 1.0)],
+                                "user_id long, ts timestamp, __r double")
+    rdf = spark.createDataFrame([(1, T(1), 1.0)],
+                                "user_id long, ts timestamp, val double")
+    with pytest.raises(ValueError, match="reserved column"):
+        asof_join(ldf, rdf, "ts", ("user_id",))
+    with pytest.raises(ValueError, match="reserved column"):
+        asof_join(rdf, ldf, "ts", ("user_id",))
+
+
+def test_floor_div_exact_beyond_double_precision(spark):
+    """_floor_div must be exact for longs > 2^53 — a double division
+    rounds 19-digit values and can misplace boundary values."""
+    from rdf_fusion_spark.pipeline.temporal import _floor_div
+    vals = [2**60 + 1, 2**60, -(2**60) - 1, 2**62 + 7, -3, 0,
+            9_223_372_036_854_775_000, -9_223_372_036_854_775_000]
+    width = 7
+    df = spark.createDataFrame([(v,) for v in vals], "v long")
+    got = {r.v: r.b for r in
+           df.select("v", _floor_div(F.col("v"), width, "bigint")
+                     .alias("b")).collect()}
+    assert got == {v: v // width for v in vals}
+
+
+def test_interval_join_sentinel_interval_clamped(spark):
+    """Round-8 verdict #1: an open-ended sentinel interval (hi ~ 10^15,
+    the epoch-micros magnitude of 9999-12-31) must NOT explode into
+    hi/width bucket rows. Unclamped, width=10 here would mean a 10^14-
+    element sequence() — far over Spark's array limit, a guaranteed
+    crash; clamping to the point range makes it ~30 buckets."""
+    points = [(1, x, f"p{x}") for x in range(0, 300, 7)]
+    intervals = [(1, 250, 10**15, 0),       # sentinel "valid_to"
+                 (1, -10**15, 50, 1),       # open-ended start too
+                 (1, 40, 60, 2),            # normal interval
+                 (2, 0, 10**15, 3)]         # key with no points at all
+    got = _run_interval(spark, points, intervals, width=10)
+    assert got == ref_interval(points, intervals)
+
+
+def test_interval_join_bucket_cap_raises(spark):
+    pdf = spark.createDataFrame([(1, 0, "a"), (1, 10**6, "b")],
+                                "user_id long, x long, tag string")
+    idf = spark.createDataFrame([(1, 0, 10**6, 0)],
+                                "user_id long, lo long, hi long, iid long")
+    guarded = interval_join(pdf, idf, "x", "lo", "hi", 1, by=("user_id",),
+                            max_buckets_per_interval=100)
+    with pytest.raises(Exception, match="max_buckets_per_interval"):
+        guarded.collect()
+    # cap disabled: same plan must execute (10^6 buckets is big but legal)
+    ok = interval_join(pdf, idf, "x", "lo", "hi", 1, by=("user_id",),
+                       max_buckets_per_interval=None)
+    assert {(r.x, r.iid_i) for r in ok.collect()} == {(0, 0), (10**6, 0)}
+
+
+def test_interval_join_still_no_nested_loop_with_clamp(spark):
+    pdf = spark.createDataFrame([(1, 5, "a")],
+                                "user_id long, x long, tag string")
+    idf = spark.createDataFrame([(1, 0, 9, 0)],
+                                "user_id long, lo long, hi long, iid long")
+    # keyed: the per-key bounds join is a real equi-join — no BNLJ at all
+    plan = interval_join(pdf, idf, "x", "lo", "hi", 10, by=("user_id",)) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    # keyless: Catalyst constant-folds the __one key, leaving ONE BNLJ
+    # whose build side is the guaranteed-1-row bounds aggregate under a
+    # broadcast — a scalar-subquery shape, constant cost, not the
+    # |P|x|I| BNLJ this operator exists to avoid. The point join on
+    # __bkt must still be an equi-join.
+    plan = interval_join(pdf, idf, "x", "lo", "hi", 10, by=()) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("BroadcastNestedLoopJoin") == 1
+    assert "IdentityBroadcastMode" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin [__bkt" in plan or "ShuffledHashJoin [__bkt" in plan \
+        or "BroadcastHashJoin [__bkt" in plan
