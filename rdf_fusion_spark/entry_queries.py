@@ -4291,10 +4291,14 @@ _PIPELINE_MODULE_MAP = {
     "q_events_json_props": None,   # pure-Column body in this file
 }
 
-# (empty this round: the r8 q_dedup_substring force entry was consumed
-# by its CORRECTNESS_r08 green — force entries are for one round; the
-# derived rotation, now with an age term, takes over after.)
-_FORCE_REGATE: set[str] = set()
+# round 9: interval_join gained the sentinel clamp (plan change:
+# per-key bounds join before the bucket explode) and semantic_dedup the
+# per-cluster suppressor cap AFTER their r8 greens; their last_gated=8
+# would sort them behind the ~47-query r7 cohort, outside the driver's
+# 50-query prefix — force them so the plan changes get day-one gates.
+# REMOVE both once CORRECTNESS_r09 lands their greens (force entries
+# are for one round; the derived rotation takes over after).
+_FORCE_REGATE: set[str] = {"q_events_interval_join", "q_dedup_semantic"}
 
 
 def _gate_modules(name: str) -> tuple[str, ...]:

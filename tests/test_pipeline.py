@@ -614,3 +614,51 @@ def test_semantic_dedup_exact_duplicates_keep_lowest_id(spark):
            similarity.semantic_dedup(df, 0.999, nlist=2).collect()}
     # 0 is the first copy -> kept; 1 and 3 are duplicates of 0 -> dropped
     assert out == {0: True, 1: False, 2: True, 3: False}
+
+
+def test_semantic_dedup_cluster_cap_mega_cluster(spark, caplog):
+    """Round-8 verdict: one degenerate k-means cluster (mega-clique of
+    exact duplicates) must not run an unbounded within-cluster all-pairs.
+    With the cap, an exact-duplicate mega-cluster still dedups COMPLETELY
+    (the lowest id is within the cap and suppresses everyone at sim 1.0),
+    and the excluded suppressor-membership count is logged."""
+    import logging
+    v = [1.0, 0.5, -0.25, 0.0]
+    n = 40
+    rows = [(i, v) for i in range(n)] + [(1000, [-1.0, 1.0, 0.5, 0.25])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    with caplog.at_level(logging.WARNING,
+                         logger="rdf_fusion_spark.pipeline.similarity"):
+        got = {r.vec_id: r.keep for r in
+               similarity.semantic_dedup(df, 0.999, nlist=2,
+                                         cluster_cap=8).collect()}
+    uncapped = {r.vec_id: r.keep for r in
+                similarity.semantic_dedup(df, 0.999, nlist=2,
+                                          cluster_cap=None).collect()}
+    # the mega-cluster dedups identically with and without the cap
+    assert got == uncapped
+    assert got[0] is True and got[1000] is True
+    assert all(got[i] is False for i in range(1, n))
+    # exact dropped-mass accounting: the (40 - 8) = 32 excluded
+    # suppressor memberships are reported, never silent
+    assert any("32 cluster memberships beyond the 8-per-cluster cap"
+               in r.message for r in caplog.records)
+
+
+def test_semantic_dedup_cap_gate_skips_window_when_under_cap(spark):
+    """Under-cap corpora must take the cheap gate path (no rank window,
+    no checkpoint) and return exactly the uncapped result."""
+    import random
+    rng = random.Random(11)
+    vecs = [(i, [rng.uniform(-1, 1) for _ in range(8)]) for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in vecs],
+        "vec_id long, embedding array<double>")
+    cent = similarity.kmeans_centroids(df, nlist=4, iters=2)
+    capped = {r.vec_id: (r.cluster, r.max_lower_sim, r.keep)
+              for r in similarity.semantic_dedup(
+                  df, 0.5, centroids=cent, cluster_cap=4096).collect()}
+    uncapped = {r.vec_id: (r.cluster, r.max_lower_sim, r.keep)
+                for r in similarity.semantic_dedup(
+                    df, 0.5, centroids=cent, cluster_cap=None).collect()}
+    assert capped == uncapped
