@@ -891,3 +891,207 @@ def test_typed_literal_differential(spark, seed):
         assert got == want, (
             f"seed={seed} q={q}\n{sparql}\n"
             f"extra={got - want}\nmissing={want - got}")
+
+
+# ------------------------------------------- aggregates over typed data
+#
+# Round-9 layer (round-8 verdict #6): GROUP BY with SUM / MIN / MAX /
+# COUNT(?v) / COUNT(DISTINCT ?v) over mixed typed-literal data — the
+# promotion ladder's error path (any bound non-numeric value in a group
+# -> unbound result), the empty-group SUM = 0 rule, MIN/MAX under the
+# SPARQL total order (sortkeys.py) across kinds, and non-canonical
+# integer lexical forms ("01" sums as 1, COUNT DISTINCT keeps it a
+# distinct TERM). AVG is excluded by design: xsd:decimal division
+# precision is implementation-defined and already oracle-gated.
+
+AGG_FNS = ["sum", "min", "max", "countv", "countd"]
+
+
+def gen_agg(rng, depth):
+    a = gen_tree_typed(rng, depth)
+    gvars = sorted(rng.sample(VARS, rng.randrange(1, 3)))
+    aggs = []
+    for i in range(rng.randrange(1, 3)):
+        fn = rng.choice(AGG_FNS)
+        aggs.append((fn, rng.choice(VARS), f"z{i}"))
+    return ("agg", a, (gvars, aggs))
+
+
+def render_agg(node):
+    a = render_typed(node[1])
+    gvars, aggs = node[2]
+    head = " ".join(f"?{v}" for v in gvars)
+    calls = []
+    for fn, v, out in aggs:
+        expr = {"sum": f"SUM(?{v})", "min": f"MIN(?{v})",
+                "max": f"MAX(?{v})", "countv": f"COUNT(?{v})",
+                "countd": f"COUNT(DISTINCT ?{v})"}[fn]
+        calls.append(f"({expr} AS ?{out})")
+    return ("{ { SELECT " + head + " " + " ".join(calls) + " WHERE "
+            + a + " GROUP BY " + head + " } }")
+
+
+def _skey(t):
+    """Fuzz-term sort key mirroring functions/sortkeys.py: IRIs (rank 1,
+    by IRI) < numerics (rank 2, by value — "01" ties "1") < strings
+    (rank 5, by lexical only: a lang literal ties its plain twin)."""
+    if t is None:
+        return (-1, 0.0, "")
+    if t[0] == "i":
+        return (1, 0.0, t[1])
+    if t[0] == "ti":
+        return (2, float(int(t[1])), "")
+    return (5, 0.0, t[1])
+
+
+def ref_eval_agg(node, data):
+    """-> {group-key-tuple: {out: value}} where SUM/COUNT values are
+    term reps, MIN/MAX values are SORT KEYS (ties between distinct terms
+    with equal keys are implementation-chosen, exactly like min_by)."""
+    gvars, aggs = node[2]
+    groups = {}
+    for mu in ref_eval_typed(node[1], data):
+        groups.setdefault(tuple(mu.get(v) for v in gvars), []).append(mu)
+    out = {}
+    for key, mus in groups.items():
+        row = {}
+        for fn, v, name in aggs:
+            bound = [m[v] for m in mus if m.get(v) is not None]
+            if fn == "sum":
+                if any(t[0] != "ti" for t in bound):
+                    row[name] = None          # type error -> unbound
+                else:
+                    row[name] = ("ti", str(sum(int(t[1]) for t in bound)))
+            elif fn in ("min", "max"):
+                ks = [_skey(t) for t in bound]
+                row[name] = (min(ks) if fn == "min" else max(ks)) \
+                    if ks else None
+            elif fn == "countv":
+                row[name] = ("ti", str(len(bound)))
+            else:                             # countd: distinct TERMS
+                row[name] = ("ti", str(len(set(bound))))
+        out[key] = row
+    return out
+
+
+def run_agg_case(spark, seed, n_queries=2):
+    """One aggregate-differential case; raises AssertionError on
+    divergence. Shared by the in-suite seeds and tools/fuzz sweeps."""
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(17000 + seed)
+    data = gen_data_typed(rng)
+    store = _build_store_typed(spark, data)
+    for q in range(n_queries):
+        node = gen_agg(rng, depth=2)
+        gvars, aggs = node[2]
+        minmax = {name for fn, _, name in aggs if fn in ("min", "max")}
+        sparql = "SELECT * WHERE " + render_agg(node)
+        want = ref_eval_agg(node, data)
+        res = store.query(sparql)
+        got = {}
+        for r in res.df.collect():
+            key = tuple(_key_typed(term_to_python(r[v])) for v in gvars)
+            row = {}
+            for _, _, name in aggs:
+                t = _key_typed(term_to_python(r[name]))
+                row[name] = (_skey(t) if t is not None else None) \
+                    if name in minmax else t
+            got[key] = row
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"got={got}\nwant={want}")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_aggregate_differential(spark, seed):
+    run_agg_case(spark, seed)
+
+
+# ------------------------------------- ORDER BY / LIMIT / OFFSET layer
+#
+# Round-9 layer: ORDER BY under the total order (multi-key, ASC/DESC,
+# unbound-first / reversed for DESC), OFFSET/LIMIT slicing, and DISTINCT
+# before the slice. Ties are real (lang literal vs plain twin, "01" vs
+# "1") so the check compares the ORDERED SORT-KEY SEQUENCE exactly and
+# requires every returned row to come from the reference bag with legal
+# multiplicity — any valid tie-break passes, a wrong row/order/count
+# fails.
+
+def gen_order(rng, depth):
+    a = gen_tree_typed(rng, depth)
+    nk = rng.randrange(1, 3)
+    keys = [(v, rng.random() < 0.5)
+            for v in rng.sample(VARS, nk)]      # (var, ascending)
+    distinct = rng.random() < 0.4
+    limit = rng.choice([None, 0, 1, 3, 5, 8])
+    offset = rng.choice([0, 0, 0, 1, 2, 4])
+    return ("order", a, (keys, distinct, limit, offset))
+
+
+def render_order(node):
+    a = render_typed(node[1])
+    keys, distinct, limit, offset = node[2]
+    head = "SELECT DISTINCT * WHERE " if distinct else "SELECT * WHERE "
+    order = " ".join(f"?{v}" if asc else f"DESC(?{v})" for v, asc in keys)
+    q = head + a + " ORDER BY " + order
+    if limit is not None:
+        q += f" LIMIT {limit}"
+    if offset:
+        q += f" OFFSET {offset}"
+    return q
+
+
+def ref_eval_order(node, data):
+    """-> (sliced ordered list of per-row key tuples, full solution bag
+    after DISTINCT)."""
+    import functools
+    keys, distinct, limit, offset = node[2]
+    sols = [frozenset(mu.items()) for mu in ref_eval_typed(node[1], data)]
+    if distinct:
+        sols = list(dict.fromkeys(sols))
+    keyed = [(tuple(_skey(dict(s).get(v)) for v, _ in keys), s)
+             for s in sols]
+
+    def cmp(x, y):
+        for i, (_, asc) in enumerate(keys):
+            if x[0][i] != y[0][i]:
+                lt = x[0][i] < y[0][i]
+                return (-1 if lt else 1) if asc else (1 if lt else -1)
+        return 0
+
+    keyed.sort(key=functools.cmp_to_key(cmp))
+    lo = offset
+    hi = len(keyed) if limit is None else lo + limit
+    return [k for k, _ in keyed[lo:hi]], Counter(s for _, s in keyed)
+
+
+def run_order_case(spark, seed, n_queries=2):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(19000 + seed)
+    data = gen_data_typed(rng)
+    store = _build_store_typed(spark, data)
+    for q in range(n_queries):
+        node = gen_order(rng, depth=3)
+        keys = node[2][0]
+        sparql = render_order(node)
+        want_keys, bag = ref_eval_order(node, data)
+        res = store.query(sparql)
+        got = []
+        for r in res.df.collect():          # collect preserves plan order
+            mu = {v: k for v in res.variables
+                  if (k := _key_typed(term_to_python(r[v]))) is not None}
+            got.append((tuple(_skey(mu.get(v)) for v, _ in keys),
+                        frozenset(mu.items())))
+        assert [k for k, _ in got] == want_keys, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"got keys ={[k for k, _ in got]}\nwant keys={want_keys}")
+        rows = Counter(s for _, s in got)
+        over = rows - bag
+        assert not over, (
+            f"seed={seed} q={q}\n{sparql}\nrows beyond the reference "
+            f"bag (bad tie rows or over-multiplicity): {over}")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_order_slice_differential(spark, seed):
+    run_order_case(spark, seed)
