@@ -112,43 +112,53 @@ BENCH_QUERIES = [
 ]
 
 
-# Per-query best-known times (sec, sf0.1, local[32]) — the round-7
-# DRIVER record (BENCH_r07.json "parsed", the round's official signal).
+# Per-query best-known times (sec, sf0.1, local[32]): elementwise MIN
+# over the r7 + r8 DRIVER records (BENCH_r0{7,8}.json "parsed", each
+# round's official signal) and the round-8 builder closing run for the
+# r8-new entries — min, not latest, because driver sessions themselves
+# drift (the r8 record ran ~1.5x slow on short queries; adopting it
+# wholesale would install pessimistic pins that mask regressions, the
+# round-8 ADVICE point). The round-9 fresh-session recheck (BASELINE.md
+# "Round-9: tripwire bisect") re-confirmed the builder floors it kept.
 # The original 2x bar against the pinned round-2 baseline (26.2 s
 # comparable) is now ~4.6x of current reality and can no longer catch a
 # real regression, so this table is the working tripwire: any query
 # >1.5x its best-known is listed on a DIAG line (diagnostic, not a
-# failure — documented environment drift is +/-20-30%, so an isolated
-# short-query hit is noise; a CLUSTER of hits is a plan regression).
-# Re-pin whenever a round's driver record improves a query.
+# failure — documented environment drift is +/-20-30% and whole
+# sessions can run with a ~0.1-0.2 s per-query floor shift that puts
+# every SHORT query over 1.5x at once; the discriminator is CONTROLS:
+# unflagged short queries elevated by the same ratio = drift, an
+# isolated heavy-query hit = plan regression to bisect, see
+# tools/tripwire_recheck.py). Re-pin whenever a round's driver record
+# improves a query.
 BEST_KNOWN = {
     "q1_pricing_summary": 1.625, "q2_join_region_filter": 0.135,
-    "q3_topk_revenue": 2.413, "q5_star_join": 1.21,
-    "q_optional_highqty": 0.519, "q_group_minmax_having": 0.254,
-    "q_events_by_type": 0.336, "q_path_kleene_plus": 1.32,
+    "q3_topk_revenue": 2.297, "q5_star_join": 1.21,
+    "q_optional_highqty": 0.464, "q_group_minmax_having": 0.254,
+    "q_events_by_type": 0.336, "q_path_kleene_plus": 1.076,
     "q_dedup_exact": 0.952, "q_dedup_minhash_lsh": 2.759,
     "q_ann_cosine_topk": 0.183, "q_text_stats": 0.106,
-    "q_text_top_words": 0.382, "q_events_sessionize": 0.236,
-    "q_ann_ivf": 0.373, "q_bsbm_explore_q4": 0.148,
-    "q_bsbm_explore_q5": 0.28, "q_bsbm_explore_q8": 0.761,
+    "q_text_top_words": 0.382, "q_events_sessionize": 0.227,
+    "q_ann_ivf": 0.172, "q_bsbm_explore_q4": 0.148,
+    "q_bsbm_explore_q5": 0.223, "q_bsbm_explore_q8": 0.761,
     "q_bsbm_bi_q3": 0.383, "q_bsbm_bi_q5": 1.053,
-    "q_windfarm_production": 0.644, "q_windfarm_grouped": 0.564,
+    "q_windfarm_production": 0.644, "q_windfarm_grouped": 0.522,
     "q_windfarm_minute10": 0.391, "q_bsbm_explore_q1": 0.095,
     "q_bsbm_explore_q2_empty": 0.372, "q_bsbm_explore_q2_nonempty": 0.267,
     "q_bsbm_explore_q3": 0.103, "q_bsbm_explore_q7": 0.861,
     "q_bsbm_explore_q9": 0.097, "q_bsbm_explore_q10": 0.236,
-    "q_bsbm_explore_q11": 0.335, "q_bsbm_explore_q12": 0.568,
-    "q_bsbm_bi_q1": 0.828, "q_bsbm_bi_q2": 0.281, "q_bsbm_bi_q4": 1.063,
-    "q_bsbm_bi_q6": 1.652, "q_bsbm_bi_q7": 0.56, "q_bsbm_bi_q8": 2.051,
-    "q_windfarm_production1": 0.491, "q_windfarm_production3": 0.544,
+    "q_bsbm_explore_q11": 0.272, "q_bsbm_explore_q12": 0.568,
+    "q_bsbm_bi_q1": 0.791, "q_bsbm_bi_q2": 0.281, "q_bsbm_bi_q4": 1.063,
+    "q_bsbm_bi_q6": 1.527, "q_bsbm_bi_q7": 0.491, "q_bsbm_bi_q8": 1.804,
+    "q_windfarm_production1": 0.491, "q_windfarm_production3": 0.488,
     "q_windfarm_production4": 0.618, "q_windfarm_grouped1": 0.437,
-    "q_windfarm_grouped2": 0.518, "q_windfarm_grouped4": 1.216,
-    "q_windfarm_multi1": 1.125, "q_windfarm_multi2": 1.16,
+    "q_windfarm_grouped2": 0.505, "q_windfarm_grouped4": 0.865,
+    "q_windfarm_multi1": 1.125, "q_windfarm_multi2": 1.076,
     "q_windfarm_multi3": 1.891, "q_windfarm_multi4": 0.954,
     "q_pii_scan": 0.112, "q_dedup_substring": 1.603,
-    # round-8 entries: provisional pins from the builder's closing SOLO
-    # runs (no driver record yet — replace with BENCH_r08 driver values
-    # when the round closes)
+    # r8-new entries: min(builder closing run, BENCH_r08 driver); the
+    # substring_removal floor was independently re-confirmed by the
+    # round-9 fresh-session recheck (1.561 vs the 1.53 pin)
     "q_dedup_substring_removal": 1.53, "q_text_tfidf_terms": 0.828,
     "q_text_bm25_topk": 1.065, "q_events_asof": 0.256,
     "q_events_interval_join": 0.172, "q_dedup_semantic": 1.003,
@@ -267,7 +277,8 @@ def main() -> None:
                  if n in BEST_KNOWN and t > TRIPWIRE_RATIO * BEST_KNOWN[n]}
         print("DIAG " + json.dumps(
             {"tripwire_ratio": TRIPWIRE_RATIO,
-             "tripwire_pin": "BENCH_r07 driver record",
+             "tripwire_pin": "min(BENCH_r07, BENCH_r08 driver records, "
+                             "r8 builder closing run)",
              "over_best_known": trips}))
 
     mix_n = 0
