@@ -107,16 +107,45 @@ def test_real_gated_rounds_parse():
     assert gated.get("q1_pricing_summary", 0) >= 2
 
 
-def test_rewritten_lsh_operators_requeue():
-    """Round-7 regression: dedup.py/similarity.py were rewritten in r7
-    after these queries' r4 gates — the derived order must put them
-    inside the driver's 50-query prefix until re-gated."""
+def _real_is_stale(name):
+    """Replicates order_registry's stale predicate against the live repo."""
     from rdf_fusion_spark import entry_queries as EQ
     gated = GO.gated_rounds()
+    if name in EQ._FORCE_REGATE:
+        return True
+    lg = gated.get(name, 0)
+    try:
+        changed = max((GO._module_round(m) for m in EQ._gate_modules(name)),
+                      default=0)
+    except Exception:
+        changed = 0
+    cur = GO.current_round()
+    return lg == 0 or changed > lg \
+        or (bool(cur) and cur - lg >= GO.MAX_GATE_AGE)
+
+
+def test_rewritten_lsh_operators_requeue():
+    """Round-7 regression: dedup.py/similarity.py were rewritten in r7
+    after these queries' r4 gates without the hand-list catching it. The
+    derived order must put EVERY stale query ahead of every fresh one
+    (least-recently-gated first), so a rewritten module's queries reach
+    the driver's gating prefix ahead of anything already certified.
+    (Not a hard `< 50`: when more than 50 queries are stale at once —
+    e.g. an engine change re-staling the whole SPARQL cohort — the
+    latest-gated stale tail legitimately waits a round.)"""
+    from rdf_fusion_spark import entry_queries as EQ
     names = list(EQ.queries())
+    stale = [i for i, n in enumerate(names) if _real_is_stale(n)]
+    fresh = [i for i, n in enumerate(names) if not _real_is_stale(n)]
+    if stale and fresh:
+        assert max(stale) < min(fresh)
+    gated = GO.gated_rounds()
     for q, mod in [("q_dedup_minhash_lsh", "rdf_fusion_spark/pipeline/dedup.py"),
                    ("q_ann_lsh", "rdf_fusion_spark/pipeline/similarity.py"),
                    ("q_dedup_embedding_cosine",
                     "rdf_fusion_spark/pipeline/similarity.py")]:
         if GO._module_round(mod) > gated.get(q, 0):
-            assert names.index(q) < 50, q
+            assert names.index(q) <= max(stale), q
+            # and never displaced by a LESS-recently-gated fresh query:
+            # everything before it is stale or gated no earlier
+            assert all(_real_is_stale(n) for n in names[:names.index(q)])
