@@ -190,28 +190,31 @@ def _expr_vars(e) -> set:
     return set()
 
 
+def _expr_vars(e) -> Optional[set]:
+    """Variables an ORDER BY expression references, or None when the
+    node is opaque (EXISTS / aggregates / unknown) and not analyzable."""
+    if isinstance(e, A.EVar):
+        return {e.name}
+    if isinstance(e, A.ETerm):
+        return set()
+    if isinstance(e, A.ECall):
+        out: set = set()
+        for a in e.args:
+            sub = _expr_vars(a)
+            if sub is None:
+                return None
+            out |= sub
+        return out
+    return None
+
+
 def _order_deferrable(conds: list, names: set) -> bool:
     """True iff every ORDER BY expression provably references only
     projected variables — then the sort may be deferred past the
     projection (and past an enclosing DISTINCT). Opaque expression nodes
     (EXISTS, aggregates) are conservatively non-deferrable."""
-    def walk(e) -> Optional[set]:
-        if isinstance(e, A.EVar):
-            return {e.name}
-        if isinstance(e, A.ETerm):
-            return set()
-        if isinstance(e, A.ECall):
-            out: set = set()
-            for a in e.args:
-                sub = walk(a)
-                if sub is None:
-                    return None
-                out |= sub
-            return out
-        return None  # EExists / AggCall / unknown: not analyzable
-
     for c in conds:
-        vs = walk(c.expr)
+        vs = _expr_vars(c.expr)
         if vs is None or vs - names:
             return False
     return True
@@ -1878,9 +1881,21 @@ def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
     # rows first and the sort is applied after (the spec's order-preserving
     # DISTINCT — a Spark dropDuplicates after an orderBy destroys the
     # order, which mis-cut a LIMIT under SELECT DISTINCT ... ORDER BY).
+    # A sort variable bound NOWHERE in the solution is different from a
+    # dropped one: it compiles to a constant NULL key at ANY stage, so it
+    # cannot affect order and must not force the pre-projection sort —
+    # under DISTINCT that put the whole Sort below the Deduplicate, where
+    # Catalyst eliminates it, destroying the REAL keys' order too (fuzz
+    # r9 seeds 60/78: SELECT DISTINCT * ... ORDER BY ?never_bound ?b).
     pending = sol.pending_order
-    if pending and not _order_deferrable(pending, set(names)):
-        sol = _apply_order(sol, ctx)
+    if pending:
+        phantom = set()
+        for c in pending:
+            vs = _expr_vars(c.expr)
+            if vs is not None:
+                phantom |= {v for v in vs if v not in sol.maybe}
+        if not _order_deferrable(pending, set(names) | phantom):
+            sol = _apply_order(sol, ctx)
     cols = [
         (sol.df[n].alias(n) if n in sol.maybe else NULL_TERM().alias(n))
         for n in names

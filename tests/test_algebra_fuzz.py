@@ -767,14 +767,22 @@ def _value_eq(lv, rv):
     """SPARQL '=' result for two bound terms: True / False / None
     (type error). Operator mapping: numeric pair -> value comparison
     (so "01"^^xsd:integer = "1"^^xsd:integer is TRUE with different
-    terms); xsd:string pair -> codepoint compare; everything else falls
-    to RDFterm-equal: same term TRUE, two non-identical literals with
-    no value comparison (lang tags, mixed kinds) ERROR, else FALSE."""
+    terms); xsd:string pair -> codepoint compare; TWO lang-tagged
+    literals -> (value, language) pair comparison, matching the
+    reference engine (equal.rs partial_cmp -> typed_value.rs:193-199
+    compares two LanguageStringLiterals, returning false — NOT a type
+    error — when they differ; fuzz r9 seed 135 caught this evaluator
+    reading the stricter RDFterm-equal erratum instead); everything
+    else falls to RDFterm-equal: same term TRUE, two non-identical
+    literals with no value comparison (lang vs plain, mixed kinds)
+    ERROR, else FALSE."""
     if lv == rv:
         return True
     k1, k2 = lv[0], rv[0]
     if k1 == "ti" and k2 == "ti":
         return int(lv[1]) == int(rv[1])
+    if k1 == "lt" and k2 == "lt":
+        return False  # lv != rv already known
     if k1 == "i" or k2 == "i":
         return False
     if k1 == "l" and k2 == "l":
@@ -814,8 +822,14 @@ def ref_eval_typed(node, data):
             if eq is not None and eq != neg:
                 out.append(mu)
         return out
-    if node[0] in ("join", "leftjoin", "union", "minus") \
-            and node[2][0] != "filter_eq":
+    # LeftJoin with a filter_eq RIGHT child is OPTIONAL { P FILTER E }
+    # (the 18.2.2.2 merged-scope shape) — the generator never produces
+    # it in this layer. For join/union/minus a filter_eq child is just a
+    # filtered group and MUST stay in typed evaluation: falling through
+    # to the untyped ref_eval evaluated the typed FILTER with plain
+    # tuple-equality semantics (fuzz r9 seed 39 — the ENGINE was right).
+    if node[0] in ("join", "union", "minus") or (
+            node[0] == "leftjoin" and node[2][0] != "filter_eq"):
         a = ref_eval_typed(node[1], data)
         b = ref_eval_typed(node[2], data)
         if node[0] == "join":
@@ -1094,4 +1108,25 @@ def run_order_case(spark, seed, n_queries=2):
 
 @pytest.mark.parametrize("seed", range(12))
 def test_order_slice_differential(spark, seed):
+    run_order_case(spark, seed)
+
+
+@pytest.mark.parametrize("seed", [135])
+def test_agg_lang_literal_neq_seed(spark, seed):
+    """Pinned from the r9 sweep: FILTER(?a != "v0"@en) with ?a bound to
+    "v1"@en — the reference engine compares two lang-tagged literals by
+    (value, language) and returns false/true, NOT a type error
+    (equal.rs -> typed_value.rs:193); the row survives the != filter."""
+    run_agg_case(spark, seed)
+
+
+@pytest.mark.parametrize("seed", [39, 60, 78])
+def test_order_slice_sweep_seeds(spark, seed):
+    """Pinned from the r9 sweep. 60/78: REAL ENGINE BUG — ORDER BY with
+    a never-bound variable forced the sort below the DISTINCT
+    Deduplicate, where Catalyst eliminates it, losing the bound keys'
+    order too (fixed in translator._translate_project: phantom sort
+    vars compile to constant keys at any stage and never force the
+    pre-projection sort). 39: evaluator bug — a filter_eq UNION branch
+    fell back to untyped evaluation (the engine was right)."""
     run_order_case(spark, seed)
