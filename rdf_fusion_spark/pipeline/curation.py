@@ -45,13 +45,18 @@ def word_ngrams(text: Column, n: int) -> Column:
     Guarded for texts shorter than n words (Spark's `sequence(1, 0)`
     counts DOWN rather than returning an empty array).
     """
-    w = F.split(text, " ")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.size(w) - (n - 1)),
-        lambda i: F.array_join(F.slice(w, i, n), " "),
-    )
-    return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
-        F.array().cast("array<string>"))
+    # let-bind the split via a 1-element transform: referencing it from
+    # the per-gram lambda re-ran the split per element (no CSE through
+    # HOF lambdas — dedup.shingles_col's round-9 fix)
+    def grams_of(w: Column) -> Column:
+        grams = F.transform(
+            F.sequence(F.lit(1), F.size(w) - (n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )
+        return F.when(F.size(w) >= n, F.array_distinct(grams)).otherwise(
+            F.array().cast("array<string>"))
+
+    return F.transform(F.array(F.split(text, " ")), grams_of)[0]
 
 
 def decontaminate(

@@ -52,15 +52,25 @@ def shingles_col(text: Column, n: int = 2) -> Column:
     Docs shorter than n words yield an EMPTY array: F.sequence(1, end)
     auto-descends when end < 1 (producing indices 0, -1, … that crash
     element_at), so the window list is guarded — matching DuckDB's
-    generate_series(1, 0) = []."""
-    w = words_col(text)
-    idx = F.when(F.size(w) >= n,
-                 F.sequence(F.lit(1), F.size(w) - (n - 1))) \
-        .otherwise(F.array().cast("array<int>"))
-    gram = F.transform(
-        idx, lambda i: F.concat_ws(" ", *[F.element_at(w, i + j) for j in range(n)])
-    )
-    return F.array_distinct(gram)
+    generate_series(1, 0) = [].
+
+    The word array is let-bound via a transform over a 1-element array:
+    codegen does NOT subexpression-eliminate through higher-order-
+    function lambdas, so referencing `words_col(text)` directly inside
+    the per-gram lambda re-ran the regex split for EVERY element_at —
+    O(words²) per doc, 2.47 s of q_dedup_minhash_lsh's 2.73 s signature
+    stage at sf0.1; the lambda-var binding evaluates it once per row
+    (0.50 s, identical output — BASELINE.md round-9 profile)."""
+    def from_words(w: Column) -> Column:
+        idx = F.when(F.size(w) >= n,
+                     F.sequence(F.lit(1), F.size(w) - (n - 1))) \
+            .otherwise(F.array().cast("array<int>"))
+        gram = F.transform(
+            idx, lambda i: F.concat_ws(
+                " ", *[F.element_at(w, i + j) for j in range(n)]))
+        return F.array_distinct(gram)
+
+    return F.transform(F.array(words_col(text)), from_words)[0]
 
 
 def exact_dedup_groups(df: DataFrame, text_col: str = "text",
@@ -535,15 +545,23 @@ def shared_window_pairs(df: DataFrame, k: int = WINDOW_TOKENS,
 def _positional_windows_col(tokens, k: int):
     """Array<struct<pos:int, win:string>> of ALL k-token windows with
     their 1-based start positions (no dedup — the transform below needs
-    every occurrence's position, unlike shingles_col)."""
-    idx = F.when(F.size(tokens) >= k,
-                 F.sequence(F.lit(1), F.size(tokens) - (k - 1))) \
-        .otherwise(F.array().cast("array<int>"))
-    return F.transform(
-        idx, lambda i: F.struct(
-            i.alias("pos"),
-            F.concat_ws(" ", *[F.element_at(tokens, i + j)
-                               for j in range(k)]).alias("win")))
+    every occurrence's position, unlike shingles_col).
+
+    `tokens` is let-bound through a 1-element transform so an expression
+    argument (words_col's regex split) is evaluated once per row, not
+    once per element_at inside the lambda (shingles_col's round-9 fix;
+    codegen does no CSE through higher-order-function lambdas)."""
+    def from_tokens(tk: Column) -> Column:
+        idx = F.when(F.size(tk) >= k,
+                     F.sequence(F.lit(1), F.size(tk) - (k - 1))) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx, lambda i: F.struct(
+                i.alias("pos"),
+                F.concat_ws(" ", *[F.element_at(tk, i + j)
+                                   for j in range(k)]).alias("win")))
+
+    return F.transform(F.array(tokens), from_tokens)[0]
 
 
 def remove_shared_windows(df: DataFrame, k: int = WINDOW_TOKENS,

@@ -52,16 +52,22 @@ def with_repetition_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
     boilerplate/loop-generation signal (near-0 for prose, →1 for
     template spam and decoding loops). Pure column expressions; one
     pass, no shuffle."""
-    words = words_col(F.col(text_col))
-    n = F.size(words)
-    # guard: sequence(1, 0) counts DOWN in Spark, producing invalid
-    # element_at indices for 1-word docs (ANSI mode raises)
-    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
-        .otherwise(F.array().cast("array<int>"))
-    bigrams = F.transform(
-        idx,
-        lambda i: F.concat_ws(" ", F.element_at(words, i),
-                              F.element_at(words, i + 1)))
+    # words is let-bound via a 1-element transform: referencing the regex
+    # split inside the bigram lambda re-ran it per element (no CSE
+    # through HOF lambdas — dedup.shingles_col's round-9 fix, 4.9x)
+    def bigrams_of(words: Column) -> Column:
+        n = F.size(words)
+        # guard: sequence(1, 0) counts DOWN in Spark, producing invalid
+        # element_at indices for 1-word docs (ANSI mode raises)
+        idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(
+            idx,
+            lambda i: F.concat_ws(" ", F.element_at(words, i),
+                                  F.element_at(words, i + 1)))
+
+    bigrams = F.transform(F.array(words_col(F.col(text_col))),
+                          bigrams_of)[0]
     total = F.size(bigrams)
     rep = F.when(total > 0,
                  1.0 - F.size(F.array_distinct(bigrams)).cast("double")
