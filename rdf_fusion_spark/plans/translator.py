@@ -619,6 +619,9 @@ def translate(p, ctx: Ctx) -> Solution:
     if isinstance(p, A.Project):
         return _translate_project_cse(p, ctx)
     if isinstance(p, A.Distinct):
+        res = _translate_distinct_ordered(p, ctx)
+        if res is not None:
+            return res
         sol = translate(p.inner, ctx)
         return replace(sol, df=_dedupe_normalized(sol))
     if isinstance(p, A.Reduced):
@@ -1872,8 +1875,88 @@ def _persist_shared_subquery(key, p: A.Project, sol: Solution,
         pass
 
 
-def _translate_project(p: A.Project, ctx: Ctx) -> Solution:
-    sol = translate(p.inner, ctx)
+def _translate_distinct_ordered(p: A.Distinct, ctx: Ctx) -> Optional[Solution]:
+    """SELECT DISTINCT whose ORDER BY references projected-away (hidden)
+    variables — the one shape where "sort pre-projection, then
+    dropDuplicates" is wrong: Spark's hash distinct destroys the row
+    order entirely (and Catalyst eliminates the Sort below it), so an
+    OFFSET/LIMIT above sliced arbitrary rows.
+
+    The spec's modifier sequence is OrderBy -> Project -> Distinct ->
+    Slice, with Distinct keeping the FIRST occurrence of each projected
+    row in the ordered sequence. First occurrence of a visible row =
+    the minimal (ascending; maximal for descending) hidden sort key
+    among its originating solutions — so: materialize the ORDER BY keys
+    into one struct pre-projection, aggregate min/max(struct) per
+    distinct visible row (hash agg, no window, scale-shaped), and
+    re-sort on the representative key. Spark's struct comparator puts
+    NULL fields first, matching asc_nulls_first per key (and reversed
+    under desc, matching desc_nulls_last).
+
+    Returns None — caller uses the plain dedupe path — unless the shape
+    is Distinct(Project(OrderBy(...))). Inside the shape, a deferrable
+    ORDER BY or a mixed ASC/DESC one (no single-struct min exists for a
+    mixed comparator) falls back to the normal project+dedupe WITHOUT
+    re-translating the inner pattern (a second translate would re-run
+    build-time work like the Kleene fixpoint)."""
+    prj = p.inner
+    if not isinstance(prj, A.Project) or not isinstance(prj.inner, A.OrderBy):
+        return None
+    names = [v.name for v in prj.variables]
+    sol = translate(prj.inner, ctx)
+    pending = sol.pending_order
+
+    def fallback() -> Solution:
+        psol = _translate_project(prj, ctx, sol=sol)
+        return replace(psol, df=_dedupe_normalized(psol))
+
+    if not pending:
+        return fallback()
+    phantom = set()
+    for c in pending:
+        vs = _expr_vars(c.expr)
+        if vs is not None:
+            phantom |= {v for v in vs if v not in sol.maybe}
+    if _order_deferrable(pending, set(names) | phantom):
+        return fallback()
+    dirs = {c.ascending for c in pending}
+    if len(dirs) != 1:
+        return fallback()
+    asc = dirs.pop()
+    it = Interner(sol.df, ctx)
+    with B.intern_scope(it), tv.lazy_lexicals():
+        keys = [it(sort_key(compile_term_expr(c.expr, sol, ctx)))
+                for c in pending]
+    ord_name = ctx.fresh("ord")
+    df = it.df.withColumn(
+        ord_name, F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)]))
+    cols = [(df[n].alias(n) if n in sol.maybe else NULL_TERM().alias(n))
+            for n in names]
+    vis = df.select(*cols, F.col(ord_name))
+    out_sol = Solution(
+        df=vis, bound=sol.bound & set(names), maybe=set(names),
+        kinds={v: k for v, k in sol.kinds.items()
+               if v in names and v in sol.maybe},
+        expensive=sol.expensive & set(names))
+    dd_keys = sorted(out_sol.maybe)
+    if dd_keys:
+        repl = {c: tv.materialize_lexical(tv.tag(vis[c], out_sol.kinds.get(c)))
+                for c in dd_keys}
+        dd = vis.withColumns(repl)
+        rep = (F.min if asc else F.max)(F.col(ord_name)).alias(ord_name)
+        dd = dd.groupBy(*[F.col(c) for c in dd_keys]).agg(rep)
+    else:
+        dd = vis.limit(1)
+    key = F.col(ord_name).asc_nulls_first() if asc \
+        else F.col(ord_name).desc_nulls_last()
+    return replace(out_sol, df=dd.orderBy(key).drop(ord_name),
+                   pending_order=[])
+
+
+def _translate_project(p: A.Project, ctx: Ctx,
+                       sol: Optional[Solution] = None) -> Solution:
+    if sol is None:
+        sol = translate(p.inner, ctx)
     names = [v.name for v in p.variables]
     # ORDER BY whose expressions reference variables the projection DROPS
     # must sort pre-projection (the narrow select preserves row order).

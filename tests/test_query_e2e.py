@@ -342,3 +342,39 @@ def test_illformed_datetime_values_not_certainly_bound(spiderman):
     # well-formed row: YEAR = 2020 -> joins 2020 only
     assert got == {("nope", "2019"), ("nope", "2020"),
                    ("2020-05-05T00:00:00", "2020")}
+
+
+def test_distinct_hidden_order_keys_first_occurrence(spark):
+    """SELECT DISTINCT with ORDER BY on a projected-away variable: the
+    spec sequence is OrderBy -> Project -> Distinct(keep FIRST
+    occurrence) -> Slice, so each distinct visible row sorts at its
+    best (min for ASC / max for DESC) hidden key — previously the hash
+    distinct destroyed the order entirely and LIMIT sliced arbitrary
+    rows (translator._translate_distinct_ordered, round 9)."""
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+    from rdf_fusion_spark.terms import XSD_INTEGER
+    EX = "http://example.org/"
+
+    def I(x):
+        return NamedNode(EX + x)
+
+    quads = [
+        (None, I("a1"), I("name"), Literal("n1")),
+        (None, I("a1"), I("score"), Literal("5", XSD_INTEGER)),
+        (None, I("a2"), I("name"), Literal("n2")),
+        (None, I("a2"), I("score"), Literal("3", XSD_INTEGER)),
+        (None, I("a3"), I("name"), Literal("n1")),
+        (None, I("a3"), I("score"), Literal("10", XSD_INTEGER)),
+    ]
+    store = GraphStore.from_python_quads(spark, quads).cached()
+    tpl = ("SELECT DISTINCT ?name WHERE { ?x <%sname> ?name . "
+           "?x <%sscore> ?score } ORDER BY %%s LIMIT %%d" % (EX, EX))
+    for order, limit, want in [
+        ("?score", 2, ["n2", "n1"]),        # n2 first: min key 3 < 5
+        ("DESC(?score)", 2, ["n1", "n2"]),  # n1 first: max key 10 > 3
+        ("?score", 1, ["n2"]),
+        ("DESC(?score)", 1, ["n1"]),
+    ]:
+        rows = [r["name"].v
+                for r in store.query(tpl % (order, limit)).df.collect()]
+        assert rows == want, (order, limit, rows)
