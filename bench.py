@@ -109,6 +109,9 @@ BENCH_QUERIES = [
     "q_events_asof",
     "q_events_interval_join",
     "q_dedup_semantic",
+    # round 9: incremental dedup of a new batch against a prebuilt
+    # corpus index (dedup.py minhash_index + dedup_against_index)
+    "q_dedup_incremental",
 ]
 
 

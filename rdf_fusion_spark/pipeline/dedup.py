@@ -192,6 +192,20 @@ LSH_BUCKET_CAP = 4096
 _log = __import__("logging").getLogger(__name__)
 
 
+def _fused_band_keys() -> Column:
+    """One FUSED 64-bit bucket key per band over a signature row
+    (columns s0..s{k-1}): xxhash64 of (band index, the band's signature
+    rows). A single 8-byte shuffle/join key instead of an (int, string)
+    pair — measured 4.5x on the SimHash membership self-join (BASELINE
+    round 7). A 64-bit bucket collision can only ADD a candidate pair,
+    and every candidate is verified by exact Jaccard downstream."""
+    return F.array(*[
+        F.xxhash64(F.lit(i), *[F.col(f"s{i * ROWS_PER_BAND + r}")
+                               for r in range(ROWS_PER_BAND)])
+        for i in range(NUM_BANDS)
+    ])
+
+
 def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
                       id_col: str = "doc_id",
                       bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
@@ -229,11 +243,7 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     # bucket collision can only ADD a candidate pair, and every
     # candidate is verified by exact Jaccard below, so correctness is
     # unaffected.
-    bands = F.array(*[
-        F.xxhash64(F.lit(i), *[F.col(f"s{i * ROWS_PER_BAND + r}")
-                               for r in range(ROWS_PER_BAND)])
-        for i in range(NUM_BANDS)
-    ])
+    bands = _fused_band_keys()
     # Bucket join carries ONLY (id, bucket) — never the shingle arrays.
     # At corpus scale the shingles are the dominant payload; exploding
     # them b× and shuffling them through the self-join would amplify the
@@ -292,6 +302,82 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     )
     j = _jaccard(F.col("sh_a"), F.col("sh_b"))
     return (cand.select("id_a", "id_b", j.alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def minhash_index(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Reusable near-duplicate corpus index: one row per document —
+    (id, sh, s0..s{k-1}) shingle set + minhash signature. Build it ONCE
+    over the existing corpus and persist it (a parquet table at scale);
+    dedup_against_index then re-derives the 8-byte band keys from the
+    signature columns, so every future batch pays only ITS OWN text
+    scan — the corpus text is never re-read. The incremental-crawl
+    dedup shape: index yesterday's 100 TB once, dedup each day's
+    delta against it."""
+    return minhash_signature(df, text_col, id_col)
+
+
+def dedup_against_index(new_df: DataFrame, index: DataFrame,
+                        threshold: float, text_col: str = "text",
+                        id_col: str = "doc_id",
+                        bucket_cap: int | None = LSH_BUCKET_CAP) -> DataFrame:
+    """Incremental near-dedup: (new_id, corpus_id, jaccard) pairs of a
+    NEW document batch against an EXISTING corpus index
+    (minhash_index / minhash_signature output), jaccard >= threshold.
+
+    Asymmetric by design: duplicates WITHIN the new batch are not
+    reported (compose with minhash_lsh_pairs(new_df) for those), and a
+    document whose id appears in both inputs never matches itself.
+    Same LSH contract as minhash_lsh_pairs: banded candidates, exact
+    shingle-Jaccard verification, so a band-key collision can only add
+    a verified-away candidate.
+
+    Plan shape at scale: the batch is scanned once for signatures; the
+    candidate join moves only (id, 8-byte band key) pairs; corpus
+    shingle arrays are fetched by id-equi-join for candidates ONLY.
+    `bucket_cap` bounds the INDEX side of each band bucket (boilerplate
+    mega-buckets live in the corpus) with the standard exact
+    dropped-mass log."""
+    from pyspark import StorageLevel
+    sig = minhash_signature(new_df, text_col, id_col) \
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    # eager: the cap gate below scans the INDEX side, not sig, so sig's
+    # cache must be materialized in one job before the band join and the
+    # verify join race to compute the same blocks (minhash_lsh_pairs
+    # policy)
+    sig.count()
+    nb = sig.select(F.col("id").alias("new_id"),
+                    F.explode(_fused_band_keys()).alias("bk"))
+    ib = index.select(F.col("id").alias("corpus_id"),
+                      F.explode(_fused_band_keys()).alias("bk"))
+    if bucket_cap is not None:
+        big = (ib.groupBy("bk").count()
+               .where(F.col("count") > bucket_cap))
+        if big.head(1):
+            from pyspark.sql import Window
+            w = Window.partitionBy("bk").orderBy("corpus_id")
+            ranked = ib.withColumn("__rn", F.row_number().over(w)) \
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
+            if n_dropped:
+                _log.warning(
+                    "dedup_against_index: %d (corpus doc, band) bucket "
+                    "memberships beyond the %d-per-bucket cap were "
+                    "dropped (boilerplate-heavy corpus index; run exact "
+                    "dedup upstream)", n_dropped, bucket_cap)
+            ib = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn") \
+                .localCheckpoint(eager=True)
+            ranked.unpersist()
+    cand = (nb.join(ib, "bk")
+            .where(F.col("new_id") != F.col("corpus_id"))
+            .select("new_id", "corpus_id").distinct())
+    cand = (cand.join(sig.select(F.col("id").alias("new_id"),
+                                 F.col("sh").alias("sh_n")), "new_id")
+            .join(index.select(F.col("id").alias("corpus_id"),
+                               F.col("sh").alias("sh_c")), "corpus_id"))
+    j = _jaccard(F.col("sh_n"), F.col("sh_c"))
+    return (cand.select("new_id", "corpus_id", j.alias("jaccard"))
             .where(F.col("jaccard") >= threshold))
 
 

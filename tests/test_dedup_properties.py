@@ -66,3 +66,73 @@ def test_remove_shared_windows_matches_reference(spark, mode, corpus):
          r["n_removed_tokens"])
         for r in remove_shared_windows(df, k=K, mode=mode).collect())
     assert got == sorted(_reference(corpus, mode))
+
+
+def test_dedup_against_index_matches_full_lsh_cross_pairs(spark):
+    """Incremental dedup (batch vs corpus index) must report EXACTLY the
+    cross (batch, corpus) pairs that a full minhash_lsh_pairs over the
+    union reports — same bands, same exact-Jaccard verification."""
+    from rdf_fusion_spark.pipeline.dedup import (
+        dedup_against_index, minhash_index, minhash_lsh_pairs)
+    base = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "completely different text about spark distributed engines",
+        "the quick brown fox jumps over the lazy dog",   # exact dup
+        "yet another unrelated string of words here now",
+    ]
+    rows = [(i, t) for i, t in enumerate(base)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = df.where("doc_id % 2 = 0")
+    batch = df.where("doc_id % 2 = 1")
+    got = {(r.new_id, r.corpus_id, round(r.jaccard, 9)) for r in
+           dedup_against_index(batch, minhash_index(corpus), 0.5).collect()}
+    full = minhash_lsh_pairs(df, 0.5).collect()
+    corpus_ids = {0, 2, 4, 6}
+    want = set()
+    for r in full:
+        a, b = r.id_a, r.id_b
+        if (a in corpus_ids) != (b in corpus_ids):
+            new, old = (a, b) if b in corpus_ids else (b, a)
+            want.add((new, old, round(r.jaccard, 9)))
+    assert got == want and want, (got, want)
+
+
+def test_dedup_against_index_excludes_self_and_batch_pairs(spark):
+    """A doc id present in both inputs never matches itself, and
+    batch-internal duplicates are not reported (asymmetric contract)."""
+    from rdf_fusion_spark.pipeline.dedup import (
+        dedup_against_index, minhash_index)
+    t = "some shared duplicate text appearing in many documents today"
+    corpus = spark.createDataFrame([(1, t), (2, "unrelated words entirely "
+                                    "about other topics")],
+                                   "doc_id long, text string")
+    batch = spark.createDataFrame([(1, t), (3, t), (4, t)],
+                                  "doc_id long, text string")
+    got = {(r.new_id, r.corpus_id) for r in
+           dedup_against_index(batch, minhash_index(corpus), 0.9).collect()}
+    # every batch doc matches corpus doc 1 EXCEPT doc 1 itself; the
+    # (3, 4) batch-internal pair is absent
+    assert got == {(3, 1), (4, 1)}, got
+
+
+def test_dedup_against_index_bucket_cap_logs(spark, caplog):
+    import logging
+    from rdf_fusion_spark.pipeline.dedup import (
+        dedup_against_index, minhash_index)
+    t = "identical boilerplate text repeated across the whole corpus"
+    corpus = spark.createDataFrame([(i, t) for i in range(30)],
+                                   "doc_id long, text string")
+    batch = spark.createDataFrame([(100, t)], "doc_id long, text string")
+    with caplog.at_level(logging.WARNING,
+                         logger="rdf_fusion_spark.pipeline.dedup"):
+        got = {r.corpus_id for r in
+               dedup_against_index(batch, minhash_index(corpus), 0.9,
+                                   bucket_cap=5).collect()}
+    # only the 5 lowest-id corpus members per bucket survive as
+    # candidates; the dropped mass is logged exactly
+    assert got == {0, 1, 2, 3, 4}, got
+    assert any("beyond the 5-per-bucket cap" in r.message
+               for r in caplog.records)
