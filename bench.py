@@ -159,10 +159,14 @@ BEST_KNOWN = {
     "q_windfarm_multi1": 1.125, "q_windfarm_multi2": 1.076,
     "q_windfarm_multi3": 1.891, "q_windfarm_multi4": 0.954,
     "q_pii_scan": 0.112, "q_dedup_substring": 1.603,
-    # r8-new entries: min(builder closing run, BENCH_r08 driver); the
-    # substring_removal floor was independently re-confirmed by the
-    # round-9 fresh-session recheck (1.561 vs the 1.53 pin)
-    "q_dedup_substring_removal": 1.53, "q_text_tfidf_terms": 0.828,
+    # r8-new entries: min(builder closing run, BENCH_r08 driver).
+    # substring_removal re-pinned after the round-9 HOF-lambda fix
+    # (BASELINE.md round-9 profile): fresh-session min-of-3 1.009, a
+    # second drifted-session run 1.2 — both under the old 1.53 floor.
+    # q_dedup_incremental and q_stream_running_totals (r9-new) carry NO
+    # pin until the BENCH_r09 driver record lands (the r8 ADVICE point:
+    # provisional pins either false-alarm or mask).
+    "q_dedup_substring_removal": 1.009, "q_text_tfidf_terms": 0.828,
     "q_text_bm25_topk": 1.065, "q_events_asof": 0.256,
     "q_events_interval_join": 0.172, "q_dedup_semantic": 1.003,
 }

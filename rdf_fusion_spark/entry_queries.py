@@ -1640,6 +1640,12 @@ def _pipeline_oracles() -> dict[str, str]:
         FROM events
         GROUP BY 1, 2, 3
         """,
+        "q_stream_running_totals": """
+        SELECT user_id, COUNT(*)::BIGINT AS n_events,
+               ROUND(SUM(COALESCE(value, 0))::DOUBLE, 6) AS total_value
+        FROM events
+        GROUP BY user_id
+        """,
         "q_events_sessionize": f"""
         WITH s AS (
           SELECT user_id, ts,
@@ -4148,6 +4154,54 @@ def _pipe_stream_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"))
 
 
+def _pipe_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful streaming operator end-to-end: readStream(parquet)
+    → applyInPandasWithState running per-user totals (streaming/events.py
+    running_user_totals: Arrow-batched GroupState, update mode) →
+    availableNow drain into a memory sink. On the driver's static input
+    the FINAL state per user equals the plain batch aggregate, so a
+    DuckDB GROUP BY is the oracle — the applyInPandasWithState path gets
+    a full hash gate, not just local tests. total_value is rounded to
+    1e-6 on both sides: pandas and DuckDB sum the same float64 values in
+    different orders (~1e-13 relative drift)."""
+    import tempfile
+    import uuid
+
+    from .sources.relational import _nanos_ts_columns, configure_session
+    from .streaming.events import (
+        EVENT_SCHEMA,
+        run_to_memory,
+        running_user_totals,
+    )
+
+    configure_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    nanos = set(_nanos_ts_columns(path))
+    from pyspark.sql import types as T
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name in nanos else f.dataType)
+        for f in EVENT_SCHEMA.fields
+    ]
+    stream = (spark.readStream.schema(T.StructType(fields))
+              .option("pathGlobFilter", "events.parquet")
+              .option("recursiveFileLookup", "false")
+              .parquet(sf_dir))
+    for c in nanos:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    out = running_user_totals(stream.select("user_id", "ts", "value"))
+    name = f"stream_totals_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, tempfile.mkdtemp(prefix="rfs_ckpt_"),
+                  output_mode="update")
+    # update mode emits one row per (user, micro-batch); the FINAL state
+    # is the emission with the highest running count
+    final = (spark.table(name)
+             .groupBy("user_id")
+             .agg(F.max(F.struct("n_events", "total_value")).alias("m")))
+    return final.select(
+        "user_id", F.col("m.n_events").cast("long").alias("n_events"),
+        F.round(F.col("m.total_value"), 6).alias("total_value"))
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": _pipe_text_stats,
     "q_text_language_id": _pipe_language_id,
@@ -4172,6 +4226,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_events_interval_join": _pipe_events_interval,
     "q_curation_topk_quality": _pipe_curation_topk,
     "q_stream_event_counts": _pipe_stream_event_counts,
+    "q_stream_running_totals": _pipe_stream_running_totals,
     "q_multimodal_features": _pipe_multimodal_features,
     "q_events_json_props": _pipe_events_json,
     "q_embedding_norms": _pipe_embedding_norms,
@@ -4222,7 +4277,7 @@ _NOT_CACHEABLE = {
     "q_path_kleene_plus", "q_path_kleene_bound",
     # availableNow stream drain side-effects at build; each invocation
     # must re-drain the stream
-    "q_stream_event_counts",
+    "q_stream_event_counts", "q_stream_running_totals",
     # eager persist barrier (signature table) / label-propagation loop /
     # corpus-size guard count run Spark jobs at build — their bench time
     # must include that work every invocation
@@ -4341,7 +4396,7 @@ _FORCE_REGATE: set[str] = {"q_events_interval_join", "q_dedup_semantic"}
 
 
 def _gate_modules(name: str) -> tuple[str, ...]:
-    if name == "q_stream_event_counts":
+    if name in ("q_stream_event_counts", "q_stream_running_totals"):
         return ("rdf_fusion_spark/streaming",)
     if name in _PIPELINE_MODULE_MAP:
         mod = _PIPELINE_MODULE_MAP[name]

@@ -96,6 +96,7 @@ PIPELINE_SCALE_SAFE = [
     "q_events_asof",
     "q_events_interval_join",
     "q_curation_topk_quality",
+    "q_dedup_incremental",
 ]
 
 
