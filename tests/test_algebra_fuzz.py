@@ -1217,3 +1217,81 @@ def run_order_proj_case(spark, seed, n_queries=2):
 @pytest.mark.parametrize("seed", range(12))
 def test_order_hidden_projection_differential(spark, seed):
     run_order_proj_case(spark, seed)
+
+
+# --------------------- modifiers over the FULL generator (kitchen sink)
+#
+# Round-9 layer #4: ORDER BY / DISTINCT / LIMIT / OFFSET wrapped around
+# gen_tree_full — paths (incl. negated property sets), BIND, sub-SELECT,
+# VALUES, EXISTS, MINUS — over the untyped data model. Hunts
+# interactions between the modifier machinery (deferrable-order
+# analysis, order-preserving DISTINCT, TakeOrdered) and every other
+# operator, which the typed order layer (plain BGP trees) cannot reach.
+
+def _skey_untyped(t):
+    if t is None:
+        return (-1, "")
+    if t[0] == "i":
+        return (1, t[1])
+    return (5, t[1])  # plain literal (xsd:string class)
+
+
+def gen_order_full(rng, depth):
+    a = gen_tree_full(rng, depth)
+    nk = rng.randrange(1, 3)
+    keys = [(v, rng.random() < 0.5) for v in rng.sample(VARS, nk)]
+    distinct = rng.random() < 0.4
+    limit = rng.choice([None, 0, 2, 4, 7])
+    offset = rng.choice([0, 0, 0, 1, 3])
+    return ("order", a, (keys, distinct, limit, offset))
+
+
+def ref_eval_order_full(node, data):
+    import functools
+    keys, distinct, limit, offset = node[2]
+    sols = [frozenset(mu.items()) for mu in ref_eval(node[1], data)]
+    if distinct:
+        sols = list(dict.fromkeys(sols))
+    keyed = [(tuple(_skey_untyped(dict(s).get(v)) for v, _ in keys), s)
+             for s in sols]
+
+    def cmp(x, y):
+        for i, (_, asc) in enumerate(keys):
+            if x[0][i] != y[0][i]:
+                lt = x[0][i] < y[0][i]
+                return (-1 if lt else 1) if asc else (1 if lt else -1)
+        return 0
+
+    keyed.sort(key=functools.cmp_to_key(cmp))
+    lo = offset
+    hi = len(keyed) if limit is None else lo + limit
+    return [k for k, _ in keyed[lo:hi]], Counter(s for _, s in keyed)
+
+
+def run_order_full_case(spark, seed, n_queries=2):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(23000 + seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    for q in range(n_queries):
+        node = gen_order_full(rng, depth=3)
+        keys = node[2][0]
+        sparql = render_order(node)
+        want_keys, bag = ref_eval_order_full(node, data)
+        res = store.query(sparql)
+        got = []
+        for r in res.df.collect():
+            mu = {v: k for v in res.variables
+                  if (k := _key(term_to_python(r[v]))) is not None}
+            got.append((tuple(_skey_untyped(mu.get(v)) for v, _ in keys),
+                        frozenset(mu.items())))
+        assert [k for k, _ in got] == want_keys, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"got keys ={[k for k, _ in got]}\nwant keys={want_keys}")
+        over = Counter(s for _, s in got) - bag
+        assert not over, f"seed={seed} q={q}\n{sparql}\nover: {over}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_order_full_differential(spark, seed):
+    run_order_full_case(spark, seed)
