@@ -1646,6 +1646,32 @@ def _pipeline_oracles() -> dict[str, str]:
         FROM events
         GROUP BY user_id
         """,
+        "q_stream_sessions": f"""
+        -- session_window semantics, EXACT timestamps (no whole-second
+        -- truncation, unlike the batch sessionizer's unix_timestamp
+        -- rule): an event exactly `gap` after the previous one MERGES;
+        -- strictly more than `gap` splits. session_end = max(ts) + gap.
+        WITH s AS (
+          SELECT user_id, ts, value,
+                 SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM (SELECT user_id, ts, value,
+                       CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                                               ORDER BY ts) IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                                 PARTITION BY user_id ORDER BY ts))
+                               > {SESSION_GAP_MINUTES} * 60 * 1000000
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events)
+        )
+        SELECT user_id,
+               MIN(ts) AS session_start,
+               MAX(ts) + INTERVAL {SESSION_GAP_MINUTES} MINUTE
+                 AS session_end,
+               COUNT(*)::BIGINT AS n_events,
+               ROUND(SUM(value)::DOUBLE, 6) AS session_value
+        FROM s GROUP BY user_id, session_id
+        """,
         "q_events_sessionize": f"""
         WITH s AS (
           SELECT user_id, ts,
@@ -4202,6 +4228,44 @@ def _pipe_stream_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("m.total_value"), 6).alias("total_value"))
 
 
+def _pipe_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming gap-sessionization end-to-end: readStream(parquet) →
+    session_window(30 min) per user → availableNow drain (complete
+    mode). session_window merges an event exactly `gap` after the
+    previous one (verified empirically: diff == gap merges, > gap
+    splits), which is the SAME rule as the batch sessionizer's
+    `gap > 30 min` split — so the batch DuckDB session CTE is the
+    oracle, with session_end = max(ts) + gap. session_value rounded to
+    1e-6 on both sides (float64 summation order)."""
+    import tempfile
+    import uuid
+
+    from .sources.relational import _nanos_ts_columns, configure_session
+    from .streaming.events import EVENT_SCHEMA, run_to_memory, sessionize
+
+    configure_session(spark)
+    path = f"{sf_dir}/events.parquet"
+    nanos = set(_nanos_ts_columns(path))
+    from pyspark.sql import types as T
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name in nanos else f.dataType)
+        for f in EVENT_SCHEMA.fields
+    ]
+    stream = (spark.readStream.schema(T.StructType(fields))
+              .option("pathGlobFilter", "events.parquet")
+              .option("recursiveFileLookup", "false")
+              .parquet(sf_dir))
+    for c in nanos:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    out = sessionize(stream, gap=f"{SESSION_GAP_MINUTES} minutes")
+    name = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, tempfile.mkdtemp(prefix="rfs_ckpt_"))
+    return spark.table(name).select(
+        "user_id", "session_start", "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.round(F.col("session_value"), 6).alias("session_value"))
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": _pipe_text_stats,
     "q_text_language_id": _pipe_language_id,
@@ -4227,6 +4291,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_curation_topk_quality": _pipe_curation_topk,
     "q_stream_event_counts": _pipe_stream_event_counts,
     "q_stream_running_totals": _pipe_stream_running_totals,
+    "q_stream_sessions": _pipe_stream_sessions,
     "q_multimodal_features": _pipe_multimodal_features,
     "q_events_json_props": _pipe_events_json,
     "q_embedding_norms": _pipe_embedding_norms,
@@ -4278,6 +4343,7 @@ _NOT_CACHEABLE = {
     # availableNow stream drain side-effects at build; each invocation
     # must re-drain the stream
     "q_stream_event_counts", "q_stream_running_totals",
+    "q_stream_sessions",
     # eager persist barrier (signature table) / label-propagation loop /
     # corpus-size guard count run Spark jobs at build — their bench time
     # must include that work every invocation
@@ -4396,7 +4462,8 @@ _FORCE_REGATE: set[str] = {"q_events_interval_join", "q_dedup_semantic"}
 
 
 def _gate_modules(name: str) -> tuple[str, ...]:
-    if name in ("q_stream_event_counts", "q_stream_running_totals"):
+    if name in ("q_stream_event_counts", "q_stream_running_totals",
+                "q_stream_sessions"):
         return ("rdf_fusion_spark/streaming",)
     if name in _PIPELINE_MODULE_MAP:
         mod = _PIPELINE_MODULE_MAP[name]
