@@ -40,7 +40,8 @@ def main() -> None:
     bad = 0
     for layer, fn in (("agg", FZ.run_agg_case), ("order", FZ.run_order_case),
                       ("order_proj", FZ.run_order_proj_case),
-                      ("order_full", FZ.run_order_full_case)):
+                      ("order_full", FZ.run_order_full_case),
+                      ("agg_order", FZ.run_agg_order_case)):
         for seed in range(n):
             try:
                 fn(spark, seed)
@@ -55,7 +56,7 @@ def main() -> None:
             if seed and seed % 25 == 0:
                 print(f"{layer}: {seed}/{n} ({time.time()-t0:.0f}s)",
                       flush=True)
-    print(f"SWEEP DONE layers=4 seeds={n} queries={8*n} "
+    print(f"SWEEP DONE layers=5 seeds={n} queries={10*n} "
           f"divergences={bad} wall={time.time()-t0:.0f}s")
 
 
