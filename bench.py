@@ -116,13 +116,18 @@ BENCH_QUERIES = [
 
 
 # Per-query best-known times (sec, sf0.1, local[32]): elementwise MIN
-# over the r7 + r8 DRIVER records (BENCH_r0{7,8}.json "parsed", each
-# round's official signal) and the round-8 builder closing run for the
-# r8-new entries — min, not latest, because driver sessions themselves
-# drift (the r8 record ran ~1.5x slow on short queries; adopting it
-# wholesale would install pessimistic pins that mask regressions, the
-# round-8 ADVICE point). The round-9 fresh-session recheck (BASELINE.md
-# "Round-9: tripwire bisect") re-confirmed the builder floors it kept.
+# over the r7 + r8 + r9 DRIVER records (BENCH_r0{7,8,9}.json "parsed",
+# each round's official signal) and the round-8 builder closing run for
+# the r8-new entries — min, not latest, because driver sessions
+# themselves drift (the r8 record ran ~1.5x slow on short queries;
+# adopting it wholesale would install pessimistic pins that mask
+# regressions, the round-8 ADVICE point). EXCEPTIONS to the min rule,
+# per the round-9 verdict: q_events_interval_join and q_dedup_semantic
+# had their plans DELIBERATELY changed in round 9 (the sentinel clamp
+# added a per-key bounds aggregate+join before the bucket explode; the
+# SemDeDup suppressor cap added a per-cluster rank gate) — safety over
+# speed — so they are re-pinned from the BENCH_r09 driver record, not
+# from the pre-change floor the old plan could reach.
 # The original 2x bar against the pinned round-2 baseline (26.2 s
 # comparable) is now ~4.6x of current reality and can no longer catch a
 # real regression, so this table is the working tripwire: any query
@@ -130,47 +135,51 @@ BENCH_QUERIES = [
 # failure — documented environment drift is +/-20-30% and whole
 # sessions can run with a ~0.1-0.2 s per-query floor shift that puts
 # every SHORT query over 1.5x at once; the discriminator is CONTROLS:
-# unflagged short queries elevated by the same ratio = drift, an
-# isolated heavy-query hit = plan regression to bisect, see
-# tools/tripwire_recheck.py). Re-pin whenever a round's driver record
-# improves a query.
+# the tripwire DIAG line itself now carries a `control` reading —
+# q_bsbm_explore_q9, a short untouched one-scan DESCRIBE — whose own
+# ratio calibrates the session floor: control elevated like the flagged
+# queries = drift; control near 1.0x with an isolated heavy-query hit =
+# plan regression to bisect (tools/tripwire_recheck.py). Re-pin
+# whenever a round's driver record improves a query.
 BEST_KNOWN = {
-    "q1_pricing_summary": 1.625, "q2_join_region_filter": 0.135,
-    "q3_topk_revenue": 2.297, "q5_star_join": 1.21,
+    "q1_pricing_summary": 1.442, "q2_join_region_filter": 0.135,
+    "q3_topk_revenue": 2.282, "q5_star_join": 1.21,
     "q_optional_highqty": 0.464, "q_group_minmax_having": 0.254,
-    "q_events_by_type": 0.336, "q_path_kleene_plus": 1.076,
-    "q_dedup_exact": 0.952, "q_dedup_minhash_lsh": 2.759,
+    "q_events_by_type": 0.336, "q_path_kleene_plus": 1.071,
+    "q_dedup_exact": 0.901, "q_dedup_minhash_lsh": 2.752,
     "q_ann_cosine_topk": 0.183, "q_text_stats": 0.106,
     "q_text_top_words": 0.382, "q_events_sessionize": 0.227,
     "q_ann_ivf": 0.172, "q_bsbm_explore_q4": 0.148,
     "q_bsbm_explore_q5": 0.223, "q_bsbm_explore_q8": 0.761,
     "q_bsbm_bi_q3": 0.383, "q_bsbm_bi_q5": 1.053,
-    "q_windfarm_production": 0.644, "q_windfarm_grouped": 0.522,
+    "q_windfarm_production": 0.565, "q_windfarm_grouped": 0.522,
     "q_windfarm_minute10": 0.391, "q_bsbm_explore_q1": 0.095,
     "q_bsbm_explore_q2_empty": 0.372, "q_bsbm_explore_q2_nonempty": 0.267,
     "q_bsbm_explore_q3": 0.103, "q_bsbm_explore_q7": 0.861,
     "q_bsbm_explore_q9": 0.097, "q_bsbm_explore_q10": 0.236,
     "q_bsbm_explore_q11": 0.272, "q_bsbm_explore_q12": 0.568,
-    "q_bsbm_bi_q1": 0.791, "q_bsbm_bi_q2": 0.281, "q_bsbm_bi_q4": 1.063,
-    "q_bsbm_bi_q6": 1.527, "q_bsbm_bi_q7": 0.491, "q_bsbm_bi_q8": 1.804,
-    "q_windfarm_production1": 0.491, "q_windfarm_production3": 0.488,
+    "q_bsbm_bi_q1": 0.711, "q_bsbm_bi_q2": 0.273, "q_bsbm_bi_q4": 1.063,
+    "q_bsbm_bi_q6": 1.329, "q_bsbm_bi_q7": 0.464, "q_bsbm_bi_q8": 1.512,
+    "q_windfarm_production1": 0.462, "q_windfarm_production3": 0.462,
     "q_windfarm_production4": 0.618, "q_windfarm_grouped1": 0.437,
     "q_windfarm_grouped2": 0.505, "q_windfarm_grouped4": 0.865,
-    "q_windfarm_multi1": 1.125, "q_windfarm_multi2": 1.076,
-    "q_windfarm_multi3": 1.891, "q_windfarm_multi4": 0.954,
+    "q_windfarm_multi1": 1.125, "q_windfarm_multi2": 1.023,
+    "q_windfarm_multi3": 1.845, "q_windfarm_multi4": 0.954,
     "q_pii_scan": 0.112, "q_dedup_substring": 1.603,
-    # r8-new entries: min(builder closing run, BENCH_r08 driver).
     # substring_removal re-pinned after the round-9 HOF-lambda fix
-    # (BASELINE.md round-9 profile): fresh-session min-of-3 1.009, a
-    # second drifted-session run 1.2 — both under the old 1.53 floor.
-    # q_dedup_incremental and q_stream_running_totals (r9-new) carry NO
-    # pin until the BENCH_r09 driver record lands (the r8 ADVICE point:
-    # provisional pins either false-alarm or mask).
-    "q_dedup_substring_removal": 1.009, "q_text_tfidf_terms": 0.828,
-    "q_text_bm25_topk": 1.065, "q_events_asof": 0.256,
-    "q_events_interval_join": 0.172, "q_dedup_semantic": 1.003,
+    # (BASELINE.md round-9 profile; BENCH_r09 driver confirmed 1.000).
+    "q_dedup_substring_removal": 1.0, "q_text_tfidf_terms": 0.828,
+    "q_text_bm25_topk": 0.992, "q_events_asof": 0.243,
+    # plan deliberately changed in r9 (sentinel clamp / suppressor cap):
+    # pinned from the BENCH_r09 driver record, NOT the pre-change floor.
+    "q_events_interval_join": 0.317, "q_dedup_semantic": 1.249,
+    # r9-new, pinned from BENCH_r09 per the no-provisional-pins policy.
+    "q_dedup_incremental": 2.115,
 }
 TRIPWIRE_RATIO = 1.5
+# short untouched one-scan query reported on the tripwire DIAG line
+# every run — the floor-drift discriminator, self-diagnosing in-record
+TRIPWIRE_CONTROL = "q_bsbm_explore_q9"
 
 
 def main() -> None:
@@ -282,10 +291,22 @@ def main() -> None:
                      "x": round(t / BEST_KNOWN[n], 2)}
                  for n, t in per_query.items()
                  if n in BEST_KNOWN and t > TRIPWIRE_RATIO * BEST_KNOWN[n]}
+        # the control reading makes floor drift self-diagnosing in the
+        # record itself: a short untouched one-scan query's own ratio is
+        # this session's floor multiplier. Flagged ratios comparable to
+        # the control's = session drift; an isolated flag well above the
+        # control = plan regression to bisect (tripwire_recheck.py).
+        ctl = per_query.get(TRIPWIRE_CONTROL)
+        control = ({"q": TRIPWIRE_CONTROL, "t": ctl,
+                    "best": BEST_KNOWN[TRIPWIRE_CONTROL],
+                    "x": round(ctl / BEST_KNOWN[TRIPWIRE_CONTROL], 2)}
+                   if ctl is not None else None)
         print("DIAG " + json.dumps(
             {"tripwire_ratio": TRIPWIRE_RATIO,
-             "tripwire_pin": "min(BENCH_r07, BENCH_r08 driver records, "
-                             "r8 builder closing run)",
+             "tripwire_pin": "min over r7-r9 driver records + r8 builder "
+                             "closing run; r9 plan-changed ops pinned "
+                             "from BENCH_r09",
+             "control": control,
              "over_best_known": trips}))
 
     mix_n = 0

@@ -4451,14 +4451,15 @@ _PIPELINE_MODULE_MAP = {
     "q_events_json_props": None,   # pure-Column body in this file
 }
 
-# round 9: interval_join gained the sentinel clamp (plan change:
-# per-key bounds join before the bucket explode) and semantic_dedup the
-# per-cluster suppressor cap AFTER their r8 greens; their last_gated=8
-# would sort them behind the ~47-query r7 cohort, outside the driver's
-# 50-query prefix — force them so the plan changes get day-one gates.
-# REMOVE both once CORRECTNESS_r09 lands their greens (force entries
-# are for one round; the derived rotation takes over after).
-_FORCE_REGATE: set[str] = {"q_events_interval_join", "q_dedup_semantic"}
+# Force entries are {query_name: round_added} and live for ONE round:
+# once the query has a green driver row in a round >= round_added the
+# entry is consumed and must be deleted (tests/test_gate_order.py
+# test_force_regate_entries_not_consumed enforces this mechanically —
+# the r8 and r9 verdicts both had to flag stale entries by hand).
+# r9's entries (q_events_interval_join, q_dedup_semantic, added for the
+# clamp/cap plan changes) got their CORRECTNESS_r09 greens and were
+# removed in round 10.
+_FORCE_REGATE: dict[str, int] = {}
 
 
 def _gate_modules(name: str) -> tuple[str, ...]:
