@@ -816,6 +816,27 @@ def _pipe_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_against_index(batch, minhash_index(corpus), LSH_THRESHOLD)
 
 
+def _pipe_dedup_index_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-index LIFECYCLE: day-0 corpus (doc_id % 5 >= 2) is
+    indexed once; day 1 (% 5 == 1) is deduped against it and its
+    signatures MERGED in (pipeline/dedup.py merge_into_index — no corpus
+    text rescan); day 2 (% 5 == 0) is then deduped against the merged
+    index, so day-2 hits include day-1 docs. Output: both days' cross
+    pairs tagged by day."""
+    from .pipeline.dedup import (dedup_against_index, merge_into_index,
+                                 minhash_index)
+    docs = _docs(spark, sf_dir)
+    idx = minhash_index(docs.where(F.col("doc_id") % 5 >= 2))
+    day1 = docs.where(F.col("doc_id") % 5 == 1)
+    day2 = docs.where(F.col("doc_id") % 5 == 0)
+    p1 = dedup_against_index(day1, idx, LSH_THRESHOLD) \
+        .withColumn("day", F.lit(1).cast("long"))
+    idx = merge_into_index(idx, minhash_index(day1))
+    p2 = dedup_against_index(day2, idx, LSH_THRESHOLD) \
+        .withColumn("day", F.lit(2).cast("long"))
+    return p1.unionByName(p2)
+
+
 def _pipe_shared_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sub-document duplication: doc pairs sharing ≥1 identical
     k-token window with the exact shared-window count
@@ -1457,6 +1478,41 @@ def _pipeline_oracles() -> dict[str, str]:
               / len(list_distinct(list_concat(sh_n, sh_c)))::DOUBLE
               >= {LSH_THRESHOLD}
         """,
+        # lifecycle: day-1 batch (%5=1) vs day-0 corpus (%5>=2); day-2
+        # batch (%5=0) vs the MERGED index (day-0 corpus + day-1 docs,
+        # i.e. everything %5 != 0) — merge_into_index must make the
+        # day-2 candidate set indistinguishable from a full rebuild's
+        "q_dedup_index_merge": f"""
+        WITH docs AS (SELECT doc_id, {shingles} AS shingles FROM documents),
+        sigs AS (SELECT doc_id, shingles, {sig_exprs} FROM docs),
+        bands AS (
+          SELECT doc_id, shingles, b.band_idx,
+                 CASE b.band_idx {band_case} END AS band_key
+          FROM sigs, (SELECT unnest(generate_series(0,{NUM_BANDS - 1}))
+                      AS band_idx) b
+        ),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+                 n.shingles AS sh_n, c.shingles AS sh_c, 1::BIGINT AS day
+          FROM bands n JOIN bands c
+            ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+          WHERE n.doc_id % 5 = 1 AND c.doc_id % 5 >= 2
+          UNION
+          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id,
+                 n.shingles AS sh_n, c.shingles AS sh_c, 2::BIGINT AS day
+          FROM bands n JOIN bands c
+            ON n.band_idx = c.band_idx AND n.band_key = c.band_key
+          WHERE n.doc_id % 5 = 0 AND c.doc_id % 5 != 0
+        )
+        SELECT new_id, corpus_id,
+               len(list_intersect(sh_n, sh_c))::DOUBLE
+               / len(list_distinct(list_concat(sh_n, sh_c)))::DOUBLE
+                 AS jaccard, day
+        FROM cand
+        WHERE len(list_intersect(sh_n, sh_c))::DOUBLE
+              / len(list_distinct(list_concat(sh_n, sh_c)))::DOUBLE
+              >= {LSH_THRESHOLD}
+        """,
         "q_dedup_minhash_lsh": f"""
         WITH docs AS (SELECT doc_id, {shingles} AS shingles FROM documents),
         sigs AS (SELECT doc_id, shingles, {sig_exprs} FROM docs),
@@ -1645,6 +1701,19 @@ def _pipeline_oracles() -> dict[str, str]:
                ROUND(SUM(COALESCE(value, 0))::DOUBLE, 6) AS total_value
         FROM events
         GROUP BY user_id
+        """,
+        "q_stream_interval_join": """
+        SELECT l.user_id, l.ts AS l_ts, l.event_id AS view_id,
+               r.ts AS r_ts, r.event_id AS purchase_id
+        FROM events l JOIN events r
+          ON l.user_id = r.user_id
+         AND r.ts >= l.ts AND r.ts <= l.ts + INTERVAL 10 MINUTE
+        WHERE l.event_type = 'view' AND r.event_type = 'purchase'
+        """,
+        "q_stream_pattern_match": """
+        SELECT 'http://example.org/nation/' || n_nationkey AS nation_iri,
+               n_name AS name
+        FROM nation
         """,
         "q_stream_sessions": f"""
         -- session_window semantics, EXACT timestamps (no whole-second
@@ -4266,6 +4335,82 @@ def _pipe_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("session_value"), 6).alias("session_value"))
 
 
+def _pipe_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-STREAM interval join end-to-end
+    (streaming/events.py interval_join): view→purchase attribution —
+    each view event paired with same-user purchases landing within 10
+    minutes after it. Both sides are filters of one file stream (a
+    stream self-join); watermarks bound the join state; inner-join
+    append mode emits matches eagerly, so the availableNow drain over
+    the driver's static input is deterministic and a plain DuckDB range
+    join is the oracle."""
+    import tempfile
+    import uuid
+
+    from .sources.relational import _nanos_ts_columns, configure_session
+    from .streaming.events import EVENT_SCHEMA, interval_join, run_to_memory
+
+    configure_session(spark)
+    nanos = set(_nanos_ts_columns(f"{sf_dir}/events.parquet"))
+    from pyspark.sql import types as T
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name in nanos else f.dataType)
+        for f in EVENT_SCHEMA.fields
+    ]
+    stream = (spark.readStream.schema(T.StructType(fields))
+              .option("pathGlobFilter", "events.parquet")
+              .option("recursiveFileLookup", "false")
+              .parquet(sf_dir))
+    for c in nanos:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    ev = stream.select("user_id", "ts", "event_id", "event_type")
+    left = ev.where(F.col("event_type") == "view") \
+        .select("user_id", "ts", "event_id")
+    right = ev.where(F.col("event_type") == "purchase") \
+        .select("user_id", "ts", "event_id")
+    out = interval_join(left, right, key="user_id", time_col="ts",
+                        tolerance="10 minutes", watermark="30 minutes")
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, tempfile.mkdtemp(prefix="rfs_ckpt_"),
+                  output_mode="append")
+    return spark.table(name).select(
+        "user_id", "l_ts", F.col("l_event_id").cast("long").alias("view_id"),
+        "r_ts", F.col("r_event_id").cast("long").alias("purchase_id"))
+
+
+def _pipe_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming RDF ingestion + continuous pattern match end-to-end
+    (streaming/ingest.py stream_ntriples + match_pattern_stream): the
+    nation table is serialized to an N-Triples landing directory (the
+    shape a crawler/ingest pipeline drops), streamed back as quads, and
+    a (?s <name> ?o) pattern matched continuously; the availableNow
+    drain makes the result the full static match, so the oracle is a
+    plain projection of the source table."""
+    import tempfile
+    import uuid
+
+    from .streaming.events import run_to_memory
+    from .streaming.ingest import match_pattern_stream, stream_ntriples
+    from .terms import NamedNode
+
+    landing = tempfile.mkdtemp(prefix="rfs_nt_landing_")
+    nt = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        F.concat(F.lit("<http://example.org/nation/"),
+                 F.col("n_nationkey").cast("string"),
+                 F.lit("> <http://example.org/vocab#name> \""),
+                 F.col("n_name"), F.lit("\" .")).alias("value"))
+    nt.coalesce(2).write.mode("overwrite").text(landing)
+    quads = stream_ntriples(spark, landing)
+    out = match_pattern_stream(
+        quads, predicate=NamedNode("http://example.org/vocab#name"))
+    name = f"stream_pm_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, tempfile.mkdtemp(prefix="rfs_ckpt_"),
+                  output_mode="append")
+    return spark.table(name).select(
+        F.col("subject")["v"].alias("nation_iri"),
+        F.col("object")["v"].alias("name"))
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_text_stats": _pipe_text_stats,
     "q_text_language_id": _pipe_language_id,
@@ -4275,6 +4420,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_dedup_jaccard_pairs": _pipe_dedup_jaccard,
     "q_dedup_minhash_lsh": _pipe_dedup_minhash,
     "q_dedup_incremental": _pipe_dedup_incremental,
+    "q_dedup_index_merge": _pipe_dedup_index_merge,
     "q_dedup_clusters": _pipe_dedup_clusters,
     "q_dedup_simhash": _pipe_simhash_pairs,
     "q_ann_cosine_topk": _pipe_ann_cosine,
@@ -4292,6 +4438,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_event_counts": _pipe_stream_event_counts,
     "q_stream_running_totals": _pipe_stream_running_totals,
     "q_stream_sessions": _pipe_stream_sessions,
+    "q_stream_interval_join": _pipe_stream_interval_join,
+    "q_stream_pattern_match": _pipe_stream_pattern_match,
     "q_multimodal_features": _pipe_multimodal_features,
     "q_events_json_props": _pipe_events_json,
     "q_embedding_norms": _pipe_embedding_norms,
@@ -4343,12 +4491,14 @@ _NOT_CACHEABLE = {
     # availableNow stream drain side-effects at build; each invocation
     # must re-drain the stream
     "q_stream_event_counts", "q_stream_running_totals",
-    "q_stream_sessions",
+    "q_stream_sessions", "q_stream_interval_join",
+    "q_stream_pattern_match",
     # eager persist barrier (signature table) / label-propagation loop /
     # corpus-size guard count run Spark jobs at build — their bench time
     # must include that work every invocation
     "q_dedup_minhash_lsh", "q_dedup_clusters", "q_dedup_jaccard_pairs",
     "q_dedup_substring", "q_dedup_incremental",
+    "q_dedup_index_merge",
     # SERVICE rows are fetched and materialized at build (and the local
     # endpoint is started/stopped around it) — caching would freeze the
     # federated bindings and skip the federation work entirely
@@ -4432,6 +4582,7 @@ _PIPELINE_MODULE_MAP = {
     "q_dedup_exact": "dedup.py", "q_dedup_jaccard_pairs": "dedup.py",
     "q_dedup_minhash_lsh": "dedup.py", "q_dedup_clusters": "dedup.py",
     "q_dedup_incremental": "dedup.py",
+    "q_dedup_index_merge": "dedup.py",
     "q_dedup_simhash": "dedup.py", "q_dedup_substring": "dedup.py",
     "q_dedup_substring_removal": "dedup.py",
     "q_dedup_substring_corpus": "dedup.py",
@@ -4464,7 +4615,8 @@ _FORCE_REGATE: dict[str, int] = {}
 
 def _gate_modules(name: str) -> tuple[str, ...]:
     if name in ("q_stream_event_counts", "q_stream_running_totals",
-                "q_stream_sessions"):
+                "q_stream_sessions", "q_stream_interval_join",
+                "q_stream_pattern_match"):
         return ("rdf_fusion_spark/streaming",)
     if name in _PIPELINE_MODULE_MAP:
         mod = _PIPELINE_MODULE_MAP[name]

@@ -190,14 +190,6 @@ def as_string(c: Column) -> Column:
     return F.when(c["k"] == K_STRING, c["v"])
 
 
-def str_or_iri(c: Column) -> Column:
-    """Value for STR(): lexical form of any literal, or the IRI string."""
-    sk = skind(c)
-    if sk is not None and sk != SK_BNODE:
-        return lexical_of(c)
-    return F.when(c["t"] != F.lit(1).cast("tinyint"), lexical_of(c))
-
-
 def is_string_like(c: Column) -> Column:
     sk = skind(c)
     if sk is not None:

@@ -381,6 +381,31 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
             .where(F.col("jaccard") >= threshold))
 
 
+def merge_into_index(index: DataFrame, new_sigs: DataFrame,
+                     assume_disjoint: bool = True) -> DataFrame:
+    """Fold a processed batch's signatures into the corpus index —
+    the lifecycle step of the incremental-dedup shape: index the 100-TB
+    corpus once (minhash_index), then each day dedup the new batch
+    against it (dedup_against_index) and MERGE the accepted docs'
+    signatures in, so tomorrow's batch is deduped against
+    corpus+today without ever rescanning corpus text. `new_sigs` is
+    minhash_index/minhash_signature output for the accepted batch docs
+    (id, sh, s0..s{k-1}) — signatures only, no text.
+
+    `assume_disjoint=True` (the scale path) is a pure unionByName:
+    zero shuffle, and on a persisted parquet index it is an APPEND of
+    the batch partition. The caller guarantees batch ids are not
+    already in the index — true by construction when ids are
+    crawl-assigned. With `assume_disjoint=False`, batch rows whose id
+    already exists in the index are dropped (the existing row wins) via
+    a left-anti join — correct for re-runs/replays, but it builds a
+    hash table on the index side, so reserve it for indexes that fit a
+    broadcast or accept the shuffle."""
+    if not assume_disjoint:
+        new_sigs = new_sigs.join(index.select("id"), "id", "left_anti")
+    return index.unionByName(new_sigs)
+
+
 # 60-bit fingerprint (round 6; was 16-bit), candidates via 6 blocks of
 # 10 bits combined 3-at-a-time (round 7, see _band_keys_col).
 # Why 60 and not 64: every term stays strictly below 2^63, so the whole

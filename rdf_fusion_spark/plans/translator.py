@@ -1895,10 +1895,24 @@ def _translate_distinct_ordered(p: A.Distinct, ctx: Ctx) -> Optional[Solution]:
 
     Returns None — caller uses the plain dedupe path — unless the shape
     is Distinct(Project(OrderBy(...))). Inside the shape, a deferrable
-    ORDER BY or a mixed ASC/DESC one (no single-struct min exists for a
-    mixed comparator) falls back to the normal project+dedupe WITHOUT
+    ORDER BY falls back to the normal project+dedupe WITHOUT
     re-translating the inner pattern (a second translate would re-run
-    build-time work like the Kleene fixpoint)."""
+    build-time work like the Kleene fixpoint).
+
+    Mixed ASC/DESC key directions (r10; previously a documented
+    correct-rows-arbitrary-order fallback): no single struct min/max
+    exists for a mixed comparator, so first occurrence is recovered
+    positionally instead — repartitionByRange on the directed keys +
+    sortWithinPartitions gives a global sort across ordered partitions,
+    monotonically_increasing_id is then globally monotone with that
+    order (partition id occupies the high bits and range partition ids
+    ascend with the ranges), and min(id) per distinct visible row is
+    the first occurrence; the final sort is on that id. Two shuffles
+    (range exchange + hash agg), linear, no single-partition window —
+    the reference reaches the same semantics via distinct_on-with-sort
+    (lib/logical/src/graph_pattern_rewriter.rs:155-168, 483-494). Key
+    ties leave the representative unspecified, exactly like the spec's
+    unspecified order among tied solutions."""
     prj = p.inner
     if not isinstance(prj, A.Project) or not isinstance(prj.inner, A.OrderBy):
         return None
@@ -1920,24 +1934,44 @@ def _translate_distinct_ordered(p: A.Distinct, ctx: Ctx) -> Optional[Solution]:
     if _order_deferrable(pending, set(names) | phantom):
         return fallback()
     dirs = {c.ascending for c in pending}
-    if len(dirs) != 1:
-        return fallback()
-    asc = dirs.pop()
     it = Interner(sol.df, ctx)
     with B.intern_scope(it), tv.lazy_lexicals():
         keys = [it(sort_key(compile_term_expr(c.expr, sol, ctx)))
                 for c in pending]
     ord_name = ctx.fresh("ord")
-    df = it.df.withColumn(
-        ord_name, F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)]))
+    if len(dirs) == 1:
+        # uniform direction: one struct aggregates under min/max directly
+        asc = dirs.pop()
+        df = it.df.withColumn(
+            ord_name,
+            F.struct(*[k.alias(f"k{i}") for i, k in enumerate(keys)]))
+        extra = [F.col(ord_name)]
+    else:
+        # mixed directions: positional first-occurrence (see docstring).
+        # The directed sort columns must exist as named columns for the
+        # range exchange; the global row id becomes the ord column.
+        asc = True
+        knames = [ctx.fresh("sk") for _ in keys]
+        df = it.df.withColumns(dict(zip(knames, keys)))
+        extra = [F.col(n) for n in knames]
     cols = [(df[n].alias(n) if n in sol.maybe else NULL_TERM().alias(n))
             for n in names]
-    vis = df.select(*cols, F.col(ord_name))
+    vis = df.select(*cols, *extra)
     out_sol = Solution(
         df=vis, bound=sol.bound & set(names), maybe=set(names),
         kinds={v: k for v, k in sol.kinds.items()
                if v in names and v in sol.maybe},
         expensive=sol.expensive & set(names))
+    if ord_name not in vis.columns:
+        sort_cols = [
+            F.col(n).asc_nulls_first() if c.ascending
+            else F.col(n).desc_nulls_last()
+            for n, c in zip(knames, pending)]
+        vis = (vis.repartitionByRange(*sort_cols)
+               .sortWithinPartitions(*sort_cols)
+               .withColumn(ord_name, F.monotonically_increasing_id())
+               .drop(*knames))
+        out_sol = replace(out_sol, df=vis)
     dd_keys = sorted(out_sol.maybe)
     if dd_keys:
         repl = {c: tv.materialize_lexical(tv.tag(vis[c], out_sol.kinds.get(c)))
@@ -2457,11 +2491,39 @@ def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
 
     if name == "GROUP_CONCAT":
         sep = call.separator if call.separator is not None else " "
-        s = tmp(tv.str_or_iri(c))
-        vals = F.collect_set(F.col(s)) if call.distinct else F.collect_list(F.col(s))
-        # concatenation order is implementation-defined per spec; sort for
-        # determinism (collect_list order depends on partitioning)
-        return tv.string_term(F.array_join(F.array_sort(raw(vals)), sep))
+        # Reference semantics (lib/functions/src/aggregates/
+        # group_concat.rs:96-240, r10 — previously STR-coerced): any
+        # BOUND non-string-literal input (IRI, bnode, typed literal) is
+        # an aggregate error -> unbound result; the result carries a
+        # language tag iff every bound input is a lang literal with the
+        # SAME tag, and is plain xsd:string otherwise. The reference's
+        # accumulator fold is arrival-order-dependent for the
+        # plain-then-lang sequence — an order a distributed engine
+        # cannot reproduce; this is the order-free rule, which agrees
+        # with it on every order-independent multiset. DISTINCT dedupes
+        # TERMS ("a"@en and "a"@fr both survive), so the collected
+        # element is the (lexical, lang) pair. Concatenation order is
+        # implementation-defined per spec; sorted for determinism
+        # (collect_list order depends on partitioning).
+        strish = tv.is_string_like(c)
+        bad_t = F.col(tmp((c.isNotNull() & ~strish).cast("int")))
+        pair = tmp(F.when(strish,
+                          F.struct(tv.lexical_of(c).alias("v"),
+                                   c["lang"].alias("g"))))
+        vals = F.collect_set(F.col(pair)) if call.distinct \
+            else F.collect_list(F.col(pair))
+        arr = F.array_sort(raw(vals))
+        any_bad = raw(F.max(bad_t))
+        joined = F.array_join(F.transform(arr, lambda x: x["v"]), sep)
+        lang0 = arr[0]["g"]
+        common = (F.size(arr) > 0) & lang0.isNotNull() & F.forall(
+            arr, lambda x: x["g"].isNotNull() & (x["g"] == lang0))
+        from ..terms import RDF_LANG_STRING, TT_LITERAL, term_struct
+        return tv.tag(
+            F.when(any_bad == 1, NULL_TERM())
+            .when(common, term_struct(F.lit(TT_LITERAL), joined,
+                                      F.lit(RDF_LANG_STRING), lang0))
+            .otherwise(tv.string_term(joined)), tv.K_STRING)
 
     raise NotImplementedError(f"aggregate {name}")
 

@@ -1021,6 +1021,165 @@ def test_aggregate_differential(spark, seed):
     run_agg_case(spark, seed)
 
 
+# ---------------- AVG / SAMPLE / GROUP_CONCAT / HAVING layer (round 10)
+#
+# The r9 layer covered SUM/MIN/MAX/COUNT; this one fuzzes the remaining
+# aggregate surface (r9 verdict #4): AVG (promotion error path,
+# empty-group = 0, DISTINCT over VALUES — the TypedValue encoding
+# dedupes "01" and "1" to one integer, reference aggregates do the
+# same), SAMPLE (any-bound-value legality), GROUP_CONCAT per the
+# reference's accumulator rules (group_concat.rs:96-240: bound
+# non-string-literal input -> error/unbound; common lang tag preserved,
+# any mix -> plain xsd:string; DISTINCT over (lexical, lang) TERMS;
+# SEPARATOR incl. empty), and HAVING over computed COUNT/SUM (an
+# errored SUM makes the HAVING condition an error -> group dropped).
+
+AGG2_FNS = ["avg", "avgd", "sample", "gc", "gcd"]
+_HV_OPS = {">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+           "<=": lambda a, b: a <= b}
+
+
+def gen_agg2(rng, depth):
+    a = gen_tree_typed(rng, depth)
+    gvars = sorted(rng.sample(VARS, rng.randrange(1, 3)))
+    aggs = []
+    for i in range(rng.randrange(1, 3)):
+        fn = rng.choice(AGG2_FNS)
+        sep = rng.choice([None, "|", ", ", ""]) if fn in ("gc", "gcd") \
+            else None
+        aggs.append((fn, rng.choice(VARS), f"z{i}", sep))
+    hv = None
+    if rng.random() < 0.5:
+        hv = (rng.choice(["count", "sum"]), rng.choice(VARS),
+              rng.choice(list(_HV_OPS)), rng.randrange(0, 4))
+    return ("agg2", a, (gvars, aggs, hv))
+
+
+def render_agg2(node):
+    a = render_typed(node[1])
+    gvars, aggs, hv = node[2]
+    head = " ".join(f"?{v}" for v in gvars)
+    calls = []
+    for fn, v, out, sep in aggs:
+        inner = f"DISTINCT ?{v}" if fn in ("avgd", "gcd") else f"?{v}"
+        if fn in ("avg", "avgd"):
+            e = f"AVG({inner})"
+        elif fn == "sample":
+            e = f"SAMPLE({inner})"
+        elif sep is None:
+            e = f"GROUP_CONCAT({inner})"
+        else:
+            e = f'GROUP_CONCAT({inner}; SEPARATOR="{sep}")'
+        calls.append(f"({e} AS ?{out})")
+    q = ("{ { SELECT " + head + " " + " ".join(calls) + " WHERE " + a
+         + " GROUP BY " + head)
+    if hv:
+        hfn, v, op, n = hv
+        q += f" HAVING ({'COUNT' if hfn == 'count' else 'SUM'}(?{v}) {op} {n})"
+    return q + " } }"
+
+
+def ref_eval_agg2(node, data):
+    """-> {group-key-tuple: {out: comparable}} after HAVING. avg ->
+    float | None; sample -> frozenset of legal term reps | None;
+    gc/gcd -> (joined string, lang | None) | None (None = error)."""
+    gvars, aggs, hv = node[2]
+    groups = {}
+    for mu in ref_eval_typed(node[1], data):
+        groups.setdefault(tuple(mu.get(v) for v in gvars), []).append(mu)
+    out = {}
+    for key, mus in groups.items():
+        if hv:
+            hfn, v, op, n = hv
+            bound = [m[v] for m in mus if m.get(v) is not None]
+            if hfn == "count":
+                val = len(bound)
+            elif any(t[0] != "ti" for t in bound):
+                val = None                      # SUM error -> drop group
+            else:
+                val = sum(int(t[1]) for t in bound)
+            if val is None or not _HV_OPS[op](val, n):
+                continue
+        row = {}
+        for fn, v, name, sep in aggs:
+            bound = [m[v] for m in mus if m.get(v) is not None]
+            if fn in ("avg", "avgd"):
+                if any(t[0] != "ti" for t in bound):
+                    row[name] = None
+                elif not bound:
+                    row[name] = 0.0             # empty group -> 0
+                else:
+                    vals = [int(t[1]) for t in bound]
+                    if fn == "avgd":            # DISTINCT over VALUES
+                        vals = sorted(set(vals))
+                    row[name] = sum(vals) / len(vals)
+            elif fn == "sample":
+                row[name] = frozenset(bound) if bound else None
+            else:
+                if any(t[0] not in ("l", "lt") for t in bound):
+                    row[name] = None
+                else:
+                    parts = [(t[1], t[2] if t[0] == "lt" else None)
+                             for t in bound]
+                    if fn == "gcd":             # DISTINCT over TERMS
+                        parts = set(parts)
+                    parts = sorted(parts, key=lambda p: (p[0], p[1] or ""))
+                    s = (" " if sep is None else sep).join(p[0]
+                                                           for p in parts)
+                    langs = {p[1] for p in parts}
+                    lang = langs.copy().pop() \
+                        if parts and len(langs) == 1 and None not in langs \
+                        else None
+                    row[name] = (s, lang)
+        out[key] = row
+    return out
+
+
+def run_agg2_case(spark, seed, n_queries=2):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(23000 + seed)
+    data = gen_data_typed(rng)
+    store = _build_store_typed(spark, data)
+    for q in range(n_queries):
+        node = gen_agg2(rng, depth=2)
+        gvars, aggs, _ = node[2]
+        sparql = "SELECT * WHERE " + render_agg2(node)
+        want = ref_eval_agg2(node, data)
+        res = store.query(sparql)
+        got = {}
+        for r in res.df.collect():
+            key = tuple(_key_typed(term_to_python(r[v])) for v in gvars)
+            got[key] = {name: term_to_python(r[name])
+                        for _, _, name, _ in aggs}
+        assert set(got) == set(want), (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra groups={set(got) - set(want)}\n"
+            f"missing groups={set(want) - set(got)}")
+        for key, wrow in want.items():
+            grow = got[key]
+            for fn, v, name, sep in aggs:
+                w, g = wrow[name], grow[name]
+                ctxmsg = f"seed={seed} q={q} {name} key={key}\n{sparql}"
+                if w is None:
+                    assert g is None, f"{ctxmsg}\ngot={g} want unbound"
+                    continue
+                assert g is not None, f"{ctxmsg}\ngot unbound want={w}"
+                if fn in ("avg", "avgd"):
+                    assert abs(float(g.lexical) - w) < 1e-9, \
+                        f"{ctxmsg}\ngot={g.lexical} want={w}"
+                elif fn == "sample":
+                    gk = _key_typed(g)
+                    assert gk in w, f"{ctxmsg}\ngot={gk} not a group value"
+                else:
+                    assert (g.lexical, g.language) == w, \
+                        f"{ctxmsg}\ngot={(g.lexical, g.language)} want={w}"
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_aggregate2_differential(spark, seed):
+    run_agg2_case(spark, seed)
+
+
 # ------------------------------------- ORDER BY / LIMIT / OFFSET layer
 #
 # Round-9 layer: ORDER BY under the total order (multi-key, ASC/DESC,
@@ -1137,16 +1296,36 @@ def test_order_slice_sweep_seeds(spark, seed):
 # Round-9 layer #3: SELECT DISTINCT over a SUBSET projection whose ORDER
 # BY may reference projected-away variables — the spec sequence OrderBy
 # -> Project -> Distinct(first occurrence) -> Slice. The engine
-# implements it as min/max(struct(keys)) per distinct visible row
-# (translator._translate_distinct_ordered); directions are kept UNIFORM
-# because the mixed-direction hidden comparator is the documented
-# fallback corner.
+# implements it as min/max(struct(keys)) per distinct visible row for
+# uniform directions and a range-partitioned positional first-occurrence
+# for MIXED ASC/DESC keys (translator._translate_distinct_ordered; the
+# mixed shape was a correct-rows-arbitrary-order fallback until r10 —
+# each key now draws its direction independently).
+
+class _Rev:
+    """Order-reversing wrapper: tuples mixing _Rev and plain keys compare
+    lexicographically with per-position direction (sorted()/min() only
+    need __lt__/__eq__)."""
+    __slots__ = ("v",)
+
+    def __init__(self, v):
+        self.v = v
+
+    def __eq__(self, o):
+        return self.v == o.v
+
+    def __lt__(self, o):
+        return o.v < self.v
+
+    def __hash__(self):
+        return hash(self.v)
+
 
 def gen_order_proj(rng, depth):
     a = gen_tree_typed(rng, depth)
     proj = sorted(rng.sample(VARS, rng.randrange(1, 4)))
-    asc = rng.random() < 0.5
-    keys = [(v, asc) for v in rng.sample(VARS, rng.randrange(1, 3))]
+    keys = [(v, rng.random() < 0.5)
+            for v in rng.sample(VARS, rng.randrange(1, 3))]
     limit = rng.choice([None, 0, 1, 3, 5, 8])
     offset = rng.choice([0, 0, 0, 1, 2, 4])
     return ("order_proj", a, (proj, keys, limit, offset))
@@ -1172,16 +1351,16 @@ def ref_eval_order_proj(node, data):
     originating solutions' key tuples — the first occurrence in the
     ordered sequence."""
     proj, keys, limit, offset = node[2]
-    asc = keys[0][1]
     groups = {}
     for mu in ref_eval_typed(node[1], data):
         vis = frozenset((v, mu[v]) for v in proj
                         if mu.get(v) is not None)
-        k = tuple(_skey(mu.get(v)) for v, _ in keys)
+        k = tuple(_skey(mu.get(v)) if asc else _Rev(_skey(mu.get(v)))
+                  for v, asc in keys)
         prev = groups.get(vis)
-        if prev is None or (k < prev if asc else k > prev):
+        if prev is None or k < prev:
             groups[vis] = k
-    ordered = sorted(groups.values(), reverse=not asc)
+    ordered = sorted(groups.values())
     lo = offset
     hi = len(ordered) if limit is None else lo + limit
     return ordered[lo:hi], groups

@@ -136,3 +136,74 @@ def test_dedup_against_index_bucket_cap_logs(spark, caplog):
     assert got == {0, 1, 2, 3, 4}, got
     assert any("beyond the 5-per-bucket cap" in r.message
                for r in caplog.records)
+
+
+def test_sequential_daily_merges_equal_full_corpus_lsh(spark):
+    """The lifecycle contract (r9 verdict #7): indexing a base corpus
+    once, then processing N daily batches sequentially — dedup each
+    batch against the index (cross pairs), minhash_lsh_pairs within the
+    batch, merge_into_index the batch's signatures — must discover
+    EXACTLY the pair set of one full-corpus minhash_lsh_pairs run over
+    the union. bucket_cap=None on the incremental side: the cap drops
+    (corpus,band) memberships by corpus-id rank, which a full run ranks
+    over the whole union — equivalence is the uncapped contract."""
+    from rdf_fusion_spark.pipeline.dedup import (
+        dedup_against_index, merge_into_index, minhash_index,
+        minhash_lsh_pairs)
+    texts = [
+        "the quick brown fox jumps over the lazy dog",
+        "the quick brown fox jumps over the lazy cat",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed do",
+        "completely different text about spark distributed engines",
+        "the quick brown fox jumps over the lazy dog",
+        "yet another unrelated string of words here now",
+        "lorem ipsum dolor sit amet consectetur adipiscing elit sed",
+        "the quick brown fox jumps over the sleepy dog",
+        "completely different text about spark distributed engines too",
+        "fresh unseen sentence with mostly novel vocabulary inside",
+        "the quick brown fox jumps over the lazy dog again",
+    ]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id long, text string")
+    base = df.where("doc_id % 4 = 0")          # day-0 corpus
+    days = [df.where(f"doc_id % 4 = {d}") for d in (1, 2, 3)]
+
+    idx = minhash_index(base)
+    got = {(min(r.id_a, r.id_b), max(r.id_a, r.id_b), round(r.jaccard, 9))
+           for r in minhash_lsh_pairs(base, 0.5).collect()}
+    for batch in days:
+        cross = dedup_against_index(batch, idx, 0.5,
+                                    bucket_cap=None).collect()
+        got |= {(min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id),
+                 round(r.jaccard, 9)) for r in cross}
+        within = minhash_lsh_pairs(batch, 0.5).collect()
+        got |= {(min(r.id_a, r.id_b), max(r.id_a, r.id_b),
+                 round(r.jaccard, 9)) for r in within}
+        idx = merge_into_index(idx, minhash_index(batch))
+
+    want = {(r.id_a, r.id_b, round(r.jaccard, 9))
+            for r in minhash_lsh_pairs(df, 0.5).collect()}
+    assert got == want and want, (sorted(got), sorted(want))
+    # and the merged index now IS the full-corpus index
+    full_idx = {(r.id, tuple(sorted(r.sh))) for r in minhash_index(df)
+                .select("id", "sh").collect()}
+    merged = {(r.id, tuple(sorted(r.sh)))
+              for r in idx.select("id", "sh").collect()}
+    assert merged == full_idx
+
+
+def test_merge_into_index_dedupes_ids_when_not_disjoint(spark):
+    from rdf_fusion_spark.pipeline.dedup import merge_into_index, minhash_index
+    a = minhash_index(spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "other words here")],
+        "doc_id long, text string"))
+    b = minhash_index(spark.createDataFrame(
+        [(2, "REPLAYED row must lose"), (3, "new day new doc")],
+        "doc_id long, text string"))
+    merged = merge_into_index(a, b, assume_disjoint=False)
+    assert sorted(r.id for r in merged.select("id").collect()) == [1, 2, 3]
+    # the EXISTING row wins on id collision
+    sh2 = {tuple(r.sh) for r in a.where("id = 2").select("sh").collect()}
+    assert {tuple(r.sh) for r in
+            merged.where("id = 2").select("sh").collect()} == sh2

@@ -149,3 +149,21 @@ def test_rewritten_lsh_operators_requeue():
             # and never displaced by a LESS-recently-gated fresh query:
             # everything before it is stale or gated no earlier
             assert all(_real_is_stale(n) for n in names[:names.index(q)])
+
+
+def test_force_regate_entries_not_consumed():
+    """Force entries live for ONE round: once the named query has a
+    green driver row in a round >= the round the entry was added
+    (recorded as the dict value), the entry is consumed and must be
+    deleted — stale entries burn a front-of-queue slot in the driver's
+    50-query gating prefix every round (r8 and r9 verdicts both had to
+    flag leftovers by hand; this makes the cleanup mechanical)."""
+    from rdf_fusion_spark import entry_queries as EQ
+    gated = GO.gated_rounds()
+    registry = set(EQ.queries())
+    for name, added in EQ._FORCE_REGATE.items():
+        assert name in registry, f"force entry {name} not in registry"
+        assert isinstance(added, int) and added > 0
+        assert gated.get(name, 0) < added, (
+            f"{name} has a green from r{gated.get(name)} >= its force "
+            f"round r{added}: the entry is consumed — delete it")

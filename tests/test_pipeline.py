@@ -662,3 +662,82 @@ def test_semantic_dedup_cap_gate_skips_window_when_under_cap(spark):
                 for r in similarity.semantic_dedup(
                     df, 0.5, centroids=cent, cluster_cap=None).collect()}
     assert capped == uncapped
+
+
+def test_semantic_dedup_cap_blind_spot_quantified(spark, caplog):
+    """Quantifies the cap's ONE documented blind spot (r9 verdict #3): a
+    beyond-cap row whose only above-threshold matches are other
+    beyond-cap rows is under-deduped. Crafted worst case: cap=4, one
+    cluster of 10 — ids 0-3 (within cap) mutually dissimilar and
+    dissimilar to everything, ids 4-9 a 6-clique of exact duplicates.
+    Every duplicate pair lives entirely beyond the cap, so the capped
+    run keeps ALL of them while the uncapped run keeps only id 4: the
+    miss count is clique_size - 1 = 5 of the 6 excluded suppressor
+    memberships the log reports. That is the contract's ceiling — a
+    single blind clique retains at most (excluded memberships - 1)
+    duplicates; any within-cap match (the mega-cluster test) drops the
+    miss count to zero."""
+    import logging
+    dup = [1.0, 0.0, 0.0, 0.0]
+    rows = [(0, [0.0, 1.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0]),
+            (2, [0.0, 0.0, 0.0, 1.0]), (3, [0.0, 0.6, -0.8, 0.0])] + \
+           [(i, dup) for i in range(4, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cent = spark.createDataFrame([(0, [1.0, 1.0, 1.0, 1.0])],
+                                 "cid long, cv array<double>")
+    with caplog.at_level(logging.WARNING,
+                         logger="rdf_fusion_spark.pipeline.similarity"):
+        capped = {r.vec_id: r.keep for r in
+                  similarity.semantic_dedup(df, 0.9, centroids=cent,
+                                            cluster_cap=4).collect()}
+    uncapped = {r.vec_id: r.keep for r in
+                similarity.semantic_dedup(df, 0.9, centroids=cent,
+                                          cluster_cap=None).collect()}
+    # ground truth: the 6-clique keeps its first member only
+    assert uncapped == {0: True, 1: True, 2: True, 3: True, 4: True,
+                        5: False, 6: False, 7: False, 8: False, 9: False}
+    # blind spot: the capped run misses EVERY beyond-cap duplicate
+    assert capped == {i: True for i in range(10)}
+    missed = sum(1 for i in capped if capped[i] and not uncapped[i])
+    assert missed == 5
+    # the dropped mass the log reports (6 memberships: ids 4-9) bounds
+    # the miss (<= excluded - 1 per blind clique) and is never silent
+    assert any("6 cluster memberships beyond the 4-per-cluster cap"
+               in r.message for r in caplog.records)
+
+
+def test_sessionize_sliced_equals_plain(spark):
+    """The hot-key escalation (sessions.py sessionize_sliced) must be
+    row-for-row identical to the plain single-window sessionize —
+    including sessions spanning slice boundaries, a gap EXACTLY equal to
+    the threshold (merges: the rule is strictly-greater splits), single-
+    event slices chaining merges across 3+ slices, and duplicate
+    timestamps. slice_minutes is chosen coprime-ish to the gap so
+    boundaries land mid-session constantly."""
+    import datetime
+    import random
+    from rdf_fusion_spark.pipeline.sessions import (sessionize,
+                                                    sessionize_sliced)
+    rng = random.Random(42)
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    for user in range(1, 5):
+        t = 0
+        for _ in range(rng.randrange(30, 80)):
+            # mix sub-gap steps, exact-gap steps (300 s), and splits
+            t += rng.choice([0, 30, 90, 299, 300, 301, 1200, 5000])
+            rows.append((user, base + datetime.timedelta(seconds=t)))
+    # a dedicated chain: single events exactly gap-apart straddling many
+    # 7-minute slice boundaries -> one long merged session
+    t0 = 100_000
+    for i in range(12):
+        rows.append((9, base + datetime.timedelta(seconds=t0 + i * 300)))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    plain = sessionize(df, gap_minutes=5)
+    sliced = sessionize_sliced(df, gap_minutes=5, slice_minutes=7)
+    a = sorted(map(tuple, plain.collect()))
+    b = sorted(map(tuple, sliced.collect()))
+    assert a == b
+    # sanity: the crafted chain is ONE session in both
+    chain = {r.session_id for r in sliced.where("user_id = 9").collect()}
+    assert chain == {1}

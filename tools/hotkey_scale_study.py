@@ -46,7 +46,8 @@ def with_hot_key(ev, hot_frac):
 def study(spark, n, hot_frac, mode):
     from pyspark.sql import functions as F
 
-    from rdf_fusion_spark.pipeline.sessions import sessionize
+    from rdf_fusion_spark.pipeline.sessions import (sessionize,
+                                                     sessionize_sliced)
     from rdf_fusion_spark.pipeline.temporal import asof_join
 
     ev = synth(spark, n)
@@ -66,14 +67,29 @@ def study(spark, n, hot_frac, mode):
     t_asof = time.time() - t0
 
     t0 = time.time()
-    n_sess = (sessionize(ev.select("user_id", "ts"), gap_minutes=30)
-              .groupBy("user_id").agg(F.max("session_id"))).count()
+    plain = (sessionize(ev.select("user_id", "ts"), gap_minutes=30)
+             .groupBy("user_id").agg(F.max("session_id").alias("m")))
+    n_sess, ck = plain.agg(F.count(F.lit(1)), F.sum("m")).head()
     t_sess = time.time() - t0
+
+    # the r10 hot-key escalation: same semantics, (user, 6h-slice)
+    # window partitioning -> the hot key's sort parallelizes across
+    # ~120 slices of the 30-day horizon; checksum pins equivalence
+    t0 = time.time()
+    sliced = (sessionize_sliced(ev.select("user_id", "ts"), gap_minutes=30,
+                                slice_minutes=360)
+              .groupBy("user_id").agg(F.max("session_id").alias("m")))
+    n_sl, ck_sl = sliced.agg(F.count(F.lit(1)), F.sum("m")).head()
+    t_sliced = time.time() - t0
+    assert (n_sl, ck_sl) == (n_sess, ck), \
+        f"sliced != plain: {(n_sl, ck_sl)} vs {(n_sess, ck)}"
 
     return {"n": n, "mode": mode, "hot_frac": hot_frac if mode == "hot" else 0,
             "hot_key_rows": hot_rows, "users": max(1, n // USERS_PER),
             "asof_rows": n_asof, "asof_wall_s": round(t_asof, 2),
-            "sessionize_users": n_sess, "sessionize_wall_s": round(t_sess, 2)}
+            "sessionize_users": n_sess, "sessionize_wall_s": round(t_sess, 2),
+            "sessionize_sliced_wall_s": round(t_sliced, 2),
+            "sessions_checksum": int(ck)}
 
 
 def main():
@@ -102,7 +118,9 @@ def main():
                 r = study(spark, n, hot_frac, mode)
                 prev = results.get(mode)
                 if prev is None or r["asof_wall_s"] + r["sessionize_wall_s"] \
-                        < prev["asof_wall_s"] + prev["sessionize_wall_s"]:
+                        + r["sessionize_sliced_wall_s"] \
+                        < prev["asof_wall_s"] + prev["sessionize_wall_s"] \
+                        + prev["sessionize_sliced_wall_s"]:
                     results[mode] = r
         for mode in ("uniform", "hot"):
             print(json.dumps(results[mode]), flush=True)
