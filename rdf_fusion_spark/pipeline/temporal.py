@@ -116,6 +116,115 @@ def asof_join(left: DataFrame, right: DataFrame, ts_col: str = "ts",
         *[F.col("__r")[c].alias(c + suffix) for c in rpay])
 
 
+def asof_join_sliced(left: DataFrame, right: DataFrame, ts_col: str = "ts",
+                     by: Sequence[str] = ("user_id",),
+                     direction: str = "backward",
+                     tolerance_s: float | None = None,
+                     suffix: str = "_r",
+                     slice_minutes: int = 24 * 60) -> DataFrame:
+    """Hot-key escalation of `asof_join` (same contract, same output):
+    the ordered window runs per (key, TIME-SLICE) instead of per key, so
+    a key owning 10^8+ events never serializes into one sort task (the
+    round-9 hot-key study's documented bound, measured 3.1x at 3x10^7
+    rows/key).
+
+    Matches that cross a slice boundary are preserved by SEEDING each
+    slice with a carry-in row: per (key, slice) the latest right payload
+    (earliest, for forward) is aggregated — one row per slice — and a
+    tiny per-key window over the slice SPINE (every (key, slice) seen on
+    either side, so left-only slices still receive their carry-in)
+    carries it across slices; the seed sorts before every real row of
+    its slice (NULL ts, nulls-first; nulls-last for forward), so the
+    local `last(ignorenulls)` window alone reconstructs the global
+    answer. Cost: one (key, slice) shuffle of |L|+|R| for the main
+    window, a right-side aggregate, and a spine window whose row count
+    is #slices-per-key — bounded by the corpus time span, never by
+    event volume. Equivalence with `asof_join` is property-tested for
+    both directions with and without tolerance
+    (tests/test_temporal.py)."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward: {direction}")
+    clash = {"__ts", "__side", "__r", "__slice"} \
+        & (set(left.columns) | set(right.columns))
+    if clash:
+        raise ValueError(
+            f"asof_join_sliced: reserved column names in input: "
+            f"{sorted(clash)}")
+    by = list(by)
+    l_dt = dict(left.dtypes)
+    r_dt = dict(right.dtypes)
+    lonly = [c for c in left.columns if c not in by and c != ts_col]
+    rpay = [c for c in right.columns if c not in by]
+    if ts_col not in l_dt or ts_col not in r_dt:
+        raise ValueError(f"ts_col {ts_col!r} must exist on both sides")
+    slice_us = slice_minutes * 60 * 1_000_000
+
+    l_side, r_side = (1, 0) if direction == "backward" else (0, 1)
+    r_struct = F.struct(*[F.col(c).alias(c) for c in rpay])
+    struct_type = right.select(r_struct.alias("__r")).schema["__r"].dataType
+
+    def slice_of(dt: str) -> Column:
+        return _floor_div(micros(F.col(ts_col), dt), slice_us, "bigint")
+
+    l2 = left.select(
+        *by, slice_of(l_dt[ts_col]).alias("__slice"),
+        F.col(ts_col).alias("__ts"), F.lit(l_side).alias("__side"),
+        *[F.col(c) for c in lonly],
+        F.lit(None).cast(struct_type).alias("__r"))
+    r2 = right.select(
+        *by, slice_of(r_dt[ts_col]).alias("__slice"),
+        F.col(ts_col).alias("__ts"), F.lit(r_side).alias("__side"),
+        *[F.lit(None).cast(l_dt[c]).alias(c) for c in lonly],
+        r_struct.alias("__r"))
+
+    # carry-in seeds over the slice spine (slices seen on EITHER side:
+    # a left-only slice still needs the latest right of earlier slices)
+    pick = F.max_by if direction == "backward" else F.min_by
+    summ = r2.groupBy(*by, "__slice").agg(pick("__r", "__ts").alias("__r"))
+    spine = (l2.select(*by, "__slice").union(r2.select(*by, "__slice"))
+             .distinct())
+    sp = spine.join(summ, [*by, "__slice"], "left")
+    ws = Window.partitionBy(*by).orderBy("__slice")
+    if direction == "backward":
+        carry = F.last("__r", ignorenulls=True).over(
+            ws.rowsBetween(Window.unboundedPreceding, -1))
+    else:
+        carry = F.first("__r", ignorenulls=True).over(
+            ws.rowsBetween(1, Window.unboundedFollowing))
+    seeds = sp.select(
+        *by, "__slice",
+        F.lit(None).cast(l_dt[ts_col]).alias("__ts"),
+        F.lit(r_side).alias("__side"),
+        *[F.lit(None).cast(l_dt[c]).alias(c) for c in lonly],
+        carry.alias("__r")).where(F.col("__r").isNotNull())
+
+    if direction == "backward":
+        order = [F.asc_nulls_first("__ts"), F.asc("__side")]
+        carried = F.last("__r", ignorenulls=True).over(
+            Window.partitionBy(*by, "__slice").orderBy(*order)
+            .rowsBetween(Window.unboundedPreceding, 0))
+    else:
+        order = [F.asc_nulls_last("__ts"), F.asc("__side")]
+        carried = F.first("__r", ignorenulls=True).over(
+            Window.partitionBy(*by, "__slice").orderBy(*order)
+            .rowsBetween(0, Window.unboundedFollowing))
+
+    m = (l2.unionByName(r2).unionByName(seeds)
+         .select(*by, "__ts", "__side", *lonly, carried.alias("__r"))
+         .where(F.col("__side") == l_side))
+    if tolerance_s is not None:
+        lag_us = micros(F.col("__ts"), l_dt[ts_col]) \
+            - micros(F.col("__r")[ts_col], r_dt[ts_col])
+        if direction == "forward":
+            lag_us = -lag_us
+        m = m.withColumn(
+            "__r", F.when(lag_us <= int(tolerance_s * 1_000_000),
+                          F.col("__r")))
+    return m.select(
+        *by, F.col("__ts").alias(ts_col), *lonly,
+        *[F.col("__r")[c].alias(c + suffix) for c in rpay])
+
+
 _INTEGRAL = ("tinyint", "smallint", "int", "bigint", "long")
 
 

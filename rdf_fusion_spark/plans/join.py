@@ -388,20 +388,35 @@ def join_solutions(
                     expensive=merge_expensive(left, right))
 
 
-def minus_solutions(left: Solution, right: Solution) -> Solution:
+def minus_solutions(left: Solution, right: Solution,
+                    graph_var: Optional[str] = None) -> Solution:
     """SPARQL MINUS → left-anti join with compatibility condition AND at
     least one shared var bound on both sides
-    (reference: lib/logical/src/minus/rewrite.rs:16-130)."""
+    (reference: lib/logical/src/minus/rewrite.rs:16-130).
+
+    `graph_var` (r10, GRAPH-layer fuzz seed 19): inside GRAPH ?g every
+    scan binds ?g, so both MINUS sides carry it — but the spec evaluates
+    Graph(?g, P) as a per-named-graph evaluation of P with ?g joined
+    ABOVE it (§18.5), so within MINUS the solutions do NOT contain ?g
+    and the "domains overlap" clause must be decided WITHOUT it. ?g
+    still participates in the compatibility condition (it encodes the
+    per-graph scoping: right solutions from another graph are not
+    compatible); it just cannot be the variable that satisfies the
+    dom-overlap requirement. Concretely: GRAPH ?g { A MINUS B } where A
+    and B share no pattern variables removes nothing, even though both
+    bind ?g."""
     shared = sorted(left.maybe & right.maybe)
-    if not shared:
-        return left  # identity per spec
+    dom_shared = [v for v in shared if v != graph_var]
+    if not dom_shared:
+        return left  # identity per spec (dom-overlap can never hold)
 
     L = left.df.alias("l")
     R = right.df.alias("r")
     all_bound = all(v in left.bound and v in right.bound for v in shared)
 
     if all_bound:
-        # pure equality anti join → hash-joinable
+        # pure equality anti join → hash-joinable (dom_shared nonempty
+        # and all-bound ⇒ the dom-overlap clause holds statically)
         cond = F.lit(True)
         for v in shared:
             cond = cond & (L[v] == R[v])
@@ -423,8 +438,9 @@ def minus_solutions(left: Solution, right: Solution) -> Solution:
             for sr, rdf in right_slices:
                 keys = sorted(((set(left.bound) & set(shared)) | sl)
                               & ((set(right.bound) & set(shared)) | sr))
-                if not keys:
-                    continue  # no var bound on both sides → no exclusion
+                if not set(keys) - {graph_var}:
+                    # no NON-graph var bound on both sides → no exclusion
+                    continue
                 La, Ra = rest.alias("l"), rdf.alias("r")
                 cond = F.lit(True)
                 for v in keys:
@@ -439,7 +455,8 @@ def minus_solutions(left: Solution, right: Solution) -> Solution:
     any_both = F.lit(False)
     for v in shared:
         cond = cond & _compat(L[v], R[v])
-        any_both = any_both | (L[v].isNotNull() & R[v].isNotNull())
+        if v != graph_var:
+            any_both = any_both | (L[v].isNotNull() & R[v].isNotNull())
     cond = cond & any_both
 
     df = L.join(R, cond, "left_anti")

@@ -437,6 +437,14 @@ def translate_path_pattern(p: A.PathPattern, ctx) -> Solution:
     else:
         df = df.where(term_matches(F.col(TGT), p.object))
 
+    if g and g[0] in vars_:
+        # GRAPH ?g { ?g <path> ?o } — the graph var is also a path
+        # endpoint: unify (equality against the graph column) and bind
+        # ?g once, from the graph column (r10 GRAPH-layer fuzz seed 163:
+        # the duplicate alias made downstream selects ambiguous; same
+        # fix as store.scan_pattern)
+        df = df.where(F.col(vars_[g[0]]) == F.col(g[0]))
+        del vars_[g[0]]
     out_cols = [F.col(c).alias(v) for v, c in vars_.items()]
     out_cols += [F.col(c) for c in g]
     names = set(vars_) | set(g)

@@ -608,7 +608,9 @@ def translate(p, ctx: Ctx) -> Solution:
     if isinstance(p, A.Minus):
         l = translate(p.left, ctx)
         r = translate(p.right, _no_consts(ctx))
-        return minus_solutions(l, r)
+        return minus_solutions(
+            l, r, graph_var=(ctx.graph_var.name if ctx.graph_var is not None
+                             else None))
     if isinstance(p, A.ValuesNode):
         return _translate_values(p, ctx)
     if isinstance(p, A.ServiceNode):
@@ -703,8 +705,11 @@ def _lat(p, seed: Solution, key: str, ctx: Ctx) -> Solution:
     if isinstance(p, A.Extend):
         return _apply_extend(p, _lat(p.inner, seed, key, ctx), ctx)
     if isinstance(p, A.Minus):
-        return minus_solutions(_lat(p.left, seed, key, ctx),
-                               translate(p.right, _no_consts(ctx)))
+        return minus_solutions(
+            _lat(p.left, seed, key, ctx),
+            translate(p.right, _no_consts(ctx)),
+            graph_var=(ctx.graph_var.name if ctx.graph_var is not None
+                       else None))
     if isinstance(p, A.GraphNode) and isinstance(p.name, NamedNode):
         inner_ctx = replace(ctx, active_graph=ActiveGraph.union([p.name]),
                             graph_var=None)

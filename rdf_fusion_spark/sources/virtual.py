@@ -313,11 +313,12 @@ class VirtualRelationalStore(GraphStore):
     def _empty_var_pred(self, predicate, other, graph_var,
                         subject_side: bool = False) -> DataFrame:
         from ..terms import TERM_TYPE
-        cols = [F.lit(None).cast(TERM_TYPE).alias(predicate.name)]
-        if isinstance(other, Variable):
-            cols.append(F.lit(None).cast(TERM_TYPE).alias(other.name))
-        if graph_var is not None:
-            cols.append(F.lit(None).cast(TERM_TYPE).alias(graph_var.name))
+        names = [predicate.name]
+        if isinstance(other, Variable) and other.name not in names:
+            names.append(other.name)
+        if graph_var is not None and graph_var.name not in names:
+            names.append(graph_var.name)
+        cols = [F.lit(None).cast(TERM_TYPE).alias(n) for n in names]
         return self.spark.range(1).select(*cols).limit(0)
 
     def _triples_to_solution(self, trip: DataFrame, predicate, other,
@@ -340,8 +341,14 @@ class VirtualRelationalStore(GraphStore):
         if graph_var is not None:
             if table is None:
                 return None  # multi-table union: no single graph constant
-            from ..terms import term_lit
-            out[graph_var.name] = term_lit(NamedNode(graph_iri(table)))
+            from ..terms import term_lit, term_matches
+            g = NamedNode(graph_iri(table))
+            if graph_var.name in out:
+                # same-var unification, not a silent overwrite (see
+                # star_scan; r10 GRAPH-layer fuzz)
+                trip = trip.where(term_matches(out[graph_var.name], g))
+            else:
+                out[graph_var.name] = term_lit(g)
         return trip.select(*[c.alias(v) for v, c in out.items()])
 
     # ------------------------------------------------------------------
@@ -514,9 +521,18 @@ class VirtualRelationalStore(GraphStore):
                             out_kinds[o.name] = k
 
         if graph_var is not None:
-            from ..terms import term_lit
-            out_vars[graph_var.name] = term_lit(NamedNode(graph_iri(table)))
-            out_kinds[graph_var.name] = SK_IRI
+            from ..terms import term_lit, term_matches
+            if graph_var.name in out_vars:
+                # GRAPH ?g where ?g also occurs in the pattern: unify —
+                # the pattern binding must equal this table's graph IRI
+                # (r10 GRAPH-layer fuzz: the dict write silently
+                # OVERWROTE the pattern binding, losing its constraint)
+                conds.append(term_matches(out_vars[graph_var.name],
+                                          NamedNode(graph_iri(table))))
+            else:
+                out_vars[graph_var.name] = term_lit(
+                    NamedNode(graph_iri(table)))
+                out_kinds[graph_var.name] = SK_IRI
 
         cond = F.lit(True)
         for c in conds:

@@ -322,9 +322,18 @@ class GraphStore:
             elif tv is not None:
                 df = df.where(term_matches(F.col(colname), tv))
 
+        if graph_var is not None and ag.kind != ActiveGraph.DEFAULT \
+                and graph_var.name in var_first_col:
+            # GRAPH ?g where ?g ALSO occurs in the pattern (GRAPH ?g
+            # { ?g ?p ?o }): unify instead of emitting two columns
+            # named ?g — same-var equality against the graph column
+            # (r10 GRAPH-layer fuzz: the duplicate alias made every
+            # downstream select AMBIGUOUS_REFERENCE)
+            df = df.where(F.col(var_first_col[graph_var.name]) == gcol)
         out_cols = [F.col(c).alias(v) for v, c in
                     ((v, c) for v, c in var_first_col.items())]
-        if graph_var is not None and ag.kind != ActiveGraph.DEFAULT:
+        if graph_var is not None and ag.kind != ActiveGraph.DEFAULT \
+                and graph_var.name not in var_first_col:
             out_cols.append(gcol.alias(graph_var.name))
         if not out_cols:
             # fully-ground pattern: keep a row per match, no columns needed —

@@ -1575,3 +1575,378 @@ def run_agg_order_case(spark, seed, n_queries=2):
 @pytest.mark.parametrize("seed", range(12))
 def test_agg_order_differential(spark, seed):
     run_agg_order_case(spark, seed)
+
+
+# ------------------------------------- GRAPH / named-graph layer (r10)
+#
+# The named-graph surface (GRAPH <iri> scoping, GRAPH ?g enumeration
+# with the graph var unifying into the pattern, default-graph-only
+# matching outside GRAPH, graph blocks under join/OPTIONAL/UNION/MINUS)
+# was gated only by fixed oracle queries (q_graph_named,
+# q_graph_enumerate). This layer fuzzes it: random QUAD datasets over a
+# default graph + 3 named graphs, GRAPH blocks over random constants
+# (including a graph named in queries but absent from the data) and
+# vars (including one that collides with a pattern variable, so the
+# engine must unify graph binding with subject binding).
+
+GRAPHS = [("i", f"{EX}g1"), ("i", f"{EX}g2"), ("i", f"{EX}g3")]
+GRAPH_ABSENT = ("i", f"{EX}g9")
+
+
+def gen_data_graphs(rng):
+    quads = set()
+    for _ in range(rng.randrange(16, 36)):
+        g = rng.choice([None, None] + GRAPHS)       # bias default graph
+        s = rng.choice(SUBJECTS)
+        p = rng.choice(PREDICATES)
+        o = rng.choice(SUBJECTS + LITERALS)
+        quads.add((g, s, p, o))
+    return sorted(quads, key=lambda q: (q[0] or ("", ""),) + q[1:])
+
+
+def gen_tree_graph(rng, depth, in_graph=False):
+    if depth <= 0 or rng.random() < 0.3:
+        # property-path leaves too: paths must evaluate against the
+        # ACTIVE graph only (zero-length self-relations included), and
+        # a Kleene fixpoint under GRAPH ?g runs once per named graph
+        return gen_pathpat(rng) if rng.random() < 0.3 else gen_bgp(rng)
+    ops = ["join", "leftjoin", "union", "minus"]
+    if not in_graph:                  # GRAPH does not nest in SPARQL
+        ops += ["graph", "graph", "graphvar"]
+    op = rng.choice(ops)
+    if op == "graph":
+        return ("graph", rng.choice(GRAPHS + [GRAPH_ABSENT]),
+                gen_tree_graph(rng, depth - 1, True))
+    if op == "graphvar":
+        gv = rng.choice(["g", "g", "h", "a"])   # "a" collides with VARS
+        return ("graph", ("var", gv),
+                gen_tree_graph(rng, depth - 1, True))
+    return (op, gen_tree_graph(rng, depth - 1, in_graph),
+            gen_tree_graph(rng, depth - 1, in_graph))
+
+
+def render_graph_tree(node):
+    op = node[0]
+    if op == "graph":
+        return ("{ GRAPH " + r_term(node[1]) + " "
+                + render_graph_tree(node[2]) + " }")
+    if op in ("bgp", "pathpat"):
+        return render(node)
+    a, b = render_graph_tree(node[1]), render_graph_tree(node[2])
+    if op == "join":
+        return "{ " + a + " " + b + " }"
+    if op == "leftjoin":
+        return "{ " + a + " OPTIONAL " + b + " }"
+    if op == "union":
+        return "{ " + a + " UNION " + b + " }"
+    return "{ " + a + " MINUS " + b + " }"
+
+
+def ref_eval_graphs(node, quads, active=None):
+    """ref_eval over a QUAD dataset with an active-graph context:
+    active=None is the default graph; GRAPH <iri> rescopes; GRAPH ?g
+    unions over the dataset's named graphs, unifying ?g per graph."""
+    op = node[0]
+    if op == "bgp":
+        data3 = [(s, p, o) for (g, s, p, o) in quads if g == active]
+        sols = [dict()]
+        for s, p, o in node[1]:
+            sols = [m2 for mu in sols for (ds, dp, do) in data3
+                    if (m2 := _unify(mu, [(s, ds), (p, dp), (o, do)]))
+                    is not None]
+        return sols
+    if op == "pathpat":
+        s, P, o = node[1], node[2], node[3]
+        data3 = [(s2, p2, o2) for (g, s2, p2, o2) in quads if g == active]
+        out = []
+        for (x, y) in eval_path(P, s, o, data3):
+            mu = _unify({}, [(s, x), (o, y)])
+            if mu is not None:
+                out.append(mu)
+        return out
+    if op == "graph":
+        gt, sub = node[1], node[2]
+        if gt[0] == "i":
+            return ref_eval_graphs(sub, quads, gt)
+        out = []
+        for g in sorted({q[0] for q in quads if q[0] is not None}):
+            for mu in ref_eval_graphs(sub, quads, g):
+                m2 = _unify(mu, [(gt, g)])
+                if m2 is not None:
+                    out.append(m2)
+        return out
+    a = ref_eval_graphs(node[1], quads, active)
+    b = ref_eval_graphs(node[2], quads, active)
+    if op == "join":
+        return [_merge(x, y) for x in a for y in b if _compatible(x, y)]
+    if op == "leftjoin":
+        out = []
+        for x in a:
+            ms = [_merge(x, y) for y in b if _compatible(x, y)]
+            out.extend(ms if ms else [x])
+        return out
+    if op == "union":
+        return a + b
+    return [x for x in a                                       # minus
+            if not any(_compatible(x, y) and set(x) & set(y) for y in b)]
+
+
+def _build_store_graphs(spark, quads):
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+
+    def term(t):
+        return NamedNode(t[1]) if t[0] == "i" else Literal(t[1])
+
+    rows = [(None if g is None else NamedNode(g[1]),
+             term(s), term(p), term(o)) for g, s, p, o in quads]
+    return GraphStore.from_python_quads(spark, rows).cached()
+
+
+def run_graph_case(spark, seed, n_queries=3):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(29000 + seed)
+    quads = gen_data_graphs(rng)
+    store = _build_store_graphs(spark, quads)
+    for q in range(n_queries):
+        tree = gen_tree_graph(rng, depth=3)
+        distinct = rng.random() < 0.3
+        sparql = ("SELECT DISTINCT * WHERE " if distinct
+                  else "SELECT * WHERE ") + render_graph_tree(tree)
+        want = Counter(
+            frozenset(mu.items()) for mu in ref_eval_graphs(tree, quads))
+        if distinct:
+            want = Counter(dict.fromkeys(want, 1))
+        res = store.query(sparql)
+        got = Counter(
+            frozenset(
+                (v, k) for v in res.variables
+                if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_graph_pattern_differential(spark, seed):
+    run_graph_case(spark, seed)
+
+
+# ----------------------------------------------- UPDATE layer (r10)
+#
+# SPARQL 1.1 Update was gated by 22 fixed cases only. This layer runs
+# random UPDATE SEQUENCES (INSERT/DELETE DATA, DELETE WHERE,
+# DELETE/INSERT WHERE with templates over default + named graphs,
+# CLEAR/DROP, ADD/COPY/MOVE) against a pure-Python quad-set evaluator
+# and compares the FULL final store state. Spec semantics modeled:
+# WHERE solutions computed on the pre-state, DELETE applied before
+# INSERT, template quads with an unbound variable skipped per solution,
+# graph-scoped matching (a pattern outside GRAPH sees only the default
+# graph). Template variables are drawn from the WHERE pattern's
+# variables (the vars-not-in-scope corner is grammar-contentious across
+# engines and excluded). Blank nodes excluded (fresh minting is
+# deliberately nondeterministic).
+
+UP_GRAPHS = [None, ("i", f"{EX}g1"), ("i", f"{EX}g2")]
+
+
+def _upd_quad_const(rng):
+    return (rng.choice(UP_GRAPHS), rng.choice(SUBJECTS),
+            rng.choice(PREDICATES), rng.choice(SUBJECTS + LITERALS))
+
+
+def _upd_quad_pat(rng):
+    s = gen_term(rng, allow_lit=False)
+    p = ("var", rng.choice(VARS)) if rng.random() < 0.2 \
+        else rng.choice(PREDICATES)
+    o = gen_term(rng, allow_lit=True)
+    return (rng.choice(UP_GRAPHS), s, p, o)
+
+
+def _upd_quad_tpl(rng, wvars):
+    def t(allow_lit):
+        if wvars and rng.random() < 0.5:
+            return ("var", rng.choice(wvars))
+        pool = SUBJECTS + (LITERALS if allow_lit else [])
+        return rng.choice(pool)
+    return (rng.choice(UP_GRAPHS), t(False),
+            rng.choice([("var", rng.choice(wvars))] if wvars
+                       and rng.random() < 0.2 else PREDICATES), t(True))
+
+
+def gen_update_op(rng):
+    kind = rng.choice(["insert_data", "insert_data", "delete_data",
+                       "delete_where", "modify", "modify", "clear", "acm"])
+    if kind in ("insert_data", "delete_data"):
+        return (kind, [_upd_quad_const(rng)
+                       for _ in range(rng.randrange(1, 4))])
+    if kind == "delete_where":
+        return (kind, [_upd_quad_pat(rng)
+                       for _ in range(rng.randrange(1, 3))])
+    if kind == "modify":
+        where = [_upd_quad_pat(rng) for _ in range(rng.randrange(1, 3))]
+        wvars = sorted({t[1] for q in where for t in q[1:]
+                        if t is not None and t[0] == "var"})
+        del_t = [_upd_quad_tpl(rng, wvars)
+                 for _ in range(rng.randrange(0, 3))]
+        ins_t = [_upd_quad_tpl(rng, wvars)
+                 for _ in range(rng.randrange(0 if del_t else 1, 3))]
+        return (kind, del_t, ins_t, where)
+    if kind == "clear":
+        return (kind, rng.choice(UP_GRAPHS + [("kw", "ALL"),
+                                              ("kw", "NAMED")]),
+                rng.random() < 0.5)        # CLEAR vs DROP spelling
+    verb = rng.choice(["ADD", "COPY", "MOVE"])
+    return ("acm", verb, rng.choice(UP_GRAPHS), rng.choice(UP_GRAPHS))
+
+
+def _render_quads(quads):
+    """Group template/data quads into GRAPH blocks."""
+    parts = []
+    for g, s, p, o in quads:
+        triple = f"{r_term(s)} {r_term(p)} {r_term(o)} ."
+        parts.append(triple if g is None
+                     else f"GRAPH {r_term(g)} {{ {triple} }}")
+    return " ".join(parts)
+
+
+def _render_gref(g):
+    return "DEFAULT" if g is None else f"GRAPH {r_term(g)}"
+
+
+def render_update_op(op):
+    kind = op[0]
+    if kind == "insert_data":
+        return "INSERT DATA { " + _render_quads(op[1]) + " }"
+    if kind == "delete_data":
+        return "DELETE DATA { " + _render_quads(op[1]) + " }"
+    if kind == "delete_where":
+        return "DELETE WHERE { " + _render_quads(op[1]) + " }"
+    if kind == "modify":
+        _, del_t, ins_t, where = op
+        q = ""
+        if del_t:
+            q += "DELETE { " + _render_quads(del_t) + " } "
+        if ins_t:
+            q += "INSERT { " + _render_quads(ins_t) + " } "
+        return q + "WHERE { " + _render_quads(where) + " }"
+    if kind == "clear":
+        _, tgt, drop = op
+        verb = "DROP" if drop else "CLEAR"
+        ref = tgt[1] if isinstance(tgt, tuple) and tgt[0] == "kw" \
+            else _render_gref(tgt)
+        return f"{verb} SILENT {ref}"
+    _, verb, src, dst = op
+    return f"{verb} SILENT {_render_gref(src)} TO {_render_gref(dst)}"
+
+
+def _upd_where_sols(state, where):
+    sols = [dict()]
+    for g, s, p, o in where:
+        sols = [m2 for mu in sols for (dg, ds, dp, do) in state
+                if dg == g
+                and (m2 := _unify(mu, [(s, ds), (p, dp), (o, do)]))
+                is not None]
+    return sols
+
+
+def _upd_ground(mu, quads):
+    out = set()
+    for g, s, p, o in quads:
+        q = tuple(mu.get(t[1]) if t[0] == "var" else t
+                  for t in (s, p, o))
+        if None in q:
+            continue            # unbound template var -> quad skipped
+        if q[0][0] == "l" or q[1][0] == "l":
+            # instantiation produced invalid RDF (literal subject or
+            # predicate) -> quad skipped, per the Update spec's
+            # "invalid RDF triples are not included" rule (fuzz seed 5
+            # caught this evaluator reading the rule too loosely — the
+            # ENGINE was right, 6th time across the campaigns)
+            continue
+        out.add((g, *q))
+    return out
+
+
+def ref_apply_update(state, op):
+    kind = op[0]
+    if kind == "insert_data":
+        return state | set(op[1])
+    if kind == "delete_data":
+        return state - set(op[1])
+    if kind == "delete_where":
+        dels = set()
+        for mu in _upd_where_sols(state, op[1]):
+            dels |= _upd_ground(mu, op[1])
+        return state - dels
+    if kind == "modify":
+        _, del_t, ins_t, where = op
+        dels, inss = set(), set()
+        for mu in _upd_where_sols(state, where):
+            dels |= _upd_ground(mu, del_t)
+            inss |= _upd_ground(mu, ins_t)
+        return (state - dels) | inss
+    if kind == "clear":
+        tgt = op[1]
+        if isinstance(tgt, tuple) and tgt[0] == "kw":
+            if tgt[1] == "ALL":
+                return set()
+            return {q for q in state if q[0] is None}      # NAMED
+        return {q for q in state if q[0] != tgt}
+    _, verb, src, dst = op
+    if src == dst:
+        return state                                       # no-op per spec
+    moved = {(dst, s, p, o) for (g, s, p, o) in state if g == src}
+    out = state if verb == "ADD" else {q for q in state if q[0] != dst}
+    out = out | moved
+    if verb == "MOVE":
+        out = {q for q in out if q[0] != src}
+    return out
+
+
+def run_update_case(spark, seed, n_rounds=2):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(31000 + seed)
+    state = set(gen_data_graphs(rng))
+    store = _build_store_graphs(spark, sorted(
+        state, key=lambda q: (q[0] or ("", ""),) + q[1:]))
+    prefix_ops = []
+    for _ in range(n_rounds):
+        ops = [gen_update_op(rng) for _ in range(rng.randrange(1, 4))]
+        text = " ;\n".join(render_update_op(o) for o in ops)
+        prefix_ops.append(text)
+        store.update(text)
+        for o in ops:
+            state = ref_apply_update(state, o)
+        got = set()
+        res = store.query("SELECT * WHERE { ?s ?p ?o }")
+        for r in res.df.collect():
+            got.add((None, _key(term_to_python(r["s"])),
+                     _key(term_to_python(r["p"])),
+                     _key(term_to_python(r["o"]))))
+        res = store.query("SELECT * WHERE { GRAPH ?g { ?s ?p ?o } }")
+        for r in res.df.collect():
+            got.add((_key(term_to_python(r["g"])),
+                     _key(term_to_python(r["s"])),
+                     _key(term_to_python(r["p"])),
+                     _key(term_to_python(r["o"]))))
+        assert got == state, (
+            f"seed={seed}\n" + " ;;; ".join(prefix_ops)
+            + f"\nextra={got - state}\nmissing={state - got}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_update_differential(spark, seed):
+    run_update_case(spark, seed)
+
+
+@pytest.mark.parametrize("seed", [19, 163])
+def test_graph_layer_pinned_seeds(spark, seed):
+    """Pinned from the r10 GRAPH+paths sweep. Seed 19: MINUS inside
+    GRAPH ?g whose sides share no PATTERN variables — per §18.5 the
+    graph var joins above the inner pattern, so it cannot satisfy
+    MINUS's dom-overlap clause (the per-scan ?g binding was making the
+    sides overlap and wrongly exclude). Seed 163: a property-path
+    endpoint variable colliding with the graph var must unify, not
+    emit a duplicate column (paths.translate_path_pattern)."""
+    run_graph_case(spark, seed)

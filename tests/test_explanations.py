@@ -97,6 +97,7 @@ PIPELINE_SCALE_SAFE = [
     "q_events_interval_join",
     "q_curation_topk_quality",
     "q_dedup_incremental",
+    "q_dedup_index_merge",
 ]
 
 

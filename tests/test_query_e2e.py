@@ -378,3 +378,44 @@ def test_distinct_hidden_order_keys_first_occurrence(spark):
         rows = [r["name"].v
                 for r in store.query(tpl % (order, limit)).df.collect()]
         assert rows == want, (order, limit, rows)
+
+
+def test_graph_var_unifies_with_pattern_var(spark):
+    """GRAPH ?a { ?a ?p ?o } — the graph variable ALSO occurring inside
+    the pattern must UNIFY (same-var equality against the graph column),
+    not emit a duplicate ?a column (pre-r10: AMBIGUOUS_REFERENCE from
+    any downstream select; found by the r10 GRAPH fuzz layer)."""
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+    EX = "http://example.org/"
+    g1, g2 = NamedNode(EX + "g1"), NamedNode(EX + "g2")
+    p = NamedNode(EX + "p")
+    quads = [
+        (g1, g1, p, Literal("x")),                  # subject == graph name
+        (g1, NamedNode(EX + "s"), p, Literal("y")),
+        (g2, g1, p, Literal("z")),                  # same subject, other g
+    ]
+    store = GraphStore.from_python_quads(spark, quads).cached()
+    res = store.query(
+        "SELECT * WHERE { GRAPH ?a { ?a <" + EX + "p> ?o } }")
+    rows = {(r["a"]["v"], r["o"]["v"]) for r in res.df.collect()}
+    assert rows == {(EX + "g1", "x")}, rows
+    # and in a UNION (the shape that crashed: duplicate column under
+    # the union's column-alignment select)
+    res2 = store.query(
+        "SELECT * WHERE { { GRAPH ?a { ?a <" + EX + "p> ?o } } UNION "
+        "{ GRAPH ?a { ?a <" + EX + "p> ?o } } }")
+    assert res2.df.count() == 2
+
+
+def test_graph_var_collision_on_virtual_store(spark):
+    """Same unification rule over the relational mapping's virtual
+    graphs: a colliding graph var must CONSTRAIN the pattern binding to
+    the table-graph IRI (pre-r10 the dict write silently overwrote the
+    binding), so entity subjects never equal a graph IRI -> empty, and
+    the non-colliding rewrite of the same query is non-empty."""
+    from rdf_fusion_spark.entry_queries import get_graph
+    g = get_graph(spark, "/root/testdata/sf0.001")
+    empty = g.query("SELECT * WHERE { GRAPH ?a { ?a ?p ?o } } LIMIT 5")
+    assert empty.df.count() == 0
+    ok = g.query("SELECT * WHERE { GRAPH ?g { ?s ?p ?o } } LIMIT 5")
+    assert ok.df.count() == 5

@@ -256,3 +256,50 @@ def test_interval_join_still_no_nested_loop_with_clamp(spark):
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin [__bkt" in plan or "ShuffledHashJoin [__bkt" in plan \
         or "BroadcastHashJoin [__bkt" in plan
+
+
+def _run_sliced(spark, left, right, **kw):
+    from rdf_fusion_spark.pipeline.temporal import asof_join_sliced
+    ldf = spark.createDataFrame(
+        [(k, T(ts), tag) for k, ts, tag in left],
+        "user_id long, ts timestamp, tag string")
+    rdf = spark.createDataFrame(
+        [(k, T(ts), v) for k, ts, v in right],
+        "user_id long, ts timestamp, val double")
+    rows = asof_join_sliced(ldf, rdf, "ts", ("user_id",), **kw).collect()
+    return {(r.user_id, int((r.ts - BASE).total_seconds()), r.tag):
+            (None if r.ts_r is None
+             else (int((r.ts_r - BASE).total_seconds()), r.val_r))
+            for r in rows}
+
+
+@pytest.mark.parametrize("seed", range(8))
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_sliced_equals_plain(spark, seed, direction):
+    """The hot-key escalation (asof_join_sliced) must reproduce
+    asof_join exactly — matches crossing slice boundaries come from the
+    carry-in seeds, left-only slices included. slice_minutes is tiny
+    (events span 0-120 s, slices of 1 min) so nearly every match
+    crosses a boundary; tolerance exercises the post-coalesce filter
+    against a seed row's original timestamp."""
+    left, right = _random_case(seed)
+    for tol in (None, 45):
+        plain = _run(spark, left, right, direction=direction,
+                     tolerance_s=tol)
+        sliced = _run_sliced(spark, left, right, direction=direction,
+                             tolerance_s=tol, slice_minutes=1)
+        assert sliced == plain, (seed, direction, tol)
+
+
+def test_asof_sliced_left_only_slice_gets_carry_in(spark):
+    """A left row slices ahead of every right row: the spine must still
+    deliver the carry-in (right at t=10s, left at t=500s = a later
+    1-minute slice with no rights)."""
+    from rdf_fusion_spark.pipeline.temporal import asof_join_sliced
+    ldf = spark.createDataFrame([(1, T(500), "a")],
+                                "user_id long, ts timestamp, tag string")
+    rdf = spark.createDataFrame([(1, T(10), 7.0)],
+                                "user_id long, ts timestamp, val double")
+    got = asof_join_sliced(ldf, rdf, "ts", ("user_id",),
+                           slice_minutes=1).collect()
+    assert len(got) == 1 and got[0].val_r == 7.0
