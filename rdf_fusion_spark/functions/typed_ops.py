@@ -73,6 +73,17 @@ RANK_DOUBLE = K_DOUBLE
 SK_PLAIN = 8    # xsd:string literal, lang guaranteed NULL
 SK_IRI = 100    # named node
 SK_BNODE = 101  # blank node
+# statically ALWAYS-NULL: a variable that is provably unbound in its
+# solution (compile_term_expr resolves it to a NULL literal). Every
+# "non-NULL values have kind X" promise is vacuously true, so generic
+# consumers are safe by construction; arithmetic SHORT-CIRCUITS on it
+# (error operand -> error result) — without the fold, a nested
+# arithmetic tree over NULL literals survives to the optimizer, where
+# literal-inlining duplicates each promotion CASE ladder once per
+# operand reference per level and the plan grows exponentially before
+# constant folding can land (r10 arith fuzz seed 55: a depth-3 BIND
+# over two unbound vars OOMed a 10 GB driver at 19 triples).
+SK_NULL = 120
 # "numeric, rank known only at runtime": every non-NULL value has
 # k <= K_DOUBLE but which numeric kind varies row to row (arithmetic
 # results). Consumers skip the full type-dispatch ladder and emit the
@@ -686,6 +697,12 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
     reference: lib/functions/src/scalar/numeric/add.rs et al.
     """
     sa, sb = skind(a), skind(b)
+    if sa == SK_NULL or sb == SK_NULL:
+        # an ALWAYS-unbound operand: the whole op is statically an error
+        # — fold NOW so nested arithmetic over unbound vars never builds
+        # a tree at all (see SK_NULL; the result is itself always-NULL,
+        # so enclosing ops keep folding)
+        return tag(F.lit(None).cast(TERM_DDL), SK_NULL)
     if sa is not None and sb is not None:
         if not (_sk_numeric(sa) and _sk_numeric(sb)):
             return F.lit(None).cast(TERM_DDL)

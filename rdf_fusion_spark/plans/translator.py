@@ -116,7 +116,10 @@ def _resolver(sol: Solution) -> Callable[[str], Column]:
     def resolve(name: str) -> Column:
         if name in sol.maybe:
             return tv.tag(F.col(name), sol.kinds.get(name))
-        return NULL_TERM()
+        # provably unbound: tag the NULL constant so arithmetic /
+        # comparison folds statically instead of handing the optimizer
+        # an exponentially-inlinable literal tree (typed_ops.SK_NULL)
+        return tv.tag(NULL_TERM(), tv.SK_NULL)
     return resolve
 
 
@@ -2540,6 +2543,12 @@ def _sum_avg(name: str, c: Column, tmp: Callable[[Column], str],
     integer→integer(sum)/decimal(avg); any decimal→decimal; any float/double
     →double; any non-numeric bound value → error (NULL result)."""
     sk = tv.skind(c)
+    if sk == tv.SK_NULL:
+        # always-unbound input: no bound values in any group — SUM and
+        # AVG are 0 per the empty-aggregate rule (must not reach
+        # _sum_avg_static, whose non-numeric-kind path means "bound
+        # non-numeric value" = error)
+        return tv.int_term(raw(F.min(F.lit(0))))
     if sk is not None and sk != tv.SK_NUM:
         return _sum_avg_static(name, c, sk, tmp, distinct, raw)
     rank_t = F.col(tmp(tv.numeric_rank(c)))

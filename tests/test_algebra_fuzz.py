@@ -1950,3 +1950,232 @@ def test_graph_layer_pinned_seeds(spark, seed):
     endpoint variable colliding with the graph var must unify, not
     emit a duplicate column (paths.translate_path_pattern)."""
     run_graph_case(spark, seed)
+
+
+# ---------------------------------------------- LATERAL layer (r10)
+#
+# SEP-0006 LATERAL was covered only by the 9 fixed oxigraph cases. For
+# each left solution mu, the right pattern evaluates with mu's bindings
+# SUBSTITUTED (correlated evaluation); results merge with mu. The right
+# side stays in the spec-solid subset (BGP/join/OPTIONAL/UNION —
+# substitution into MINUS is the contentious corner SEP-0006 inherits
+# from the EXISTS errata, and the engine's left side may bind vars only
+# SOMETIMES, so substitution is genuinely per-solution).
+
+def gen_tree_lat_rhs(rng, depth):
+    if depth <= 0 or rng.random() < 0.35:
+        return gen_bgp(rng)
+    op = rng.choice(["join", "leftjoin", "union"])
+    return (op, gen_tree_lat_rhs(rng, depth - 1),
+            gen_tree_lat_rhs(rng, depth - 1))
+
+
+def gen_lateral(rng, depth):
+    return ("lateral", gen_tree(rng, depth), gen_tree_lat_rhs(rng, 2))
+
+
+def render_lateral(node):
+    return ("{ " + render(node[1]) + " LATERAL " + render(node[2]) + " }")
+
+
+def _subst_tree(node, mu):
+    op = node[0]
+    if op == "bgp":
+        def t(x):
+            return mu[x[1]] if x[0] == "var" and x[1] in mu else x
+        return ("bgp", [(t(s), t(p), t(o)) for s, p, o in node[1]])
+    return (op, _subst_tree(node[1], mu), _subst_tree(node[2], mu))
+
+
+def ref_eval_lateral(node, data):
+    out = []
+    for mu in ref_eval(node[1], data):
+        for nu in ref_eval(_subst_tree(node[2], mu), data):
+            m = dict(mu)
+            m.update(nu)          # disjoint: mu's vars were substituted
+            out.append(m)
+    return out
+
+
+def run_lateral_case(spark, seed, n_queries=3):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(37000 + seed)
+    data = gen_data(rng)
+    store = _build_store(spark, data)
+    for q in range(n_queries):
+        node = gen_lateral(rng, depth=2)
+        sparql = "SELECT * WHERE " + render_lateral(node)
+        want = Counter(
+            frozenset(mu.items()) for mu in ref_eval_lateral(node, data))
+        res = store.query(sparql)
+        got = Counter(
+            frozenset(
+                (v, k) for v in res.variables
+                if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_lateral_differential(spark, seed):
+    run_lateral_case(spark, seed)
+
+
+# ---------------------------- BIND arithmetic / FILTER-compare (r10)
+#
+# Random arithmetic expression trees over the typed data model:
+# +,-,* stay xsd:integer, division promotes to xsd:decimal, any bound
+# non-numeric operand or division by zero is an expression ERROR — a
+# BIND error leaves the target var UNBOUND (row kept), a FILTER error
+# drops the row. Division appears only at BIND top level and FILTER
+# operands never do arithmetic ON a division result: the engine (like
+# the reference) computes decimal division ROUNDED to fixed scale,
+# so exact-rational reference comparisons stay decidable (operand
+# denominators are small; any nonzero difference is >> the rounding).
+
+from fractions import Fraction
+
+
+def gen_arith_expr(rng, depth):
+    if depth <= 0 or rng.random() < 0.4:
+        if rng.random() < 0.7:
+            return ("var", rng.choice(VARS))
+        return ("const", rng.randrange(-3, 7))
+    op = rng.choice(["+", "-", "*"])
+    return (op, gen_arith_expr(rng, depth - 1),
+            gen_arith_expr(rng, depth - 1))
+
+
+def _force_op(e, rng):
+    """A bare ?var is an IDENTITY bind/compare (term copy, RDFterm-equal
+    on IRIs — not arithmetic); wrap it so every expression actually
+    exercises the numeric ladder."""
+    if e[0] == "var":
+        return (rng.choice(["+", "-", "*"]), e, ("const", rng.randrange(4)))
+    return e
+
+
+def gen_arith(rng, depth):
+    a = gen_tree_typed(rng, depth)
+    binds = []
+    for i in range(rng.randrange(1, 3)):
+        e = _force_op(gen_arith_expr(rng, 2), rng)
+        if rng.random() < 0.4:       # division at top level only
+            e = ("/", e, gen_arith_expr(rng, 1))
+        binds.append((e, f"z{i}"))
+    filt = None
+    if rng.random() < 0.6:
+        op = rng.choice(["<", "<=", ">", ">=", "=", "!="])
+
+        def operand():
+            r = rng.random()
+            if r < 0.4:
+                return ("var", rng.choice([z for _, z in binds]))
+            if r < 0.6:
+                return ("const", rng.randrange(-2, 6))
+            return _force_op(gen_arith_expr(rng, 1), rng)
+        filt = (op, operand(), operand())
+    return ("arith", a, binds, filt)
+
+
+def render_arith_expr(e):
+    if e[0] == "var":
+        return "?" + e[1]
+    if e[0] == "const":
+        return str(e[1])
+    return ("(" + render_arith_expr(e[1]) + " " + e[0] + " "
+            + render_arith_expr(e[2]) + ")")
+
+
+def render_arith(node):
+    _, a, binds, filt = node
+    q = "{ " + render_typed(a)
+    for e, z in binds:
+        q += f" BIND({render_arith_expr(e)} AS ?{z})"
+    if filt is not None:
+        op, l, r = filt
+        q += (f" FILTER({render_arith_expr(l)} {op} "
+              f"{render_arith_expr(r)})")
+    return q + " }"
+
+
+def eval_arith_expr(e, mu, zvals=None):
+    """-> Fraction | None (error)."""
+    if e[0] == "var":
+        if zvals is not None and e[1] in zvals:
+            return zvals[e[1]]
+        t = mu.get(e[1])
+        if t is None or t[0] != "ti":
+            return None
+        return Fraction(int(t[1]))
+    if e[0] == "const":
+        return Fraction(e[1])
+    a = eval_arith_expr(e[1], mu, zvals)
+    b = eval_arith_expr(e[2], mu, zvals)
+    if a is None or b is None:
+        return None
+    if e[0] == "+":
+        return a + b
+    if e[0] == "-":
+        return a - b
+    if e[0] == "*":
+        return a * b
+    return None if b == 0 else a / b
+
+
+_CMP = {"<": lambda a, b: a < b, "<=": lambda a, b: a <= b,
+        ">": lambda a, b: a > b, ">=": lambda a, b: a >= b,
+        "=": lambda a, b: a == b, "!=": lambda a, b: a != b}
+
+
+def ref_eval_arith(node, data):
+    _, a, binds, filt = node
+    out = Counter()
+    for mu in ref_eval_typed(a, data):
+        zvals = {z: eval_arith_expr(e, mu) for e, z in binds}
+        if filt is not None:
+            op, l, r = filt
+            lv = eval_arith_expr(l, mu, zvals)
+            rv = eval_arith_expr(r, mu, zvals)
+            if lv is None or rv is None or not _CMP[op](lv, rv):
+                continue
+        key = (frozenset(mu.items()),
+               tuple(None if zvals[z] is None
+                     else round(float(zvals[z]), 9) for _, z in binds))
+        out[key] += 1
+    return out
+
+
+def run_arith_case(spark, seed, n_queries=2):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(41000 + seed)
+    data = gen_data_typed(rng)
+    store = _build_store_typed(spark, data)
+    for q in range(n_queries):
+        node = gen_arith(rng, depth=2)
+        binds = node[2]
+        sparql = "SELECT * WHERE " + render_arith(node)
+        want = ref_eval_arith(node, data)
+        res = store.query(sparql)
+        got = Counter()
+        for row in res.df.collect():
+            mu = frozenset(
+                (v, k) for v in res.variables
+                if v in VARS
+                and (k := _key_typed(term_to_python(row[v]))) is not None)
+            zs = []
+            for _, z in binds:
+                t = term_to_python(row[z])
+                zs.append(None if t is None
+                          else round(float(t.lexical), 9))
+            got[(mu, tuple(zs))] += 1
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_arithmetic_differential(spark, seed):
+    run_arith_case(spark, seed)
