@@ -1715,6 +1715,11 @@ def _pipeline_oracles() -> dict[str, str]:
                n_name AS name
         FROM nation
         """,
+        "q_stream_dedup": """
+        SELECT event_id, ts, user_id, event_type,
+               ROUND(value, 6) AS value
+        FROM events
+        """,
         "q_stream_sessions": f"""
         -- session_window semantics, EXACT timestamps (no whole-second
         -- truncation, unlike the batch sessionizer's unix_timestamp
@@ -4378,6 +4383,43 @@ def _pipe_stream_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r_ts", F.col("r_event_id").cast("long").alias("purchase_id"))
 
 
+def _pipe_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exactly-once dedup end-to-end (streaming/events.py
+    dedup_stream = dropDuplicatesWithinWatermark on event_id): the
+    events stream UNIONED WITH ITSELF (every event twice, identical ts,
+    so every duplicate is inside any watermark horizon) must come out
+    as exactly the original events — the oracle is a plain projection.
+    A failed dedup doubles the row count; a dropped event loses rows."""
+    import tempfile
+    import uuid
+
+    from .sources.relational import _nanos_ts_columns, configure_session
+    from .streaming.events import EVENT_SCHEMA, dedup_stream, run_to_memory
+
+    configure_session(spark)
+    nanos = set(_nanos_ts_columns(f"{sf_dir}/events.parquet"))
+    from pyspark.sql import types as T
+    fields = [
+        T.StructField(f.name, T.LongType() if f.name in nanos else f.dataType)
+        for f in EVENT_SCHEMA.fields
+    ]
+    stream = (spark.readStream.schema(T.StructType(fields))
+              .option("pathGlobFilter", "events.parquet")
+              .option("recursiveFileLookup", "false")
+              .parquet(sf_dir))
+    for c in nanos:
+        stream = stream.withColumn(c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
+    doubled = stream.unionByName(stream)
+    out = dedup_stream(doubled.select("event_id", "ts", "user_id",
+                                      "event_type", "value"))
+    name = f"stream_dd_{uuid.uuid4().hex[:8]}"
+    run_to_memory(out, name, tempfile.mkdtemp(prefix="rfs_ckpt_"),
+                  output_mode="append")
+    return spark.table(name).select(
+        "event_id", "ts", "user_id", "event_type",
+        F.round(F.col("value"), 6).alias("value"))
+
+
 def _pipe_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming RDF ingestion + continuous pattern match end-to-end
     (streaming/ingest.py stream_ntriples + match_pattern_stream): the
@@ -4440,6 +4482,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_stream_sessions": _pipe_stream_sessions,
     "q_stream_interval_join": _pipe_stream_interval_join,
     "q_stream_pattern_match": _pipe_stream_pattern_match,
+    "q_stream_dedup": _pipe_stream_dedup,
     "q_multimodal_features": _pipe_multimodal_features,
     "q_events_json_props": _pipe_events_json,
     "q_embedding_norms": _pipe_embedding_norms,
@@ -4492,7 +4535,7 @@ _NOT_CACHEABLE = {
     # must re-drain the stream
     "q_stream_event_counts", "q_stream_running_totals",
     "q_stream_sessions", "q_stream_interval_join",
-    "q_stream_pattern_match",
+    "q_stream_pattern_match", "q_stream_dedup",
     # eager persist barrier (signature table) / label-propagation loop /
     # corpus-size guard count run Spark jobs at build — their bench time
     # must include that work every invocation
@@ -4616,7 +4659,7 @@ _FORCE_REGATE: dict[str, int] = {}
 def _gate_modules(name: str) -> tuple[str, ...]:
     if name in ("q_stream_event_counts", "q_stream_running_totals",
                 "q_stream_sessions", "q_stream_interval_join",
-                "q_stream_pattern_match"):
+                "q_stream_pattern_match", "q_stream_dedup"):
         return ("rdf_fusion_spark/streaming",)
     if name in _PIPELINE_MODULE_MAP:
         mod = _PIPELINE_MODULE_MAP[name]

@@ -3,11 +3,17 @@
 Usage: python tools/fuzz_sweep_r10.py [n_seeds] (default 250; each seed
 runs 2 queries per layer).
 
-Layers: agg2 (AVG promotion/DISTINCT-over-values, SAMPLE legality,
-GROUP_CONCAT per the reference's string-only/common-lang rules, HAVING
-over computed COUNT/SUM) and order_proj with per-key mixed ASC/DESC
-directions (the r10 positional first-occurrence DISTINCT path). Same
-recorded-campaign pattern as tools/fuzz_sweep_r9.py.
+Layers (all round-10): agg2 (AVG promotion/DISTINCT-over-values,
+SAMPLE legality, GROUP_CONCAT per the reference's string-only/
+common-lang rules, HAVING over computed COUNT/SUM), order_proj with
+per-key mixed ASC/DESC directions (positional first-occurrence
+DISTINCT), GRAPH (scoping/enumeration/var-collisions/path leaves),
+UPDATE sequences (quad-set final-state compare), LATERAL (SEP-0006
+substitution), and BIND-arithmetic. Same recorded-campaign pattern as
+tools/fuzz_sweep_r9.py. The driver session carries a 10g heap: the
+arith/lateral layers generate occasional cross-product-shaped queries
+whose accumulated one-JVM state OOMs the 1g default long before any
+semantic issue (BASELINE.md round-10).
 """
 
 from __future__ import annotations
@@ -29,6 +35,8 @@ def main() -> None:
     spark = (
         SparkSession.builder.master("local[8]")
         .appName("fuzz-sweep-r10")
+        .config("spark.driver.memory", "10g")
+        .config("spark.cleaner.periodicGC.interval", "1min")
         .config("spark.sql.shuffle.partitions", "8")
         .getOrCreate()
     )
@@ -39,7 +47,11 @@ def main() -> None:
     t0 = time.time()
     bad = 0
     for layer, fn in (("agg2", FZ.run_agg2_case),
-                      ("order_proj_mixed", FZ.run_order_proj_case)):
+                      ("order_proj_mixed", FZ.run_order_proj_case),
+                      ("graph", FZ.run_graph_case),
+                      ("update", FZ.run_update_case),
+                      ("lateral", FZ.run_lateral_case),
+                      ("arith", FZ.run_arith_case)):
         for seed in range(n):
             try:
                 fn(spark, seed)
@@ -54,7 +66,7 @@ def main() -> None:
             if seed and seed % 25 == 0:
                 print(f"{layer}: {seed}/{n} ({time.time()-t0:.0f}s)",
                       flush=True)
-    print(f"SWEEP DONE layers=2 seeds={n} queries={4*n} "
+    print(f"SWEEP DONE layers=6 seeds={n} "
           f"divergences={bad} wall={time.time()-t0:.0f}s")
 
 
