@@ -258,13 +258,32 @@ def main() -> None:
         # is the round-over-round headline — measured spread between
         # whole-bench runs on the same code was 12.2-15.1 s under min-2,
         # dominated by one-off GC pauses on a few queries.
-        best = None
+        samples: list[float] = []
         for _ in range(3 if name in comparable_names else 2):
             t0 = time.perf_counter()
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
+            samples.append(time.perf_counter() - t0)
+        # rep escalation (r10 verdict #6): queries with heavy generated
+        # code (q_bsbm_explore_q10's 2.30x-spread JIT signature) keep
+        # compiling through the first samples — min-of-2 then records a
+        # mid-warmup number and trips the DIAG every round. When the
+        # observed spread exceeds 1.5x, keep sampling (up to 6 extra)
+        # until two consecutive samples agree within 10% — convergence,
+        # not a fixed count, because C2 needs a data-dependent number of
+        # executions.
+        extra = 0
+        while (max(samples) > 1.5 * min(samples)
+               and not (len(samples) >= 2
+                        and abs(samples[-1] - samples[-2])
+                        <= 0.1 * samples[-1])
+               and extra < 6):
+            t0 = time.perf_counter()
+            qs[name](spark, SF_DIR).write.format("noop").mode(
+                "overwrite").save()
+            samples.append(time.perf_counter() - t0)
+            extra += 1
+        best = min(samples)
         per_query[name] = round(best, 3)
         total += best
 
@@ -287,25 +306,34 @@ def main() -> None:
     # regression tripwire vs the per-query best-known pin (sf0.1 only —
     # other SFs aren't comparable to the pin)
     if sf_is_default:
+        # the control reading makes floor drift self-diagnosing in the
+        # record itself: a short untouched one-scan query's own ratio is
+        # this session's floor multiplier. The flag threshold is
+        # CONTROL-RELATIVE (r10 verdict: three consecutive records ran
+        # on a 1.4x-drifted floor and flooded the DIAG with uniform
+        # non-regressions): a query is flagged only when it regresses
+        # beyond BOTH the absolute 1.5x bar AND 1.5x the session's own
+        # floor multiplier — so a drifted session cannot flood the DIAG
+        # by construction, while an isolated plan regression still
+        # stands out for the tripwire_recheck.py protocol.
+        ctl = per_query.get(TRIPWIRE_CONTROL)
+        control_x = (ctl / BEST_KNOWN[TRIPWIRE_CONTROL]
+                     if ctl is not None else 1.0)
+        control = ({"q": TRIPWIRE_CONTROL, "t": ctl,
+                    "best": BEST_KNOWN[TRIPWIRE_CONTROL],
+                    "x": round(control_x, 2)}
+                   if ctl is not None else None)
+        flag_x = max(TRIPWIRE_RATIO, control_x * TRIPWIRE_RATIO)
         trips = {n: {"t": t, "best": BEST_KNOWN[n],
                      "x": round(t / BEST_KNOWN[n], 2)}
                  for n, t in per_query.items()
-                 if n in BEST_KNOWN and t > TRIPWIRE_RATIO * BEST_KNOWN[n]}
-        # the control reading makes floor drift self-diagnosing in the
-        # record itself: a short untouched one-scan query's own ratio is
-        # this session's floor multiplier. Flagged ratios comparable to
-        # the control's = session drift; an isolated flag well above the
-        # control = plan regression to bisect (tripwire_recheck.py).
-        ctl = per_query.get(TRIPWIRE_CONTROL)
-        control = ({"q": TRIPWIRE_CONTROL, "t": ctl,
-                    "best": BEST_KNOWN[TRIPWIRE_CONTROL],
-                    "x": round(ctl / BEST_KNOWN[TRIPWIRE_CONTROL], 2)}
-                   if ctl is not None else None)
+                 if n in BEST_KNOWN and t > flag_x * BEST_KNOWN[n]}
         print("DIAG " + json.dumps(
             {"tripwire_ratio": TRIPWIRE_RATIO,
+             "flag_x": round(flag_x, 2),
              "tripwire_pin": "min over r7-r9 driver records + r8 builder "
-                             "closing run; r9 plan-changed ops pinned "
-                             "from BENCH_r09",
+                             "closing run + r11 clean-session re-pin; "
+                             "plan-changed ops pinned at change round",
              "control": control,
              "over_best_known": trips}))
 

@@ -4435,12 +4435,17 @@ def _pipe_stream_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .streaming.ingest import match_pattern_stream, stream_ntriples
     from .terms import NamedNode
 
+    from .sources.ntriples import _escape as _nt_escape
+
     landing = tempfile.mkdtemp(prefix="rfs_nt_landing_")
+    # the literal is escaped per the N-Triples grammar (r11 ADVICE: raw
+    # concatenation would emit corrupt lines for values containing '"'
+    # or '\', which strict=False parsing silently drops — vacuous gate)
     nt = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
         F.concat(F.lit("<http://example.org/nation/"),
                  F.col("n_nationkey").cast("string"),
                  F.lit("> <http://example.org/vocab#name> \""),
-                 F.col("n_name"), F.lit("\" .")).alias("value"))
+                 _nt_escape(F.col("n_name")), F.lit("\" .")).alias("value"))
     nt.coalesce(2).write.mode("overwrite").text(landing)
     quads = stream_ntriples(spark, landing)
     out = match_pattern_stream(

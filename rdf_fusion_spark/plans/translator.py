@@ -378,6 +378,27 @@ def _pattern_scope(p) -> tuple:
     return set(), set()
 
 
+def _minus_graph_var(p: A.Minus, ctx: Ctx) -> Optional[str]:
+    """The GRAPH-scoping variable to EXCLUDE from MINUS's dom-overlap
+    test, or None. Per §18.5 Graph(?g, P) joins ?g ABOVE P, so inside
+    MINUS the solutions normally do not contain ?g — unless ?g also
+    occurs in the operand's own scope (pattern position, BIND, VALUES,
+    nested GRAPH), in which case it IS a domain variable there. ?g can
+    satisfy dom-overlap only when both operands bind it themselves
+    (overlap needs the var in BOTH rows' domains); with it pattern-bound
+    on both sides the engine's bind-below evaluation (scans restrict
+    ?g = g) is equivalent to the spec's join-above, so no exclusion is
+    needed. (round-11 ADVICE: GRAPH ?g { {?s ?p ?g} MINUS {?a ?b ?g} }
+    must be able to exclude rows on ?g.)"""
+    if ctx.graph_var is None:
+        return None
+    gv = ctx.graph_var.name
+    if (gv in A.pattern_variables(p.left)
+            and gv in A.pattern_variables(p.right)):
+        return None
+    return gv
+
+
 def _exists_correlated(outer: Solution, pattern) -> bool:
     _, free = _pattern_scope(pattern)
     return bool(free & outer.maybe)
@@ -611,9 +632,7 @@ def translate(p, ctx: Ctx) -> Solution:
     if isinstance(p, A.Minus):
         l = translate(p.left, ctx)
         r = translate(p.right, _no_consts(ctx))
-        return minus_solutions(
-            l, r, graph_var=(ctx.graph_var.name if ctx.graph_var is not None
-                             else None))
+        return minus_solutions(l, r, graph_var=_minus_graph_var(p, ctx))
     if isinstance(p, A.ValuesNode):
         return _translate_values(p, ctx)
     if isinstance(p, A.ServiceNode):
@@ -711,8 +730,7 @@ def _lat(p, seed: Solution, key: str, ctx: Ctx) -> Solution:
         return minus_solutions(
             _lat(p.left, seed, key, ctx),
             translate(p.right, _no_consts(ctx)),
-            graph_var=(ctx.graph_var.name if ctx.graph_var is not None
-                       else None))
+            graph_var=_minus_graph_var(p, ctx))
     if isinstance(p, A.GraphNode) and isinstance(p.name, NamedNode):
         inner_ctx = replace(ctx, active_graph=ActiveGraph.union([p.name]),
                             graph_var=None)

@@ -1952,6 +1952,49 @@ def test_graph_layer_pinned_seeds(spark, seed):
     run_graph_case(spark, seed)
 
 
+def test_graph_minus_var_in_pattern_position(spark):
+    """r11 ADVICE: inside GRAPH ?g, when ?g ALSO occurs in a pattern
+    position in BOTH MINUS operands it is a real domain variable there
+    (§18.5 joins the scoping binding above, but the operands bind ?g
+    themselves), so MINUS must be able to exclude rows on it — the
+    blanket by-name exclusion returned the left side unchanged. Needs a
+    quad whose object IS a graph name for the distinction to show."""
+    from rdf_fusion_spark.terms import term_to_python
+
+    g1 = ("i", f"{EX}g1")
+    quads = [
+        (g1, ("i", f"{EX}s1"), ("i", f"{EX}p1"), g1),
+        (g1, ("i", f"{EX}s2"), ("i", f"{EX}p2"), g1),
+        (g1, ("i", f"{EX}s3"), ("i", f"{EX}p0"), ("l", "v0")),
+    ]
+    store = _build_store_graphs(spark, quads)
+    cases = [
+        # ?g pattern-bound in BOTH operands: every left row with
+        # object g1 has a compatible right row sharing ?g -> excluded
+        ("minus",
+         ("bgp", [(("var", "s"), ("var", "p"), ("var", "g"))]),
+         ("bgp", [(("var", "a"), ("var", "b"), ("var", "g"))])),
+        # ?g pattern-bound in the LEFT only: right's ?g exists solely
+        # via GRAPH scoping -> no dom overlap -> identity
+        ("minus",
+         ("bgp", [(("var", "s"), ("var", "p"), ("var", "g"))]),
+         ("bgp", [(("var", "a"), ("var", "b"), ("var", "c"))])),
+    ]
+    for tree in cases:
+        gtree = ("graph", ("var", "g"), tree)
+        sparql = "SELECT * WHERE " + render_graph_tree(gtree)
+        want = Counter(frozenset(mu.items())
+                       for mu in ref_eval_graphs(gtree, quads))
+        res = store.query(sparql)
+        got = Counter(
+            frozenset(
+                (v, k) for v in res.variables
+                if (k := _key(term_to_python(row[v]))) is not None)
+            for row in res.df.collect())
+        assert got == want, (
+            f"{sparql}\nextra={got - want}\nmissing={want - got}")
+
+
 # ---------------------------------------------- LATERAL layer (r10)
 #
 # SEP-0006 LATERAL was covered only by the 9 fixed oxigraph cases. For
