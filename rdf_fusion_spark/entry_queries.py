@@ -1841,6 +1841,10 @@ def _pipeline_oracles() -> dict[str, str]:
     SELECT id, MIN(comp) AS cluster_id, (id = MIN(comp)) AS is_canonical
     FROM walk GROUP BY id
     """
+    # the sliced hot-key escalations compute the SAME relation as their
+    # plain variants by contract — gate them against the same oracles
+    out["q_events_sessionize_sliced"] = out["q_events_sessionize"]
+    out["q_events_asof_sliced"] = out["q_events_asof"]
     return out
 
 
@@ -4070,6 +4074,59 @@ def _pipe_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("active_seconds"))
 
 
+SESSIONIZE_SLICE_MINUTES = 180  # 6h slices: many sessions straddle boundaries
+
+
+def _pipe_sessions_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME per-user session statistics as q_events_sessionize, but
+    through the `sessionize_sliced` hot-key escalation
+    (pipeline/sessions.py:35) — the path a 100-TB deployment reaches
+    for when one key owns 10^8 events. r11 gate (r10 verdict #3): the
+    escalation itself meets the DuckDB oracle, not only the
+    plain-variant equivalence property test. The 3h slice makes many
+    sf0.01 sessions cross slice boundaries, exercising the stitch."""
+    from .pipeline.sessions import session_stats
+    from .sources.relational import read_table
+    ev = read_table(spark, sf_dir, "events")
+    out = session_stats(ev, SESSION_GAP_MINUTES,
+                        slice_minutes=SESSIONIZE_SLICE_MINUTES)
+    return out.select(
+        "user_id", F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("max_session_events").cast("long").alias("max_session_events"),
+        F.col("active_seconds").cast("long").alias("active_seconds"))
+
+
+ASOF_SLICE_MINUTES = 1440  # 1-day slices: the 2-day tolerance spans 2-3
+
+
+def _pipe_events_asof_sliced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """q_events_asof's exact relation through `asof_join_sliced`
+    (pipeline/temporal.py:119) — the hot-key escalation gated against
+    the same DuckDB native ASOF JOIN oracle (r10 verdict #3). The 1-day
+    slice under the 2-day tolerance forces carry-in seeds across slice
+    boundaries (a match's error event is usually in an earlier slice
+    than its click)."""
+    from .pipeline.temporal import asof_join_sliced, micros
+    from .sources.relational import read_table
+    ev = read_table(spark, sf_dir, "events")
+    ts_dt = dict(ev.dtypes)["ts"]
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    errors = (ev.where(F.col("event_type") == "error")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("err_value")))
+    out = asof_join_sliced(clicks, errors, ts_col="ts", by=("user_id",),
+                           tolerance_s=ASOF_TOLERANCE_S,
+                           slice_minutes=ASOF_SLICE_MINUTES)
+    return out.select(
+        "user_id", "event_id", "ts", "value",
+        F.col("ts_r").alias("err_ts"),
+        F.col("err_value_r").alias("err_value"),
+        (micros(F.col("ts"), ts_dt) - micros(F.col("ts_r"), ts_dt))
+        .cast("long").alias("lag_us"))
+
+
 TOPK_PER_SOURCE = 3
 
 
@@ -4479,7 +4536,9 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "q_pack_shards": _pipe_pack_shards,
     "q_mix_weighted": _pipe_mix_weighted,
     "q_events_sessionize": _pipe_sessions,
+    "q_events_sessionize_sliced": _pipe_sessions_sliced,
     "q_events_asof": _pipe_events_asof,
+    "q_events_asof_sliced": _pipe_events_asof_sliced,
     "q_events_interval_join": _pipe_events_interval,
     "q_curation_topk_quality": _pipe_curation_topk,
     "q_stream_event_counts": _pipe_stream_event_counts,
@@ -4642,7 +4701,9 @@ _PIPELINE_MODULE_MAP = {
     "q_curation_topk_quality": "curation.py",
     "q_train_val_split": "curation.py", "q_decontaminate": "curation.py",
     "q_events_sessionize": "sessions.py",
+    "q_events_sessionize_sliced": "sessions.py",
     "q_events_asof": "temporal.py",
+    "q_events_asof_sliced": "temporal.py",
     "q_events_interval_join": "temporal.py",
     "q_text_tfidf_terms": "text.py", "q_text_bm25_topk": "text.py",
     "q_multimodal_features": "multimodal.py",

@@ -95,10 +95,19 @@ def sessionize_sliced(events: DataFrame, gap_minutes: int = 30,
 
 
 def session_stats(events: DataFrame, gap_minutes: int = 30,
-                  user_col: str = "user_id", ts_col: str = "ts") -> DataFrame:
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  slice_minutes: int | None = None) -> DataFrame:
     """Per-user session statistics: session count, events, max session
-    size, and total active span in seconds (sum of per-session spans)."""
-    s = sessionize(events, gap_minutes, user_col, ts_col)
+    size, and total active span in seconds (sum of per-session spans).
+
+    `slice_minutes` routes through the `sessionize_sliced` hot-key
+    escalation (identical output by contract; the r11 driver gate runs
+    the same DuckDB oracle through both paths)."""
+    if slice_minutes is not None:
+        s = sessionize_sliced(events, gap_minutes, user_col, ts_col,
+                              slice_minutes=slice_minutes)
+    else:
+        s = sessionize(events, gap_minutes, user_col, ts_col)
     per_session = (s.groupBy(user_col, "session_id")
                    .agg(F.count("*").alias("n_events"),
                         (F.unix_timestamp(F.max(ts_col))

@@ -15,6 +15,7 @@ OPTIONAL with partially-shared variables).
 """
 
 import random
+import re
 from collections import Counter
 
 import pytest
@@ -2222,3 +2223,522 @@ def run_arith_case(spark, seed, n_queries=2):
 @pytest.mark.parametrize("seed", range(10))
 def test_arithmetic_differential(spark, seed):
     run_arith_case(spark, seed)
+
+
+# --------------------- scalar-function composition layer (r11)
+#
+# The last unfuzzed surface (r10 verdict #2): random COMPOSITIONS of the
+# string functions (STR/STRLEN/SUBSTR/UCASE/LCASE/CONCAT/STRBEFORE/
+# STRAFTER/CONTAINS/STRSTARTS/STRENDS/REPLACE/LANG — argument-
+# compatibility lang-tag rules per 17.4.3.1.2, result-language
+# derivation), dateTime accessors (YEAR..SECONDS/TZ — the literal's OWN
+# local components, offset applied), and casts-of-casts (xsd:integer /
+# xsd:string / xsd:boolean), under BIND chains (later binds reference
+# earlier ?z) and FILTER, against a pure-Python evaluator mirroring the
+# reference's dispatch semantics (lib/functions/src/scalar/strings/*.rs,
+# dispatch/binary.rs). BIND error -> var unbound (row kept); FILTER
+# error -> row dropped. Type-DIRECTED generation: every node has a
+# declared result type (str/int/dec/bool) so comparisons stay decidable;
+# runtime type errors still arise freely through ?var leaves (a var may
+# hold an IRI/integer/dateTime where a string is needed).
+
+SFN_STR_POOL = ["abc", "a b", "", "v0", "Ab-C", "\u00e9cole", "bab"]
+SFN_LANGS = ["en", "fr"]
+SFN_DT_POOL = [
+    "2024-03-05T10:30:00", "2024-03-05T10:30:00Z",
+    "2023-12-31T23:59:59+05:30", "2020-02-29T01:00:00-08:00",
+    "2024-07-01T12:00:00.25Z",
+]
+SFN_OBJECTS = (
+    [("l", s) for s in SFN_STR_POOL]
+    + [("lt", s, lg) for s in ("abc", "a b", "v0") for lg in SFN_LANGS]
+    + [("ti", "1"), ("ti", "01"), ("ti", "-3"), ("ti", "42")]
+    + [("dt", s) for s in SFN_DT_POOL]
+)
+
+
+def gen_data_sfn(rng):
+    triples = set()
+    for _ in range(rng.randrange(14, 30)):
+        s = rng.choice(SUBJECTS)
+        p = rng.choice(PREDICATES)
+        o = rng.choice(SUBJECTS + SFN_OBJECTS * 3)
+        triples.add((s, p, o))
+    return sorted(triples)
+
+
+def r_term_sfn(t):
+    if t[0] == "dt":
+        return f'"{t[1]}"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+    return r_term_typed(t)
+
+
+def _build_store_sfn(spark, data):
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+    from rdf_fusion_spark.terms import XSD_DATETIME, XSD_INTEGER
+
+    def term(t):
+        if t[0] == "i":
+            return NamedNode(t[1])
+        if t[0] == "lt":
+            return Literal(t[1], language=t[2])
+        if t[0] == "ti":
+            return Literal(t[1], XSD_INTEGER)
+        if t[0] == "dt":
+            return Literal(t[1], XSD_DATETIME)
+        return Literal(t[1])
+    quads = [(None, term(s), term(p), term(o)) for s, p, o in data]
+    return GraphStore.from_python_quads(spark, quads).cached()
+
+
+# ---- expression generator (type-directed) ----------------------------
+# node result types: "str" (string-like literal), "int", "dec", "bool"
+
+def gen_sfn_str(rng, depth, env):
+    r = rng.random()
+    if depth <= 0 or r < 0.25:
+        zs = [z for z, t in env if t == "str"]
+        c = rng.random()
+        if zs and c < 0.3:
+            return ("z", rng.choice(zs)), True
+        if c < 0.65:
+            return ("var", rng.choice(VARS)), False
+        if c < 0.85:
+            return ("slit", rng.choice(SFN_STR_POOL)), True
+        return ("llit", rng.choice(("abc", "a b", "v0")),
+                rng.choice(SFN_LANGS)), True
+    op = rng.choice(["str", "lang", "ucase", "lcase", "substr", "concat",
+                     "strbefore", "strafter", "replace", "caststr", "tz"])
+    if op in ("str", "lang", "ucase", "lcase", "tz"):
+        a, _ = gen_sfn_str(rng, depth - 1, env)
+        if op in ("str", "lang", "tz") and rng.random() < 0.5:
+            a = ("var", rng.choice(VARS))  # STR/LANG/TZ accept non-strings
+        return (op, a), True
+    if op == "substr":
+        a, _ = gen_sfn_str(rng, depth - 1, env)
+        start = rng.randrange(-1, 5)
+        if rng.random() < 0.5:
+            return ("substr", a, start, rng.randrange(0, 5)), True
+        return ("substr", a, start), True
+    if op == "concat":
+        n = rng.randrange(2, 4)
+        return ("concat",
+                [gen_sfn_str(rng, depth - 1, env)[0] for _ in range(n)]), True
+    if op in ("strbefore", "strafter"):
+        a, _ = gen_sfn_str(rng, depth - 1, env)
+        b, _ = gen_sfn_str(rng, 0, env)
+        if rng.random() < 0.4:  # substring-ish needles hit more often
+            b = ("slit", rng.choice(["a", "b", "c", "", "ab"]))
+        return (op, a, b), True
+    if op == "replace":
+        a, _ = gen_sfn_str(rng, depth - 1, env)
+        pat = rng.choice(["a", "b", "0", "c", "-", ""])
+        rep = rng.choice(["X", "", "zz"])
+        return ("replace", a, pat, rep), True
+    # caststr over str/int/bool-typed nodes (NOT dec: canonical decimal
+    # lexicals would couple the evaluator to the engine's formatting)
+    c = rng.random()
+    if c < 0.4:
+        a, _ = gen_sfn_str(rng, depth - 1, env)
+    elif c < 0.7:
+        a = gen_sfn_int(rng, depth - 1, env)
+    else:
+        a = ("var", rng.choice(VARS))
+    return ("caststr", a), True
+
+
+def gen_sfn_int(rng, depth, env):
+    zs = [z for z, t in env if t == "int"]
+    r = rng.random()
+    if zs and r < 0.2:
+        return ("z", rng.choice(zs))
+    if r < 0.35:
+        return ("ilit", rng.randrange(-3, 50))
+    op = rng.choice(["strlen", "castint", "year", "month", "day",
+                     "hours", "minutes"])
+    if op == "strlen":
+        return ("strlen", gen_sfn_str(rng, max(depth - 1, 0), env)[0])
+    if op == "castint":
+        c = rng.random()
+        if c < 0.5:
+            return ("castint", ("var", rng.choice(VARS)))
+        if c < 0.8:
+            return ("castint", gen_sfn_str(rng, max(depth - 1, 0), env)[0])
+        return ("castint", ("castbool", ("var", rng.choice(VARS))))
+    return (op, ("var", rng.choice(VARS)))
+
+
+def gen_sfn_bool(rng, depth, env):
+    op = rng.choice(["contains", "strstarts", "strends", "castbool",
+                     "cmp_int", "cmp_str", "cmp_dec"])
+    if op in ("contains", "strstarts", "strends"):
+        a, _ = gen_sfn_str(rng, depth, env)
+        b, _ = gen_sfn_str(rng, 0, env)
+        if rng.random() < 0.4:
+            b = ("slit", rng.choice(["a", "b", "ab", "", "v"]))
+        return (op, a, b)
+    if op == "castbool":
+        return ("ebv_castbool", ("var", rng.choice(VARS)))
+    if op == "cmp_int":
+        return ("cmp", rng.choice(["<", "<=", ">", ">=", "=", "!="]),
+                gen_sfn_int(rng, depth, env), gen_sfn_int(rng, depth, env),
+                "num")
+    if op == "cmp_dec":
+        return ("cmp", rng.choice(["<", "<=", ">", ">=", "=", "!="]),
+                ("seconds", ("var", rng.choice(VARS))),
+                ("ilit", rng.randrange(0, 61)), "num")
+    def _strres(x):
+        # bare ?var/?z compares are RDFterm-equal on arbitrary terms
+        # (typed layer's surface, not this one) — force a string-
+        # function RESULT so the "str" compare semantics apply
+        return ("str", x) if x[0] in ("var", "z") else x
+    return ("cmp", rng.choice(["=", "!="]),
+            _strres(gen_sfn_str(rng, depth, env)[0]),
+            _strres(gen_sfn_str(rng, depth, env)[0]), "str")
+
+
+def gen_sfn(rng, depth=2):
+    base = gen_bgp(rng)
+    binds = []
+    env = []
+    for i in range(rng.randrange(1, 4)):
+        z = f"z{i}"
+        if rng.random() < 0.25:
+            e = gen_sfn_int(rng, depth, env)
+            ty = "int"
+        elif rng.random() < 0.15:
+            e = ("seconds", ("var", rng.choice(VARS)))
+            ty = "dec"
+        else:
+            e, _ = gen_sfn_str(rng, depth, env)
+            if e[0] in ("var", "z", "slit", "llit"):
+                e = ("ucase", e)  # force a function call at top level
+            ty = "str"
+        binds.append((e, z))
+        env.append((z, ty))
+    filt = gen_sfn_bool(rng, 1, env) if rng.random() < 0.6 else None
+    return ("sfn", base, binds, filt)
+
+
+def render_sfn_expr(e):
+    op = e[0]
+    if op == "var":
+        return "?" + e[1]
+    if op == "z":
+        return "?" + e[1]
+    if op == "slit":
+        return '"' + e[1] + '"'
+    if op == "llit":
+        return f'"{e[1]}"@{e[2]}'
+    if op == "ilit":
+        return str(e[1])
+    X = "http://www.w3.org/2001/XMLSchema#"
+    if op == "castint":
+        return f"<{X}integer>({render_sfn_expr(e[1])})"
+    if op in ("caststr",):
+        return f"<{X}string>({render_sfn_expr(e[1])})"
+    if op in ("castbool", "ebv_castbool"):
+        return f"<{X}boolean>({render_sfn_expr(e[1])})"
+    if op == "concat":
+        return "CONCAT(" + ", ".join(render_sfn_expr(a) for a in e[1]) + ")"
+    if op == "substr":
+        args = ", ".join([render_sfn_expr(e[1])] + [str(x) for x in e[2:]])
+        return f"SUBSTR({args})"
+    if op == "replace":
+        return (f'REPLACE({render_sfn_expr(e[1])}, "{e[2]}", "{e[3]}")')
+    if op == "cmp":
+        return (f"({render_sfn_expr(e[2])} {e[1]} {render_sfn_expr(e[3])})")
+    names = {"str": "STR", "lang": "LANG", "ucase": "UCASE",
+             "lcase": "LCASE", "strlen": "STRLEN", "tz": "TZ",
+             "strbefore": "STRBEFORE", "strafter": "STRAFTER",
+             "contains": "CONTAINS", "strstarts": "STRSTARTS",
+             "strends": "STRENDS", "year": "YEAR", "month": "MONTH",
+             "day": "DAY", "hours": "HOURS", "minutes": "MINUTES",
+             "seconds": "SECONDS"}
+    return (names[op] + "("
+            + ", ".join(render_sfn_expr(a) for a in e[1:]) + ")")
+
+
+def render_sfn(node):
+    _, base, binds, filt = node
+    global r_term
+    saved = r_term
+    r_term = r_term_sfn  # noqa: F841
+    try:
+        q = "{ " + render(base)
+    finally:
+        r_term = saved
+    for e, z in binds:
+        q += f" BIND({render_sfn_expr(e)} AS ?{z})"
+    if filt is not None:
+        q += f" FILTER({render_sfn_expr(filt)})"
+    return q + " }"
+
+
+# ---- pure-Python evaluator -------------------------------------------
+
+def _sfn_sval(v):
+    """(string value, lang) of a string-like value; None otherwise."""
+    if v is None:
+        return None
+    if v[0] == "l":
+        return (v[1], None)
+    if v[0] == "lt":
+        return (v[1], v[2])
+    return None
+
+
+def _sfn_mk(s, lang):
+    return ("l", s) if lang is None else ("lt", s, lang)
+
+
+def _sfn_compat(a, b):
+    """17.4.3.1.2: both string-like, arg2 simple or same lang as arg1."""
+    if a is None or b is None:
+        return None
+    return b[1] is None or a[1] == b[1]
+
+
+def _sfn_lexical(v):
+    if v[0] == "i":
+        return v[1]
+    if v[0] in ("l", "dt", "ti"):
+        return v[1]
+    if v[0] == "lt":
+        return v[1]
+    if v[0] == "num":
+        assert v[1].denominator == 1
+        return str(v[1].numerator)
+    if v[0] == "b":
+        return "true" if v[1] else "false"
+    raise AssertionError(v)
+
+
+_SFN_INT_RE = re.compile(r"^[+-]?\d+$")
+_SFN_DT_RE = re.compile(
+    r"^(\d{4})-(\d\d)-(\d\d)T(\d\d):(\d\d):(\d\d(?:\.\d+)?)"
+    r"(Z|[+-]\d\d:\d\d)?$")
+
+
+def eval_sfn(e, mu, env):
+    """-> value tuple | None (expression error). Values: ("l",s) /
+    ("lt",s,lang) / ("num",Fraction) / ("b",bool) / data tuples."""
+    from fractions import Fraction
+    op = e[0]
+    if op == "var":
+        return mu.get(e[1])
+    if op == "z":
+        return env.get(e[1])
+    if op == "slit":
+        return ("l", e[1])
+    if op == "llit":
+        return ("lt", e[1], e[2])
+    if op == "ilit":
+        return ("num", Fraction(e[1]))
+    if op == "str":
+        v = eval_sfn(e[1], mu, env)
+        return None if v is None else ("l", _sfn_lexical(v))
+    if op == "caststr":
+        v = eval_sfn(e[1], mu, env)
+        return None if v is None else ("l", _sfn_lexical(v))
+    if op == "lang":
+        v = eval_sfn(e[1], mu, env)
+        if v is None or v[0] == "i":
+            return None
+        return ("l", v[2] if v[0] == "lt" else "")
+    if op in ("ucase", "lcase"):
+        sv = _sfn_sval(eval_sfn(e[1], mu, env))
+        if sv is None:
+            return None
+        s = sv[0].upper() if op == "ucase" else sv[0].lower()
+        return _sfn_mk(s, sv[1])
+    if op == "strlen":
+        sv = _sfn_sval(eval_sfn(e[1], mu, env))
+        return None if sv is None else ("num", Fraction(len(sv[0])))
+    if op == "substr":
+        sv = _sfn_sval(eval_sfn(e[1], mu, env))
+        if sv is None:
+            return None
+        s, start = sv[0], e[2]
+        eff_start = max(start, 1)
+        if len(e) >= 4:
+            out = s[eff_start - 1:max(start + e[3] - 1, 0)]
+        else:
+            out = s[eff_start - 1:]
+        return _sfn_mk(out, sv[1])
+    if op == "concat":
+        svs = [_sfn_sval(eval_sfn(a, mu, env)) for a in e[1]]
+        if any(sv is None for sv in svs):
+            return None
+        langs = {sv[1] for sv in svs}
+        lang = svs[0][1] if len(langs) == 1 else None
+        return _sfn_mk("".join(sv[0] for sv in svs), lang)
+    if op in ("strbefore", "strafter", "contains", "strstarts", "strends"):
+        a = _sfn_sval(eval_sfn(e[1], mu, env))
+        b = _sfn_sval(eval_sfn(e[2], mu, env))
+        if not _sfn_compat(a, b):
+            return None
+        if op == "contains":
+            return ("b", b[0] in a[0])
+        if op == "strstarts":
+            return ("b", a[0].startswith(b[0]))
+        if op == "strends":
+            return ("b", a[0].endswith(b[0]))
+        idx = a[0].find(b[0])
+        if idx < 0:
+            return ("l", "")
+        if op == "strbefore":
+            return _sfn_mk(a[0][:idx], a[1])
+        return _sfn_mk(a[0][idx + len(b[0]):], a[1])
+    if op == "replace":
+        sv = _sfn_sval(eval_sfn(e[1], mu, env))
+        if sv is None or e[2] == "":   # FORX0003 zero-length match
+            return None
+        return _sfn_mk(sv[0].replace(e[2], e[3]), sv[1])
+    if op == "castint":
+        from fractions import Fraction as Fr
+        v = eval_sfn(e[1], mu, env)
+        if v is None:
+            return None
+        if v[0] == "num":
+            return ("num", Fr(int(v[1])))      # truncation toward zero
+        if v[0] == "ti":
+            return ("num", Fr(int(v[1])))
+        if v[0] == "b":
+            return ("num", Fr(1 if v[1] else 0))
+        if v[0] == "l":
+            s = v[1].strip()
+            return ("num", Fr(int(s))) if _SFN_INT_RE.match(s) else None
+        return None
+    if op in ("castbool", "ebv_castbool"):
+        v = eval_sfn(e[1], mu, env)
+        if v is None:
+            return None
+        if v[0] == "b":
+            return v
+        if v[0] == "num":
+            return ("b", v[1] != 0)
+        if v[0] == "ti":
+            return ("b", int(v[1]) != 0)
+        if v[0] == "l":
+            if v[1] in ("true", "1"):
+                return ("b", True)
+            if v[1] in ("false", "0"):
+                return ("b", False)
+        return None
+    if op in ("year", "month", "day", "hours", "minutes", "seconds", "tz"):
+        v = eval_sfn(e[1], mu, env)
+        if v is None or v[0] != "dt":
+            return None
+        m = _SFN_DT_RE.match(v[1])
+        if not m:
+            return None
+        if op == "tz":
+            return ("l", m.group(7) or "")
+        if op == "seconds":
+            return ("num", Fraction(m.group(6)))
+        idx = {"year": 1, "month": 2, "day": 3, "hours": 4,
+               "minutes": 5}[op]
+        return ("num", Fraction(int(m.group(idx))))
+    if op == "cmp":
+        _, o, l, r, ty = e
+        lv = eval_sfn(l, mu, env)
+        rv = eval_sfn(r, mu, env)
+        if lv is None or rv is None:
+            return None
+        if ty == "num":
+            if lv[0] == "ti":
+                lv = ("num", Fraction(int(lv[1])))
+            if rv[0] == "ti":
+                rv = ("num", Fraction(int(rv[1])))
+            if lv[0] != "num" or rv[0] != "num":
+                return None
+            return ("b", _CMP[o](lv[1], rv[1]))
+        # string =/!= : value eq for same-kind; lang/plain mix -> error
+        if lv[0] == "l" and rv[0] == "l":
+            return ("b", (lv[1] == rv[1]) == (o == "="))
+        if lv[0] == "lt" and rv[0] == "lt":
+            return ("b", (lv == rv) == (o == "="))
+        return None
+    raise AssertionError(e)
+
+
+def ref_eval_sfn(node, data):
+    _, base, binds, filt = node
+    out = Counter()
+    for mu in ref_eval(base, data):
+        env = {}
+        for e, z in binds:
+            env[z] = eval_sfn(e, mu, env)
+        if filt is not None:
+            b = eval_sfn(filt, mu, env)
+            if b is None or b[0] != "b" or not b[1]:
+                continue
+        key = (frozenset(mu.items()),
+               tuple(env[z] for _, z in binds))
+        out[key] += 1
+    return out
+
+
+def _key_sfn(term):
+    from fractions import Fraction
+    from rdf_fusion_spark.terms import (XSD_BOOLEAN, XSD_DATETIME,
+                                        XSD_DECIMAL, XSD_INTEGER,
+                                        XSD_STRING, Literal, NamedNode)
+    if term is None:
+        return None
+    if isinstance(term, NamedNode):
+        return ("i", term.iri)
+    assert isinstance(term, Literal), term
+    if term.language:
+        return ("lt", term.lexical, term.language)
+    if term.datatype in (None, XSD_STRING):
+        return ("l", term.lexical)
+    if term.datatype in (XSD_INTEGER, XSD_DECIMAL):
+        return ("num", Fraction(term.lexical))
+    if term.datatype == XSD_BOOLEAN:
+        return ("b", term.lexical == "true")
+    if term.datatype == XSD_DATETIME:
+        return ("dt", term.lexical)
+    return ("o", term.datatype, term.lexical)
+
+
+def _sfn_data_key(term):
+    k = _key_sfn(term)
+    # BGP vars hold DATA terms: keep integer literals lexically (the
+    # evaluator's data tuples are ("ti", lexical))
+    if k is not None and k[0] == "num" and k[1].denominator == 1:
+        from rdf_fusion_spark.terms import XSD_INTEGER
+        if term.datatype == XSD_INTEGER:
+            return ("ti", term.lexical)
+    return k
+
+
+def run_sfn_case(spark, seed, n_queries=2):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(51000 + seed)
+    data = gen_data_sfn(rng)
+    store = _build_store_sfn(spark, data)
+    for q in range(n_queries):
+        node = gen_sfn(rng)
+        binds = node[2]
+        sparql = "SELECT * WHERE " + render_sfn(node)
+        want = ref_eval_sfn(node, data)
+        res = store.query(sparql)
+        got = Counter()
+        for row in res.df.collect():
+            mu = frozenset(
+                (v, k) for v in res.variables
+                if v in VARS
+                and (k := _sfn_data_key(term_to_python(row[v])))
+                is not None)
+            zs = tuple(_key_sfn(term_to_python(row[z])) for _, z in binds)
+            got[(mu, zs)] += 1
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", range(12))
+def test_scalar_function_differential(spark, seed):
+    run_sfn_case(spark, seed)
