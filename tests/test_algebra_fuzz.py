@@ -2742,3 +2742,205 @@ def run_sfn_case(spark, seed, n_queries=2):
 @pytest.mark.parametrize("seed", range(12))
 def test_scalar_function_differential(spark, seed):
     run_sfn_case(spark, seed)
+
+
+# ------------------------- CONSTRUCT / DESCRIBE layer (r11)
+#
+# The two query forms with no differential layer (r10 verdict #7; gated
+# by 4 fixed oracles). CONSTRUCT: random templates over the typed-
+# literal tree generator — constants, pattern vars (possibly unbound
+# via OPTIONAL/UNION -> triple skipped, 16.2), template blank nodes
+# (fresh per solution ROW, shared per label within the row, 16.2.1),
+# literal-subject / non-IRI-predicate skips, and the graph-as-SET dedup
+# — compared under blank-node bijection (testsuite.runner.graphs_equal,
+# the W3C harness comparer). DESCRIBE: subject-rooted triples + the CBD
+# blank-node closure over data with bnode chains, vs a pure-Python
+# fixpoint. Reference: lib/execution/src/sparql/eval.rs:54-131,
+# results/triples.rs.
+
+FZ_BNODES = [("bn", "b0"), ("bn", "b1"), ("bn", "b2"), ("bn", "b3")]
+
+
+def gen_data_cons(rng):
+    """Typed-literal data + bnode subjects/objects (bnode chains for the
+    DESCRIBE CBD closure; chains can be cyclic)."""
+    triples = set()
+    for _ in range(rng.randrange(14, 30)):
+        s = rng.choice(SUBJECTS + FZ_BNODES)
+        p = rng.choice(PREDICATES)
+        o = rng.choice(SUBJECTS + LITERALS + TYPED_OBJECTS + FZ_BNODES)
+        triples.add((s, p, o))
+    return sorted(triples)
+
+
+def _term_of_tuple(t):
+    from rdf_fusion_spark import BlankNode, Literal, NamedNode
+    from rdf_fusion_spark.terms import XSD_INTEGER
+    if t[0] == "i":
+        return NamedNode(t[1])
+    if t[0] == "bn":
+        return BlankNode(t[1])
+    if t[0] == "lt":
+        return Literal(t[1], language=t[2])
+    if t[0] == "ti":
+        return Literal(t[1], XSD_INTEGER)
+    return Literal(t[1])
+
+
+def _build_store_cons(spark, data):
+    from rdf_fusion_spark import GraphStore
+    quads = [(None, _term_of_tuple(s), _term_of_tuple(p), _term_of_tuple(o))
+             for s, p, o in data]
+    return GraphStore.from_python_quads(spark, quads).cached()
+
+
+def gen_construct(rng, depth=2):
+    tree = gen_tree_typed(rng, depth)
+    tpl = []
+    labels = ["x", "y"]
+    for _ in range(rng.randrange(1, 4)):
+        def pos(kinds):
+            r = rng.random()
+            if r < 0.45:
+                return ("var", rng.choice(VARS))
+            if r < 0.65 and "tbn" in kinds:
+                return ("tbn", rng.choice(labels))
+            if "lit" in kinds and rng.random() < 0.4:
+                return rng.choice(LITERALS + TYPED_OBJECTS)
+            return rng.choice(SUBJECTS if "i" in kinds else PREDICATES)
+        tpl.append((pos(("i", "tbn")),
+                    ("var", rng.choice(VARS)) if rng.random() < 0.25
+                    else rng.choice(PREDICATES),
+                    pos(("i", "tbn", "lit"))))
+    return ("construct", tpl, tree)
+
+
+def render_construct(node):
+    _, tpl, tree = node
+
+    def rt(x):
+        if x[0] == "tbn":
+            return "_:" + x[1]
+        if x[0] == "var":
+            return "?" + x[1]
+        return r_term_typed(x)
+    tpls = " . ".join(f"{rt(s)} {rt(p)} {rt(o)}" for s, p, o in tpl)
+    return f"CONSTRUCT {{ {tpls} }} WHERE " + render_typed(tree)
+
+
+def ref_eval_construct(node, data):
+    """-> list of (s, p, o) tuple-term triples; minted bnodes are
+    ("bn", f"{label}#{row}")."""
+    _, tpl, tree = node
+    out = set()
+    for i, mu in enumerate(ref_eval_typed(tree, data)):
+        for s, p, o in tpl:
+            def term(x):
+                if x[0] == "tbn":
+                    return ("bn", f"{x[1]}#{i}")
+                if x[0] == "var":
+                    return mu.get(x[1])
+                return x
+            st, pt, ot = term(s), term(p), term(o)
+            if st is None or pt is None or ot is None:
+                continue
+            if st[0] in ("l", "lt", "ti"):     # literal subject
+                continue
+            if pt[0] != "i":                   # non-IRI predicate
+                continue
+            out.add((st, pt, ot))
+    return out
+
+
+def run_construct_case(spark, seed, n_queries=2):
+    from rdf_fusion_spark.terms import term_to_python
+    from rdf_fusion_spark.testsuite.runner import graphs_equal
+    rng = random.Random(61000 + seed)
+    data = gen_data_cons(rng)
+    store = _build_store_cons(spark, data)
+    for q in range(n_queries):
+        node = gen_construct(rng)
+        sparql = render_construct(node)
+        want = [tuple(_term_of_tuple(t) for t in tri)
+                for tri in ref_eval_construct(node, data)]
+        res = store.query(sparql)
+        got = [(term_to_python(r["subject"]), term_to_python(r["predicate"]),
+                term_to_python(r["object"])) for r in res.df.collect()]
+        assert graphs_equal(got, want), (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"got={sorted(map(str, got))}\nwant={sorted(map(str, want))}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_construct_differential(spark, seed):
+    run_construct_case(spark, seed)
+
+
+def gen_describe(rng, depth=2):
+    form = rng.random()
+    if form < 0.25:
+        return ("describe", [rng.choice(SUBJECTS)], None)
+    tree = gen_tree_typed(rng, depth)
+    vars_ = [("var", rng.choice(VARS))]
+    if rng.random() < 0.4:
+        vars_.append(("var", rng.choice(VARS)))
+    if rng.random() < 0.3:
+        vars_.append(rng.choice(SUBJECTS))
+    return ("describe", vars_, tree)
+
+
+def render_describe(node):
+    _, terms, tree = node
+    ts = " ".join("?" + t[1] if t[0] == "var" else r_term(t) for t in terms)
+    if tree is None:
+        return f"DESCRIBE {ts}"
+    return f"DESCRIBE {ts} WHERE " + render_typed(tree)
+
+
+def ref_eval_describe(node, data):
+    """Reference approximation (eval.rs:87-131): all triples whose
+    subject is a described resource, then the CBD closure over blank-
+    node objects (transitive, cycle-safe)."""
+    _, terms, tree = node
+    described = set()
+    for t in terms:
+        if t[0] == "var":
+            if tree is not None:
+                for mu in ref_eval_typed(tree, data):
+                    v = mu.get(t[1])
+                    if v is not None:
+                        described.add(v)
+        else:
+            described.add(t)
+    out = {tri for tri in data if tri[0] in described}
+    while True:
+        frontier = {o for (_, _, o) in out
+                    if o[0] == "bn" and o not in described}
+        if not frontier:
+            return out
+        described |= frontier
+        out |= {tri for tri in data if tri[0] in frontier}
+
+
+def run_describe_case(spark, seed, n_queries=2):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(71000 + seed)
+    data = gen_data_cons(rng)
+    store = _build_store_cons(spark, data)
+    for q in range(n_queries):
+        node = gen_describe(rng)
+        sparql = render_describe(node)
+        want = {tuple(map(str, (_term_of_tuple(t) for t in tri)))
+                for tri in ref_eval_describe(node, data)}
+        res = store.query(sparql)
+        got = {tuple(str(term_to_python(r[c]))
+                     for c in ("subject", "predicate", "object"))
+               for r in res.df.collect()}
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_describe_differential(spark, seed):
+    run_describe_case(spark, seed)
