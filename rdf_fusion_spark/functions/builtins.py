@@ -127,6 +127,45 @@ class intern_scope:
 # public entry points
 # ---------------------------------------------------------------------------
 
+# Builtins STRICT in every argument: an always-unbound (or itself
+# statically-folded-NULL) argument makes the whole call a static error.
+# Used by the SK_NULL pre-pass in compile_expr — the r11 generalization
+# of the r10 arithmetic fold (typed_ops.SK_NULL): without it, a nested
+# string/accessor/cast composition over a provably-unbound variable
+# compiles its full runtime ladder over NULL literals, and Catalyst's
+# fixpoint then grinds through the stacked interner Projects for
+# minutes (r11 sfn fuzz seed 151: BIND(TZ(xsd:string(YEAR(?unbound))))
+# feeding a STRBEFORE/STRAFTER pair took the optimizer >300 s / OOM).
+# Deliberately excluded: BOUND (unbound -> false), COALESCE, IF (lazy
+# branches), &&/||/! (three-valued), IN (empty-list edge), EXISTS,
+# zero-arg constructors (they never match: the rule requires args).
+_NULL_STRICT_FNS = frozenset({
+    "STR", "LANG", "DATATYPE", "STRLEN", "UCASE", "LCASE", "SUBSTR",
+    "STRBEFORE", "STRAFTER", "CONCAT", "REPLACE", "ENCODE_FOR_URI",
+    "YEAR", "MONTH", "DAY", "HOURS", "MINUTES", "SECONDS", "TZ",
+    "TIMEZONE", "ABS", "ROUND", "CEIL", "FLOOR", "MD5", "SHA1",
+    "SHA256", "SHA384", "SHA512", "IRI", "URI", "STRDT", "STRLANG",
+    "BNODE", "+", "-", "*", "/", "UMINUS", "UPLUS",
+})
+
+
+def _statically_null(expr, resolve: Resolver) -> bool:
+    """True when `expr` provably evaluates to an error/NULL on every row
+    — an always-unbound variable (resolver tags it SK_NULL), a column a
+    previous BIND already folded to SK_NULL, or a strict builtin/cast
+    over such an argument."""
+    from ..sparql.algebra import ECall, EVar
+    if isinstance(expr, EVar):
+        return tv.skind(resolve(expr.name)) == tv.SK_NULL
+    if isinstance(expr, ECall):
+        name = expr.name
+        if name in _NULL_STRICT_FNS or (
+                name.startswith(XSD) and _cast_fn(name) is not None):
+            return bool(expr.args) and any(
+                _statically_null(a, resolve) for a in expr.args)
+    return False
+
+
 def compile_expr(expr, resolve: Resolver) -> Column:
     """Expression → term-struct Column."""
     from ..sparql.algebra import ECall, ETerm, EVar, EExists
@@ -140,6 +179,8 @@ def compile_expr(expr, resolve: Resolver) -> Column:
             "EXISTS outside FILTER conjunction is not supported yet")
     if isinstance(expr, ECall):
         name = expr.name
+        if _statically_null(expr, resolve):
+            return tv.tag(NULL_TERM(), tv.SK_NULL)
         if name in _BOOL_OPS:
             return _intern(bool_term(compile_bool(expr, resolve)))
         fn = _TERM_FNS.get(name)
