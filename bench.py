@@ -112,6 +112,11 @@ BENCH_QUERIES = [
     # round 9: incremental dedup of a new batch against a prebuilt
     # corpus index (dedup.py minhash_index + dedup_against_index)
     "q_dedup_incremental",
+    # round 11: the sliced hot-key escalations next to their plain
+    # counterparts — the recorded delta IS the escalation's overhead
+    # contract (flat per-key cost bought with one extra slice shuffle)
+    "q_events_asof_sliced",
+    "q_events_sessionize_sliced",
 ]
 
 

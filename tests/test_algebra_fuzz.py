@@ -2308,8 +2308,9 @@ def gen_sfn_str(rng, depth, env):
         return ("llit", rng.choice(("abc", "a b", "v0")),
                 rng.choice(SFN_LANGS)), True
     op = rng.choice(["str", "lang", "ucase", "lcase", "substr", "concat",
-                     "strbefore", "strafter", "replace", "caststr", "tz"])
-    if op in ("str", "lang", "ucase", "lcase", "tz"):
+                     "strbefore", "strafter", "replace", "caststr", "tz",
+                     "encode"])
+    if op in ("str", "lang", "ucase", "lcase", "tz", "encode"):
         a, _ = gen_sfn_str(rng, depth - 1, env)
         if op in ("str", "lang", "tz") and rng.random() < 0.5:
             a = ("var", rng.choice(VARS))  # STR/LANG/TZ accept non-strings
@@ -2370,7 +2371,7 @@ def gen_sfn_int(rng, depth, env):
 
 def gen_sfn_bool(rng, depth, env):
     op = rng.choice(["contains", "strstarts", "strends", "castbool",
-                     "cmp_int", "cmp_str", "cmp_dec"])
+                     "cmp_int", "cmp_str", "cmp_dec", "langmatches"])
     if op in ("contains", "strstarts", "strends"):
         a, _ = gen_sfn_str(rng, depth, env)
         b, _ = gen_sfn_str(rng, 0, env)
@@ -2379,6 +2380,9 @@ def gen_sfn_bool(rng, depth, env):
         return (op, a, b)
     if op == "castbool":
         return ("ebv_castbool", ("var", rng.choice(VARS)))
+    if op == "langmatches":
+        return ("langmatches", ("lang", ("var", rng.choice(VARS))),
+                rng.choice(["*", "en", "fr", "EN", "en-us"]))
     if op == "cmp_int":
         return ("cmp", rng.choice(["<", "<=", ">", ">=", "=", "!="]),
                 gen_sfn_int(rng, depth, env), gen_sfn_int(rng, depth, env),
@@ -2448,7 +2452,10 @@ def render_sfn_expr(e):
         return (f'REPLACE({render_sfn_expr(e[1])}, "{e[2]}", "{e[3]}")')
     if op == "cmp":
         return (f"({render_sfn_expr(e[2])} {e[1]} {render_sfn_expr(e[3])})")
+    if op == "langmatches":
+        return (f'LANGMATCHES({render_sfn_expr(e[1])}, "{e[2]}")')
     names = {"str": "STR", "lang": "LANG", "ucase": "UCASE",
+             "encode": "ENCODE_FOR_URI",
              "lcase": "LCASE", "strlen": "STRLEN", "tz": "TZ",
              "strbefore": "STRBEFORE", "strafter": "STRAFTER",
              "contains": "CONTAINS", "strstarts": "STRSTARTS",
@@ -2555,6 +2562,20 @@ def eval_sfn(e, mu, env):
     if op == "strlen":
         sv = _sfn_sval(eval_sfn(e[1], mu, env))
         return None if sv is None else ("num", Fraction(len(sv[0])))
+    if op == "encode":
+        from urllib.parse import quote
+        sv = _sfn_sval(eval_sfn(e[1], mu, env))
+        # XPath fn:encode-for-uri: RFC 3986 unreserved kept, uppercase
+        # percent-encoded UTF-8 otherwise; result is a SIMPLE literal
+        return None if sv is None else ("l", quote(sv[0], safe=""))
+    if op == "langmatches":
+        tv = eval_sfn(e[1], mu, env)
+        if tv is None or tv[0] != "l":
+            return None
+        tag, rng_ = tv[1].lower(), e[2].lower()
+        if e[2] == "*":
+            return ("b", tag != "")
+        return ("b", tag == rng_ or tag.startswith(rng_ + "-"))
     if op == "substr":
         sv = _sfn_sval(eval_sfn(e[1], mu, env))
         if sv is None:
