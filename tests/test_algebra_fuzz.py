@@ -2965,3 +2965,385 @@ def run_describe_case(spark, seed, n_queries=2):
 @pytest.mark.parametrize("seed", range(10))
 def test_describe_differential(spark, seed):
     run_describe_case(spark, seed)
+
+
+# ------------------------------ durations arithmetic layer (r11)
+#
+# The reference spends 1,292 LoC on the duration value model
+# (lib/model/src/xsd/duration.rs); the engine's coverage was exhaustive
+# unit tests + one fixed oracle (q_duration_values) but no differential
+# composition. This layer fuzzes dateTime +/- duration (calendar month
+# add with XPath day clamping, then exact seconds), duration +/-
+# duration, dateTime - dateTime -> dayTimeDuration, accessors over the
+# shifted results, and dateTime/duration comparisons under FILTER —
+# against a pure-Python (months, Fraction-seconds) evaluator. DateTime
+# data is timezone-FREE (the engine normalizes shifted lexicals to the
+# instant; tz-free inputs keep both sides in naive calendar space), and
+# generated duration COMPARISONS keep |seconds| < 1 day so the XSD
+# partial order is always determinate (inside the 28-31-day band the
+# engine is deliberately more conservative than the four-reference-date
+# rule — not a differential target).
+
+import datetime as _dtmod
+
+DUR_DT_POOL = [
+    "2024-01-31T10:00:00", "2020-02-29T23:59:59", "2024-03-05T10:30:00",
+    "2023-12-31T23:59:59.5", "2024-07-15T00:00:00.25",
+    "2021-06-30T12:00:00",
+]
+# (lexical, datatype-suffix) — suffix picks xsd:duration vs the subtypes
+DUR_POOL = [
+    ("P1M", "yearMonthDuration"), ("P13M", "duration"),
+    ("-P2M", "yearMonthDuration"), ("P1Y2M", "duration"),
+    ("PT3600S", "dayTimeDuration"), ("P1DT0.5S", "duration"),
+    ("PT0.25S", "dayTimeDuration"), ("P2DT3H", "dayTimeDuration"),
+    ("-PT60S", "dayTimeDuration"), ("P1MT60S", "duration"),
+]
+
+_DUR_RE = re.compile(
+    r"^(-)?P(?:(\d+)Y)?(?:(\d+)M)?(?:(\d+)D)?"
+    r"(?:T(?:(\d+)H)?(?:(\d+)M)?(?:(\d+(?:\.\d+)?)S)?)?$")
+
+
+def parse_duration(lex):
+    """-> (months:int, seconds:Fraction)."""
+    from fractions import Fraction
+    m = _DUR_RE.match(lex)
+    assert m, lex
+    sign = -1 if m.group(1) else 1
+    months = int(m.group(2) or 0) * 12 + int(m.group(3) or 0)
+    secs = (int(m.group(4) or 0) * 86400 + int(m.group(5) or 0) * 3600
+            + int(m.group(6) or 0) * 60)
+    secs = Fraction(secs) + (Fraction(m.group(7)) if m.group(7) else 0)
+    return (sign * months, sign * secs)
+
+
+def _dur_dt_parse(lex):
+    return _dtmod.datetime.fromisoformat(lex)
+
+
+def _dt_add_months(dt, months):
+    """XPath calendar month add with day clamping."""
+    import calendar
+    y, m = divmod(dt.month - 1 + months, 12)
+    y, m = dt.year + y, m + 1
+    d = min(dt.day, calendar.monthrange(y, m)[1])
+    return dt.replace(year=y, month=m, day=d)
+
+
+def _dt_add_secs(dt, secs):
+    from fractions import Fraction
+    us = int(Fraction(secs) * 1_000_000)
+    return dt + _dtmod.timedelta(microseconds=us)
+
+
+def gen_data_dur(rng):
+    triples = set()
+    objs = ([("dt", s) for s in DUR_DT_POOL]
+            + [("dur",) + d for d in DUR_POOL]
+            + [("l", "v0"), ("i", f"{EX}s9")])
+    for _ in range(rng.randrange(12, 26)):
+        triples.add((rng.choice(SUBJECTS), rng.choice(PREDICATES),
+                     rng.choice(objs)))
+    return sorted(triples)
+
+
+def _build_store_dur(spark, data):
+    from rdf_fusion_spark import GraphStore, Literal, NamedNode
+    from rdf_fusion_spark.terms import XSD, XSD_DATETIME
+
+    def term(t):
+        if t[0] == "i":
+            return NamedNode(t[1])
+        if t[0] == "dt":
+            return Literal(t[1], XSD_DATETIME)
+        if t[0] == "dur":
+            return Literal(t[1], XSD + t[2])
+        return Literal(t[1])
+    quads = [(None, term(s), term(p), term(o)) for s, p, o in data]
+    return GraphStore.from_python_quads(spark, quads).cached()
+
+
+def r_term_dur(t):
+    if t[0] == "dt":
+        return f'"{t[1]}"^^<http://www.w3.org/2001/XMLSchema#dateTime>'
+    if t[0] == "dur":
+        return f'"{t[1]}"^^<http://www.w3.org/2001/XMLSchema#{t[2]}>'
+    return _R_TERM_BASE(t)
+
+
+def gen_dur(rng, depth=2):
+    base = gen_bgp(rng)
+    binds = []
+    env = []
+    for i in range(rng.randrange(1, 4)):
+        z = f"z{i}"
+        r = rng.random()
+        v = ("var", rng.choice(VARS))
+        if r < 0.35:   # dateTime/dur +/- dur
+            d = ("durlit",) + rng.choice(DUR_POOL)
+            e = (rng.choice(["+", "-"]), v, d)
+            if rng.random() < 0.2:
+                e = ("+", d, v)
+        elif r < 0.5:  # var op var (dt-dt diff, dur+dur, errors)
+            e = (rng.choice(["+", "-"]), v, ("var", rng.choice(VARS)))
+        elif r < 0.75 and env:  # accessor / chain over a previous z
+            z0 = rng.choice([zz for zz, _ in env])
+            if rng.random() < 0.5:
+                e = (rng.choice(["year", "month", "day", "hours",
+                                 "minutes", "seconds"]), ("z", z0))
+            else:
+                e = (rng.choice(["+", "-"]), ("z", z0),
+                     ("durlit",) + rng.choice(DUR_POOL))
+        else:          # accessor over raw var
+            e = (rng.choice(["year", "month", "day", "hours",
+                             "minutes", "seconds"]), v)
+        binds.append((e, z))
+        env.append((z, None))
+    filt = None
+    if rng.random() < 0.6:
+        r = rng.random()
+        a = ("var", rng.choice(VARS))
+        if r < 0.4:    # dateTime comparison
+            filt = ("cmpv", rng.choice(["<", "<=", ">", ">=", "=", "!="]),
+                    a, ("var", rng.choice(VARS)))
+        elif r < 0.7:  # duration comparison vs a SMALL-seconds constant
+            d = ("durlit",) + rng.choice(
+                [("P1M", "yearMonthDuration"), ("-P2M", "yearMonthDuration"),
+                 ("PT3600S", "dayTimeDuration"), ("-PT60S", "dayTimeDuration"),
+                 ("PT0.25S", "dayTimeDuration")])
+            filt = ("cmpv", rng.choice(["<", "<=", ">", ">=", "=", "!="]),
+                    a, d)
+        else:
+            zs = [zz for zz, _ in env]
+            filt = ("cmpv", rng.choice(["=", "!=", "<", ">"]),
+                    ("z", rng.choice(zs)), a)
+    return ("dur", base, binds, filt)
+
+
+def render_dur_expr(e):
+    op = e[0]
+    if op == "var" or op == "z":
+        return "?" + e[1]
+    if op == "durlit":
+        return f'"{e[1]}"^^<http://www.w3.org/2001/XMLSchema#{e[2]}>'
+    if op in ("+", "-"):
+        return f"({render_dur_expr(e[1])} {op} {render_dur_expr(e[2])})"
+    names = {"year": "YEAR", "month": "MONTH", "day": "DAY",
+             "hours": "HOURS", "minutes": "MINUTES", "seconds": "SECONDS"}
+    return f"{names[op]}({render_dur_expr(e[1])})"
+
+
+def render_dur(node):
+    _, base, binds, filt = node
+    global r_term
+    saved = r_term
+    r_term = r_term_dur  # noqa: F841
+    try:
+        q = "{ " + render(base)
+    finally:
+        r_term = saved
+    for e, z in binds:
+        q += f" BIND({render_dur_expr(e)} AS ?{z})"
+    if filt is not None:
+        _, o, l, r2 = filt
+        q += f" FILTER({render_dur_expr(l)} {o} {render_dur_expr(r2)})"
+    return q + " }"
+
+
+def eval_dur(e, mu, env):
+    """values: ("dtv", datetime) | ("durv", months, Fraction-secs) |
+    ("num", Fraction) | data tuples | None (error)."""
+    from fractions import Fraction
+    op = e[0]
+    if op == "var":
+        t = mu.get(e[1])
+        if t is None:
+            return None
+        if t[0] == "dt":
+            return ("dtv", _dur_dt_parse(t[1]))
+        if t[0] == "dur":
+            return ("durv",) + parse_duration(t[1])
+        return t
+    if op == "z":
+        return env.get(e[1])
+    if op == "durlit":
+        return ("durv",) + parse_duration(e[1])
+    if op in ("+", "-"):
+        a = eval_dur(e[1], mu, env)
+        b = eval_dur(e[2], mu, env)
+        if a is None or b is None:
+            return None
+        sign = 1 if op == "+" else -1
+        if a[0] == "dtv" and b[0] == "durv":
+            dt = _dt_add_months(a[1], sign * b[1])
+            return ("dtv", _dt_add_secs(dt, sign * b[2]))
+        if a[0] == "durv" and b[0] == "dtv" and op == "+":
+            dt = _dt_add_months(b[1], a[1])
+            return ("dtv", _dt_add_secs(dt, a[2]))
+        if a[0] == "durv" and b[0] == "durv":
+            return ("durv", a[1] + sign * b[1], a[2] + sign * b[2])
+        if a[0] == "dtv" and b[0] == "dtv" and op == "-":
+            delta = a[1] - b[1]
+            return ("durv", 0,
+                    Fraction(delta.days) * 86400 + delta.seconds
+                    + Fraction(delta.microseconds, 1_000_000))
+        return None
+    if op in ("year", "month", "day", "hours", "minutes", "seconds"):
+        v = eval_dur(e[1], mu, env)
+        if v is None or v[0] != "dtv":
+            return None
+        dt = v[1]
+        if op == "seconds":
+            return ("num", Fraction(dt.second)
+                    + Fraction(dt.microsecond, 1_000_000))
+        return ("num", Fraction(getattr(
+            dt, {"year": "year", "month": "month", "day": "day",
+                 "hours": "hour", "minutes": "minute"}[op])))
+    raise AssertionError(e)
+
+
+def _dur_cmp(a, b):
+    """3-way or None; mirrors the SPARQL operator table + XSD duration
+    partial order (determinate cases only — the generator keeps the
+    seconds parts under a day for month-differing comparisons)."""
+    if a is None or b is None:
+        return None
+    if a[0] == "dtv" and b[0] == "dtv":
+        return (a[1] > b[1]) - (a[1] < b[1])
+    if a[0] == "durv" and b[0] == "durv":
+        if a[1] == b[1]:
+            return (a[2] > b[2]) - (a[2] < b[2])
+        dm, ds = b[1] - a[1], a[2] - b[2]
+        if dm > 0:
+            if ds < dm * 28 * 86400:
+                return -1
+            if ds > dm * 31 * 86400:
+                return 1
+            return None
+        if -ds < -dm * 28 * 86400:
+            return 1
+        if -ds > -dm * 31 * 86400:
+            return -1
+        return None
+    if a[0] == "num" and b[0] == "num":
+        return (a[1] > b[1]) - (a[1] < b[1])
+    if a[0] == "l" and b[0] == "l":    # simple literals: codepoint order
+        return (a[1] > b[1]) - (a[1] < b[1])
+    return None
+
+
+def _dur_eq(a, b):
+    """SPARQL '=' with error semantics for the layer's value kinds."""
+    if a is None or b is None:
+        return None
+    if a[0] == b[0] and a[0] in ("dtv", "num"):
+        return a[1] == b[1]
+    if a[0] == b[0] == "durv":
+        return a[1] == b[1] and a[2] == b[2]
+    if a[0] == b[0]:   # data tuples (strings, IRIs): sameTerm-ish
+        if a[0] == "i":
+            return a == b
+        if a[0] == "l":
+            return a[1] == b[1]
+    if a[0] == "i" or b[0] == "i":
+        return False
+    return None
+
+
+def ref_eval_dur(node, data):
+    _, base, binds, filt = node
+    out = Counter()
+    for mu in ref_eval(base, data):
+        env = {}
+        for e, z in binds:
+            env[z] = eval_dur(e, mu, env)
+        if filt is not None:
+            _, o, l, r2 = filt
+            lv, rv = eval_dur(l, mu, env), eval_dur(r2, mu, env)
+            if o in ("=", "!="):
+                eq = _dur_eq(lv, rv)
+                if eq is None or eq != (o == "="):
+                    continue
+            else:
+                c = _dur_cmp(lv, rv)
+                if c is None or not _CMP[o](c, 0):
+                    continue
+        key = (frozenset(mu.items()),
+               tuple(_dur_freeze(env[z]) for _, z in binds))
+        out[key] += 1
+    return out
+
+
+def _dur_freeze(v):
+    if v is None:
+        return None
+    if v[0] == "dtv":
+        return ("dtv", v[1].isoformat())
+    return v
+
+
+def _key_dur(term):
+    from fractions import Fraction
+    from rdf_fusion_spark.terms import (DURATION_TYPES, XSD_DATETIME,
+                                        XSD_DECIMAL, XSD_INTEGER,
+                                        Literal, NamedNode)
+    if term is None:
+        return None
+    if isinstance(term, NamedNode):
+        return ("i", term.iri)
+    assert isinstance(term, Literal), term
+    if term.datatype == XSD_DATETIME:
+        return ("dtv", _dur_dt_parse(term.lexical).isoformat())
+    if term.datatype in DURATION_TYPES:
+        return ("durv",) + parse_duration(term.lexical)
+    if term.datatype in (XSD_INTEGER, XSD_DECIMAL):
+        return ("num", Fraction(term.lexical))
+    return ("l", term.lexical)
+
+
+def _dur_data_key(term):
+    # base vars hold DATA terms: map back to the data-tuple reps
+    from rdf_fusion_spark.terms import (DURATION_TYPES, XSD_DATETIME,
+                                        Literal, NamedNode)
+    if term is None:
+        return None
+    if isinstance(term, NamedNode):
+        return ("i", term.iri)
+    assert isinstance(term, Literal), term
+    if term.datatype == XSD_DATETIME:
+        return ("dt", term.lexical)
+    if term.datatype in DURATION_TYPES:
+        suffix = term.datatype.rsplit("#", 1)[-1]
+        return ("dur", term.lexical, suffix)
+    return ("l", term.lexical)
+
+
+def run_dur_case(spark, seed, n_queries=2):
+    from rdf_fusion_spark.terms import term_to_python
+    rng = random.Random(81000 + seed)
+    data = gen_data_dur(rng)
+    store = _build_store_dur(spark, data)
+    for q in range(n_queries):
+        node = gen_dur(rng)
+        binds = node[2]
+        sparql = "SELECT * WHERE " + render_dur(node)
+        want = ref_eval_dur(node, data)
+        res = store.query(sparql)
+        got = Counter()
+        for row in res.df.collect():
+            mu = frozenset(
+                (v, k) for v in res.variables
+                if v in VARS
+                and (k := _dur_data_key(term_to_python(row[v])))
+                is not None)
+            zs = tuple(_key_dur(term_to_python(row[z])) for _, z in binds)
+            got[(mu, zs)] += 1
+        assert got == want, (
+            f"seed={seed} q={q}\n{sparql}\n"
+            f"extra={got - want}\nmissing={want - got}")
+
+
+@pytest.mark.parametrize("seed", range(10))
+def test_duration_arith_differential(spark, seed):
+    run_dur_case(spark, seed)

@@ -38,7 +38,7 @@ def main() -> None:
     import test_algebra_fuzz as FZ
 
     layers = {"sfn": FZ.run_sfn_case}
-    for name in ("construct", "describe"):
+    for name in ("construct", "describe", "dur"):
         fn = getattr(FZ, f"run_{name}_case", None)
         if fn is not None:
             layers[name] = fn
