@@ -778,6 +778,19 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
     return tag(out, SK_NUM)
 
 
+def _duration_sum(a: Column, b: Column, sign: int) -> Column:
+    """duration ± duration → duration term; a MIXED-SIGN result (months
+    and seconds nonzero with opposite signs) is an expression ERROR: the
+    value has no XSD lexical representation, and the reference refuses
+    to format it (lib/model/src/xsd/duration.rs:211-213 returns
+    fmt::Error) — found by the r11 durations fuzz layer (seed 17:
+    -P2M + P2DT3H emitted the corrupt lexical \"-P2M2DT3H\")."""
+    m = a["x"] + sign * b["x"]
+    s = a["d"] + sign * b["d"]
+    ok = ~(((m < 0) & (s > 0)) | ((m > 0) & (s < 0)))
+    return duration_term(F.when(ok, m), F.when(ok, s))
+
+
 def _datetime_shift(dtc: Column, dur: Column, sign: int) -> Column:
     """dateTime ± duration: add the month part calendar-aware first, then
     the seconds part (XPath op:add-yearMonthDuration-to-dateTime followed
@@ -812,9 +825,7 @@ def _temporal_arith(a: Column, b: Column, op: str) -> Column:
             return tag(_datetime_shift(a, b, +1 if op == "+" else -1),
                        K_DATETIME)
         if sa == K_DURATION and sb == K_DURATION:
-            if op == "+":
-                return duration_term(a["x"] + b["x"], a["d"] + b["d"])
-            return duration_term(a["x"] - b["x"], a["d"] - b["d"])
+            return _duration_sum(a, b, +1 if op == "+" else -1)
         if sa == K_DURATION and sb == K_DATETIME and op == "+":
             return tag(_datetime_shift(b, a, +1), K_DATETIME)
         if sa == K_DATETIME and sb == K_DATETIME and op == "-":
@@ -826,7 +837,7 @@ def _temporal_arith(a: Column, b: Column, op: str) -> Column:
         F.when((a["k"] == K_DATETIME) & (b["k"] == K_DURATION),
                _datetime_shift(a, b, sign))
         .when((a["k"] == K_DURATION) & (b["k"] == K_DURATION),
-              duration_term(a["x"] + sign * b["x"], a["d"] + sign * b["d"]))
+              _duration_sum(a, b, sign))
     )
     if op == "+":
         out = out.when((a["k"] == K_DURATION) & (b["k"] == K_DATETIME),

@@ -784,7 +784,10 @@ def _value_eq(lv, rv):
         return int(lv[1]) == int(rv[1])
     if k1 == "lt" and k2 == "lt":
         return False  # lv != rv already known
-    if k1 == "i" or k2 == "i":
+    if k1 == "i" or k2 == "i" or k1 == "bn" or k2 == "bn":
+        # a non-literal operand: RDFterm-equal is total (False unless
+        # identical — bnode vs literal is NOT a type error); engine
+        # adjudicated RIGHT on r11 construct seed 34
         return False
     if k1 == "l" and k2 == "l":
         return False
@@ -3182,7 +3185,13 @@ def eval_dur(e, mu, env):
             dt = _dt_add_months(b[1], a[1])
             return ("dtv", _dt_add_secs(dt, a[2]))
         if a[0] == "durv" and b[0] == "durv":
-            return ("durv", a[1] + sign * b[1], a[2] + sign * b[2])
+            m, s = a[1] + sign * b[1], a[2] + sign * b[2]
+            if (m < 0 and s > 0) or (m > 0 and s < 0):
+                # no XSD lexical exists for a mixed-sign duration; the
+                # reference refuses to format it (duration.rs:211-213)
+                # -> expression error (engine r11 fix, fuzz seed 17)
+                return None
+            return ("durv", m, s)
         if a[0] == "dtv" and b[0] == "dtv" and op == "-":
             delta = a[1] - b[1]
             return ("durv", 0,
