@@ -2374,7 +2374,8 @@ def gen_sfn_int(rng, depth, env):
 
 def gen_sfn_bool(rng, depth, env):
     op = rng.choice(["contains", "strstarts", "strends", "castbool",
-                     "cmp_int", "cmp_str", "cmp_dec", "langmatches"])
+                     "cmp_int", "cmp_str", "cmp_dec", "langmatches",
+                     "regex", "regex"])
     if op in ("contains", "strstarts", "strends"):
         a, _ = gen_sfn_str(rng, depth, env)
         b, _ = gen_sfn_str(rng, 0, env)
@@ -2386,6 +2387,13 @@ def gen_sfn_bool(rng, depth, env):
     if op == "langmatches":
         return ("langmatches", ("lang", ("var", rng.choice(VARS))),
                 rng.choice(["*", "en", "fr", "EN", "en-us"]))
+    if op == "regex":
+        # SAFE pattern subset where Java and Python regex agree exactly
+        a, _ = gen_sfn_str(rng, depth, env)
+        pat = rng.choice(["^a", "b$", "a.c", "v[0-9]", "^$", "a|v0",
+                          "c.*e", "^A", "[a-c]b"])
+        flags = "i" if rng.random() < 0.3 else None
+        return ("regex", a, pat, flags)
     if op == "cmp_int":
         return ("cmp", rng.choice(["<", "<=", ">", ">=", "=", "!="]),
                 gen_sfn_int(rng, depth, env), gen_sfn_int(rng, depth, env),
@@ -2457,6 +2465,9 @@ def render_sfn_expr(e):
         return (f"({render_sfn_expr(e[2])} {e[1]} {render_sfn_expr(e[3])})")
     if op == "langmatches":
         return (f'LANGMATCHES({render_sfn_expr(e[1])}, "{e[2]}")')
+    if op == "regex":
+        base = f'REGEX({render_sfn_expr(e[1])}, "{e[2]}"'
+        return base + (f', "{e[3]}")' if e[3] else ")")
     names = {"str": "STR", "lang": "LANG", "ucase": "UCASE",
              "encode": "ENCODE_FOR_URI",
              "lcase": "LCASE", "strlen": "STRLEN", "tz": "TZ",
@@ -2664,6 +2675,12 @@ def eval_sfn(e, mu, env):
         idx = {"year": 1, "month": 2, "day": 3, "hours": 4,
                "minutes": 5}[op]
         return ("num", Fraction(int(m.group(idx))))
+    if op == "regex":
+        sv = _sfn_sval(eval_sfn(e[1], mu, env))
+        if sv is None:
+            return None
+        flags = re.IGNORECASE if e[3] else 0
+        return ("b", re.search(e[2], sv[0], flags) is not None)
     if op == "cmp":
         _, o, l, r, ty = e
         lv = eval_sfn(l, mu, env)
