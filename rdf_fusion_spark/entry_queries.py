@@ -678,34 +678,11 @@ def _pipe_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _pipe_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The content-key dedup family in one tagged relation: exact,
-    normalized, bag-of-words fingerprint, and rolling-hash variants are
-    each a single hash-groupBy over the same scan — folded to keep the
-    driver's 50-query gate window open for more operators."""
-    from .pipeline.dedup import (
-        exact_dedup_groups,
-        fingerprint_dedup_groups,
-        normalized_dedup_groups,
-    )
-    from .pipeline.text import with_rolling_fingerprint
-    docs = _docs(spark, sf_dir)
-    a = exact_dedup_groups(docs).select(
-        F.lit("exact").alias("variant"), F.col("text_hash").alias("hash"),
-        F.col("n_copies").cast("long").alias("n_docs"), "canonical_id")
-    b = normalized_dedup_groups(docs).select(
-        F.lit("normalized").alias("variant"), F.col("norm_hash").alias("hash"),
-        F.col("n_docs").cast("long").alias("n_docs"), "canonical_id")
-    c = fingerprint_dedup_groups(docs).select(
-        F.lit("fingerprint").alias("variant"),
-        F.col("fingerprint").alias("hash"),
-        F.col("n_docs").cast("long").alias("n_docs"), "canonical_id")
-    d = (with_rolling_fingerprint(docs)
-         .groupBy("rolling_fp")
-         .agg(F.count("*").cast("long").alias("n_docs"),
-              F.min("doc_id").alias("canonical_id"))
-         .select(F.lit("rolling_fp").alias("variant"),
-                 F.col("rolling_fp").cast("string").alias("hash"),
-                 "n_docs", "canonical_id"))
-    return a.unionByName(b).unionByName(c).unionByName(d)
+    normalized, bag-of-words fingerprint, and rolling-hash variants
+    fused into ONE scan + ONE shuffle (explode (variant, key) pairs,
+    single groupBy — pipeline/dedup.py content_key_dedup_groups)."""
+    from .pipeline.dedup import content_key_dedup_groups
+    return content_key_dedup_groups(_docs(spark, sf_dir))
 
 
 CHUNK_SIZE = 32

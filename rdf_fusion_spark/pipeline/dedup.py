@@ -118,6 +118,41 @@ def fingerprint_dedup_groups(df: DataFrame, text_col: str = "text",
     )
 
 
+def content_key_dedup_groups(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id") -> DataFrame:
+    """The four content-key dedup variants — exact, normalized,
+    bag-of-words fingerprint (with its n_docs >= 2 gate) and the
+    rolling-hash fingerprint — as ONE tagged relation from ONE scan and
+    ONE shuffle. Each variant's key is computed in the same projection
+    and exploded to a (variant, hash) row per document, so the four
+    per-variant hash-groupBys collapse into a single
+    groupBy(variant, hash): the unfused union paid 4 scans + 4 shuffles
+    for the same row bag (4 Scan parquet + 8 Exchange at sf0.1), and at
+    corpus scale rescanning the text 4x is the dominant cost. Row-for-row
+    identical to unioning exact_dedup_groups / normalized_dedup_groups /
+    fingerprint_dedup_groups / the rolling-fp groupBy (property-tested)."""
+    from .text import rolling_fingerprint_col
+    text = F.col(text_col)
+    fp = F.md5(F.concat_ws(
+        " ", F.array_sort(F.array_distinct(words_col(text)))))
+    keys = F.array(
+        F.struct(F.lit("exact").alias("variant"),
+                 F.md5(text).alias("hash")),
+        F.struct(F.lit("normalized").alias("variant"),
+                 F.md5(normalize_text(text)).alias("hash")),
+        F.struct(F.lit("fingerprint").alias("variant"), fp.alias("hash")),
+        F.struct(F.lit("rolling_fp").alias("variant"),
+                 rolling_fingerprint_col(text).cast("string").alias("hash")),
+    )
+    return (df.select(F.col(id_col).alias("__id"), F.explode(keys).alias("vk"))
+            .groupBy(F.col("vk.variant").alias("variant"),
+                     F.col("vk.hash").alias("hash"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.min("__id").alias("canonical_id"))
+            .where((F.col("variant") != "fingerprint")
+                   | (F.col("n_docs") >= 2)))
+
+
 def _jaccard(a: Column, b: Column) -> Column:
     inter = F.size(F.array_intersect(a, b)).cast("double")
     union = F.size(F.array_distinct(F.concat(a, b))).cast("double")

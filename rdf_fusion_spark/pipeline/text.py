@@ -129,17 +129,21 @@ ROLL_B = 257
 ROLL_P = 1_000_000_007
 
 
-def with_rolling_fingerprint(df: DataFrame, text_col: str = "text"
-                             ) -> DataFrame:
+def rolling_fingerprint_col(text: Column) -> Column:
     """Order-SENSITIVE content fingerprint: polynomial rolling hash over
     the character stream (the complement of the order-insensitive
     bag-of-words fingerprint). Pure Column fold — one scan, no shuffle."""
-    chars = F.filter(F.split(F.col(text_col), ""), lambda c: c != "")
+    chars = F.filter(F.split(text, ""), lambda c: c != "")
     codes = F.transform(chars, F.ascii)
-    h = F.aggregate(
+    return F.aggregate(
         codes, F.lit(0).cast("long"),
         lambda acc, x: (acc * ROLL_B + x.cast("long")) % ROLL_P)
-    return df.select("*", h.alias("rolling_fp"))
+
+
+def with_rolling_fingerprint(df: DataFrame, text_col: str = "text"
+                             ) -> DataFrame:
+    return df.select(
+        "*", rolling_fingerprint_col(F.col(text_col)).alias("rolling_fp"))
 
 
 def top_words(df: DataFrame, k: int = 20, text_col: str = "text"

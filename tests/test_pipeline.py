@@ -46,6 +46,47 @@ def test_exact_dedup(docs):
     assert len(groups) == 3
 
 
+def test_content_key_fused_equals_unfused(docs, spark):
+    """content_key_dedup_groups (one scan + one shuffle, r11 opt) must be
+    row-for-row identical to the unfused 4-branch union it replaced —
+    including the fingerprint variant's n_docs >= 2 gate."""
+    # richer corpus: normalization dups, punctuation, multi-space runs
+    rows = [
+        (10, "Hello,   World!"),
+        (11, "hello world"),
+        (12, "hello world"),
+        (13, "world hello"),   # same word bag, different order
+        (14, "unrelated text"),
+    ]
+    extra = spark.createDataFrame(rows, ["doc_id", "text"])
+    corpus = docs.unionByName(extra)
+    fused = dedup.content_key_dedup_groups(corpus)
+
+    a = dedup.exact_dedup_groups(corpus).select(
+        F.lit("exact").alias("variant"), F.col("text_hash").alias("hash"),
+        F.col("n_copies").cast("long").alias("n_docs"), "canonical_id")
+    b = dedup.normalized_dedup_groups(corpus).select(
+        F.lit("normalized").alias("variant"),
+        F.col("norm_hash").alias("hash"),
+        F.col("n_docs").cast("long").alias("n_docs"), "canonical_id")
+    c = dedup.fingerprint_dedup_groups(corpus).select(
+        F.lit("fingerprint").alias("variant"),
+        F.col("fingerprint").alias("hash"),
+        F.col("n_docs").cast("long").alias("n_docs"), "canonical_id")
+    d = (text.with_rolling_fingerprint(corpus)
+         .groupBy("rolling_fp")
+         .agg(F.count("*").cast("long").alias("n_docs"),
+              F.min("doc_id").alias("canonical_id"))
+         .select(F.lit("rolling_fp").alias("variant"),
+                 F.col("rolling_fp").cast("string").alias("hash"),
+                 "n_docs", "canonical_id"))
+    unfused = a.unionByName(b).unionByName(c).unionByName(d)
+
+    assert sorted(map(tuple, fused.collect())) \
+        == sorted(map(tuple, unfused.collect()))
+    assert fused.schema == unfused.schema
+
+
 def test_jaccard_and_minhash_agree(docs):
     """LSH candidates verified with exact Jaccard must be a subset of the
     brute-force pairs at the same threshold, and catch the obvious dup."""
