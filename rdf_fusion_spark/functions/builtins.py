@@ -213,6 +213,16 @@ def compile_bool_where(expr, resolve: Resolver) -> Column:
             l = compile_expr(expr.args[0], resolve)
             r = compile_expr(expr.args[1], resolve)
             return tv.rdf_equal(l, r, flat=True)
+        if expr.name in ("<", "<=", ">", ">="):
+            # flat conjunctive form for statically-typed operands: the
+            # only shape that reaches the parquet scan as a pushed RANGE
+            # predicate (the generic 3-way CASE ladder never translates;
+            # r11 opt — q1's l_shipdate bound, guide §6)
+            l = compile_expr(expr.args[0], resolve)
+            r = compile_expr(expr.args[1], resolve)
+            return {"<": tv.rdf_less, "<=": tv.rdf_less_eq,
+                    ">": tv.rdf_greater, ">=": tv.rdf_greater_eq,
+                    }[expr.name](l, r, flat=True)
     return compile_bool(expr, resolve)
 
 

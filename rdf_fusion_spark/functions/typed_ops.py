@@ -14,6 +14,8 @@ FILTER (reference: lib/functions/src/builtin/native/effective_boolean_value.rs).
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -654,23 +656,80 @@ def rdf_compare(a: Column, b: Column) -> Column:
     )
 
 
+def _rel_direct(a: Column, b: Column, op: str,
+                flat: bool = False) -> Optional[Column]:
+    """Direct relational predicate for statically-typed operands.
+
+    The generic path compiles `?x <= c` to a 3-way CASE ladder tested
+    with isin(-1, 0); Catalyst cannot simplify that shape in predicate
+    context, so the filter never reaches the parquet scan as a pushed
+    range predicate (q1's l_shipdate bound showed only IsNotNull in
+    PushedFilters — at 100 TB that is the difference between skipping
+    row groups on min/max stats and reading every byte; guide §6).
+    When both static kinds pin a total native comparison on one field,
+    emit the native operator directly — `CASE WHEN isnotnull THEN
+    ts <= lit END` is exactly what SimplifyConditionalsInPredicate
+    unfolds into pushable conjuncts. Semantics are branch-for-branch
+    those of rdf_compare's static path: NULL operand → NULL, NaN →
+    false (XPath unordered), dateTime across value spaces → NULL.
+    Returns None (generic fallback) for every case the static analysis
+    cannot prove: durations, possibly-lang-tagged strings, SK_NUM."""
+    sa, sb = skind(a), skind(b)
+    if sa is None or sb is None:
+        return None
+
+    def rel(x: Column, y: Column) -> Column:
+        return {"lt": x < y, "le": x <= y,
+                "gt": x > y, "ge": x >= y}[op]
+
+    if _sk_numeric(sa) and _sk_numeric(sb):
+        if not (_sk_rank_static(sa) and _sk_rank_static(sb)):
+            return None
+        if sa <= K_DECIMAL and sb <= K_DECIMAL:
+            body = rel(a["d"], b["d"])
+        else:
+            # NaN is UNORDERED (false for every operator) — Spark's
+            # native comparison would instead sort NaN above everything
+            body = (~F.isnan(a["x"])) & (~F.isnan(b["x"])) \
+                & rel(a["x"], b["x"])
+    elif sa == SK_PLAIN and sb == SK_PLAIN:
+        body = rel(a["v"], b["v"])
+    elif sa == K_BOOLEAN and sb == K_BOOLEAN:
+        body = rel(as_boolean(a).cast("int"), as_boolean(b).cast("int"))
+    elif sa == K_DATETIME and sb == K_DATETIME:
+        body = ((a["dt"] == b["dt"]) & rel(a["ts"], b["ts"])) if flat \
+            else F.when(a["dt"] == b["dt"], rel(a["ts"], b["ts"]))
+    else:
+        return None
+    if flat:
+        # positive-filter context (NULL ≡ false): a plain conjunction —
+        # the shape DataSourceStrategy can translate into a pushed
+        # parquet range predicate, unlike any CASE form
+        return a.isNotNull() & b.isNotNull() & body
+    return F.when(a.isNotNull() & b.isNotNull(), body)
+
+
 # exact comparisons against the -1/0/1 outcomes (not range tests): the
 # NaN-unordered sentinel 9 must make every operator FALSE, and NULL
 # (type error) must stay NULL
-def rdf_less(a: Column, b: Column) -> Column:
-    return rdf_compare(a, b) == -1
+def rdf_less(a: Column, b: Column, flat: bool = False) -> Column:
+    d = _rel_direct(a, b, "lt", flat)
+    return d if d is not None else rdf_compare(a, b) == -1
 
 
-def rdf_less_eq(a: Column, b: Column) -> Column:
-    return rdf_compare(a, b).isin(-1, 0)
+def rdf_less_eq(a: Column, b: Column, flat: bool = False) -> Column:
+    d = _rel_direct(a, b, "le", flat)
+    return d if d is not None else rdf_compare(a, b).isin(-1, 0)
 
 
-def rdf_greater(a: Column, b: Column) -> Column:
-    return rdf_compare(a, b) == 1
+def rdf_greater(a: Column, b: Column, flat: bool = False) -> Column:
+    d = _rel_direct(a, b, "gt", flat)
+    return d if d is not None else rdf_compare(a, b) == 1
 
 
-def rdf_greater_eq(a: Column, b: Column) -> Column:
-    return rdf_compare(a, b).isin(0, 1)
+def rdf_greater_eq(a: Column, b: Column, flat: bool = False) -> Column:
+    d = _rel_direct(a, b, "ge", flat)
+    return d if d is not None else rdf_compare(a, b).isin(0, 1)
 
 
 # ---------------------------------------------------------------------------

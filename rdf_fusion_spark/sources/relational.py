@@ -293,14 +293,25 @@ def static_object_kind(table: str, col_name: str, df: DataFrame) -> Optional[int
 
 
 def object_term(table: str, col_name: str, df: DataFrame,
-                lazy: bool = False) -> Optional[Column]:
+                lazy: bool = False,
+                assume_nonnull: bool = False) -> Optional[Column]:
     """The object term for one column of `table` (NULL row value → NULL term);
     None when the column is not mapped into the graph (arrays/maps/binary).
 
     lazy=True emits doubles/timestamps without their lexical form (v=NULL,
     reconstructed on demand) — safe ONLY on the virtual scan path, where
     constant-object filters run natively on the source column; the quads
-    union keeps eager lexicals so term_matches stays representation-exact."""
+    union keeps eager lexicals so term_matches stays representation-exact.
+
+    assume_nonnull=True skips the `F.when(col.isNotNull(), ...)` wrapper —
+    correct ONLY under a scan that already filters the source column
+    non-null natively (every virtual scan site does). The wrapper is what
+    turns every downstream field extraction into a CASE: filters over the
+    term compile to `CASE WHEN isnotnull(c) THEN pred(c) ELSE false END`,
+    a shape Catalyst cannot unfold into pushable conjuncts, so range
+    predicates (q1's l_shipdate bound) never reached PushedFilters. With
+    the bare struct, extraction folds to the native column and flat
+    comparisons push to parquet row-group stats (guide §6)."""
     fks = TPCH_SPEC[table][2]
     if col_name in fks:
         tgt_code = TPCH_SPEC[fks[col_name]][0]
@@ -308,12 +319,14 @@ def object_term(table: str, col_name: str, df: DataFrame,
             F.lit(TT_IRI),
             F.concat(F.lit(f"x:{tgt_code}:"), F.col(col_name).cast("string")),
         )
-        return F.when(F.col(col_name).isNotNull(), obj)
+        return obj if assume_nonnull \
+            else F.when(F.col(col_name).isNotNull(), obj)
     dtype = df.schema[col_name].dataType
     lit = _literal_for(F.col(col_name), dtype, lazy=lazy)
     if lit is None:
         return None
-    return F.when(F.col(col_name).isNotNull(), lit)
+    return lit if assume_nonnull \
+        else F.when(F.col(col_name).isNotNull(), lit)
 
 
 def table_to_quads(df: DataFrame, table: str) -> DataFrame:

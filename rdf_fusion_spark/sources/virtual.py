@@ -379,7 +379,7 @@ class VirtualRelationalStore(GraphStore):
                 continue  # mapped graph has no such predicate: no edges
             t, c = m
             df = self.table_df(t)
-            ot = self._obj_term(t, c, df, lazy=True)
+            ot = self._obj_term(t, c, df, lazy=True, assume_nonnull=True)
             if ot is None:
                 continue
             parts.append(df.where(F.col(c).isNotNull())
@@ -408,11 +408,13 @@ class VirtualRelationalStore(GraphStore):
         return hit
 
     def _obj_term(self, table: str, col_name: str, df: DataFrame,
-                  lazy: bool = False) -> Optional[Column]:
-        key = ("o", table, col_name, lazy)
+                  lazy: bool = False,
+                  assume_nonnull: bool = False) -> Optional[Column]:
+        key = ("o", table, col_name, lazy, assume_nonnull)
         if key not in self._term_col_cache:
-            self._term_col_cache[key] = object_term(table, col_name, df,
-                                                    lazy=lazy)
+            self._term_col_cache[key] = object_term(
+                table, col_name, df, lazy=lazy,
+                assume_nonnull=assume_nonnull)
         return self._term_col_cache[key]
 
     def star_scan(self, subject: TermOrVar,
@@ -500,7 +502,11 @@ class VirtualRelationalStore(GraphStore):
                     continue
             else:
                 col_name = self._pred_map[pred.iri][1]
-                ot = self._obj_term(table, col_name, df, lazy=True)
+                # the isNotNull cond below makes the star scan's rows
+                # non-null in every object column — build the bare struct
+                # so downstream filters stay pushable (see object_term)
+                ot = self._obj_term(table, col_name, df, lazy=True,
+                                    assume_nonnull=True)
                 if ot is None:
                     return self._empty_solution(subject, items, graph_var)
                 oterm = ot
@@ -676,7 +682,7 @@ class VirtualRelationalStore(GraphStore):
             parts.append(self.spark.range(1).select(
                 term_lit(NamedNode(class_iri(t))).alias("n")))
             for f in df.schema.fields:
-                ot = self._obj_term(t, f.name, df)
+                ot = self._obj_term(t, f.name, df, assume_nonnull=True)
                 if ot is None:
                     continue
                 parts.append(df.where(F.col(f.name).isNotNull())
