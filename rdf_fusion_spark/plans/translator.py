@@ -23,6 +23,7 @@ from ..functions import typed_ops as tv
 from ..sparql import algebra as A
 from ..store import ActiveGraph, GraphStore
 from ..terms import (
+    RDF_TYPE,
     TERM_TYPE,
     TT_LITERAL,
     XSD_BOOLEAN,
@@ -585,6 +586,9 @@ def translate(p, ctx: Ctx) -> Solution:
         r = translate(p.right, rctx)
         return join_solutions(l, r, "inner")
     if isinstance(p, A.LeftJoin):
+        fused = _try_fuse_optional_chain(p, ctx)
+        if fused is not None:
+            return fused
         l = translate(p.left, ctx)
         # sideways information passing: constant (pred, obj) constraints
         # the LEFT pattern imposes on its subject vars are implied for
@@ -1149,6 +1153,207 @@ def _no_consts(ctx: Ctx) -> Ctx:
     if ctx.ambient_consts is None:
         return ctx
     return replace(ctx, ambient_consts=None)
+
+
+# ---------------------------------------------------------------------------
+# OPTIONAL-star fusion (r11 opt)
+#
+# A chain of OPTIONALs whose right sides are same-subject stars of constant
+# MAPPED predicates with fresh variable objects — the dominant OPTIONAL
+# shape in the inventory (BSBM Explore Q8's four per-lineitem optionals,
+# q_optional_highqty) — costs one full scan + one outer join PER OPTIONAL
+# under the generic translation. But every mapped predicate is functional
+# (one column per row), so against a certainly-bound subject each such
+# OPTIONAL is exactly a conditional column; the whole chain collapses into
+# ONE projection scan per (subject, table), left-joined ONCE (guide §2.4).
+# Every side condition below is checked syntactically; any miss returns
+# None and the generic per-OPTIONAL join runs instead.
+# ---------------------------------------------------------------------------
+
+def _all_pattern_vars(p) -> Optional[set]:
+    """Every variable name appearing anywhere in a pattern, or None when
+    the pattern contains a node this analysis does not model (the caller
+    must then bail). Over-approximation is safe (more collisions → less
+    fusion); missing a var is not."""
+    if isinstance(p, A.BGP):
+        out = set()
+        for t in p.triples:
+            for x in (t.subject, t.predicate, t.object):
+                if isinstance(x, Variable):
+                    out.add(x.name)
+        return out
+    if isinstance(p, A.PathPattern):
+        return {x.name for x in (p.subject, p.object)
+                if isinstance(x, Variable)}
+    if isinstance(p, (A.Join, A.Union, A.Minus, A.Lateral)):
+        a = _all_pattern_vars(p.left)
+        b = _all_pattern_vars(p.right)
+        return None if a is None or b is None else a | b
+    if isinstance(p, A.LeftJoin):
+        a = _all_pattern_vars(p.left)
+        b = _all_pattern_vars(p.right)
+        if a is None or b is None:
+            return None
+        if p.expr is not None:
+            e = _expr_vars(p.expr)
+            if e is None:
+                return None
+            a = a | e
+        return a | b
+    if isinstance(p, A.Filter):
+        i = _all_pattern_vars(p.inner)
+        e = _expr_vars(p.expr)
+        return None if i is None or e is None else i | e
+    if isinstance(p, A.Extend):
+        i = _all_pattern_vars(p.inner)
+        e = _expr_vars(p.expr)
+        if i is None or e is None:
+            return None
+        return i | e | {p.var.name}
+    if isinstance(p, (A.Distinct, A.Reduced, A.Slice)):
+        return _all_pattern_vars(p.inner)
+    if isinstance(p, A.OrderBy):
+        i = _all_pattern_vars(p.inner)
+        if i is None:
+            return None
+        for c in p.conditions:
+            e = _expr_vars(c.expr)
+            if e is None:
+                return None
+            i = i | e
+        return i
+    if isinstance(p, A.Project):
+        i = _all_pattern_vars(p.inner)
+        return None if i is None else i | {v.name for v in p.variables}
+    if isinstance(p, A.GraphNode):
+        i = _all_pattern_vars(p.inner)
+        if i is None:
+            return None
+        return i | ({p.name.name} if isinstance(p.name, Variable) else set())
+    if isinstance(p, A.ValuesNode):
+        return {v.name for v in p.variables}
+    return None  # Group / Service / unknown: bail
+
+
+def _eligible_optional_star(right, expr, store):
+    """(subject_name, items, filter_exprs, object_var_names) when `right`
+    (an OPTIONAL's pattern, `expr` the LeftJoin condition) is a
+    same-subject star of constant mapped non-rdf:type predicates with
+    distinct variable objects whose filters reference only those objects;
+    else None."""
+    filters = []
+    node = right
+    while isinstance(node, A.Filter):
+        filters.append(node.expr)
+        node = node.inner
+    if not isinstance(node, A.BGP) or not node.triples:
+        return None
+    if expr is not None:
+        filters.append(expr)
+    subj = None
+    items: list = []
+    ovars: set = set()
+    for t in node.triples:
+        if not isinstance(t.subject, Variable):
+            return None
+        if subj is None:
+            subj = t.subject.name
+        elif t.subject.name != subj:
+            return None
+        if not isinstance(t.predicate, NamedNode) \
+                or t.predicate.iri == RDF_TYPE:
+            return None
+        if not store.resolves(t.predicate):
+            return None
+        if not isinstance(t.object, Variable) or t.object.name == subj \
+                or t.object.name in ovars:
+            return None
+        ovars.add(t.object.name)
+        items.append((t.predicate, t.object))
+    for fe in filters:
+        if _has_exists(fe):
+            return None
+        vs = _expr_vars(fe)
+        if vs is None or not vs <= ovars:
+            return None  # opaque, or correlated with the left side
+    return subj, items, filters, ovars
+
+
+def _optional_filter_builder(expr, ctx: Ctx):
+    """Compile an OPTIONAL-internal filter against this group's object
+    columns. Join-condition context: NULL (error) and false both reject
+    the pairing, so the flat where-variant applies — same rule as the
+    generic LeftJoin condition compilation."""
+    def build(cols: dict) -> Optional[Column]:
+        def resolve(name: str) -> Column:
+            c, k = cols[name]
+            return tv.tag(c, k)
+        try:
+            return B.compile_bool_where(_inject_now(expr, ctx), resolve)
+        except B.SparqlCompileError:
+            return None
+    return build
+
+
+def _try_fuse_optional_chain(p: A.LeftJoin, ctx: Ctx) -> Optional[Solution]:
+    """See the section comment above. None = not fusable, run generic."""
+    if not ctx.optimize or ctx.graph_var is not None:
+        return None
+    oss = getattr(ctx.store, "optional_star_scan", None)
+    if oss is None:
+        return None
+    opts = []  # outermost-first
+    node = p
+    while isinstance(node, A.LeftJoin):
+        e = _eligible_optional_star(node.right, node.expr, ctx.store)
+        if e is None:
+            break
+        opts.append(e)
+        node = node.left
+    if not opts:
+        return None
+    base = node
+    base_vars = _all_pattern_vars(base)
+    if base_vars is None:
+        return None
+    cb = _certainly_bound(base)
+    used = set(base_vars)
+    for subj, _items, _filters, ovars in opts:
+        # subject certainly bound on the left (otherwise SPARQL compat
+        # semantics apply and the all-rows conditional scan is wrong);
+        # object vars fresh w.r.t. the whole base subtree and every
+        # other fused optional (otherwise the optionals do not commute)
+        if subj not in cb or (ovars & used):
+            return None
+        used |= ovars
+    # build every fused scan BEFORE translating anything: any None →
+    # bail with no work lost
+    consts_all = dict(ctx.ambient_consts or {})
+    for k, v in _collect_subject_consts(base).items():
+        consts_all[k] = consts_all.get(k, set()) | v
+    by_subj: dict[str, list] = {}
+    for subj, items, filters, ovars in opts:
+        fb = None
+        if filters:
+            fe = filters[0]
+            for x in filters[1:]:
+                fe = A.ECall("&&", [fe, x])
+            fb = _optional_filter_builder(fe, ctx)
+        by_subj.setdefault(subj, []).append((items, fb))
+    rsols: list[Solution] = []
+    for subj, groups in by_subj.items():
+        df = oss(Variable(subj), groups,
+                 consts=consts_all.get(subj),
+                 active_graph=ctx.active_graph)
+        if df is None:
+            return None
+        kinds = dict(df.__dict__.get("_rf_kinds", {}))
+        rsols.append(Solution(df=df, bound={subj},
+                              maybe=set(df.columns), kinds=kinds))
+    l = translate(base, ctx)
+    for rsol in rsols:
+        l = join_solutions(l, rsol, "left")
+    return l
 
 
 def _translate_bgp(p: A.BGP, ctx: Ctx, pushable: Optional[list] = None,

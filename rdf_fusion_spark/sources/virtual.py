@@ -550,6 +550,97 @@ class VirtualRelationalStore(GraphStore):
         out._rf_kinds = out_kinds
         return out
 
+    def optional_star_scan(self, subject: Variable, groups,
+                           consts=None,
+                           active_graph: Optional[ActiveGraph] = None,
+                           ) -> Optional[DataFrame]:
+        """ONE conditional-column scan for a chain of same-subject
+        OPTIONAL stars (r11 opt; translator._try_fuse_optional_chain).
+
+        Every mapped predicate is FUNCTIONAL by construction (one column
+        per row), so `OPTIONAL { ?s <p> ?v . FILTER(C(?v)) }` against a
+        subject certainly bound on the left is exactly a conditional
+        column `WHEN value IS NOT NULL AND C THEN term END` — the plan
+        the equivalent SQL gets (a CASE projection) instead of one full
+        table scan + outer join PER OPTIONAL (BSBM Explore Q8: 4
+        optionals = 4 scans + 4 sort-merge joins before; 1 scan + 1 join
+        after; guide §2.4 "remove shuffles outright").
+
+        `groups` is a list of (items, filter_builder) where items is
+        [(pred NamedNode, obj Variable)] and filter_builder (or None)
+        maps {var: (Column, static_kind)} for THIS group's objects to a
+        compiled boolean Column. `consts` are (pred, const-obj)
+        constraints on the subject implied by the LEFT side — sound to
+        prune with here because every left row satisfies them, so a
+        pruned right row could never have joined. Returns None whenever
+        the shape isn't provably fusable (multi-table, unmapped
+        predicate, restricted graph) — caller falls back to the generic
+        per-OPTIONAL join.
+        """
+        from ..functions.typed_ops import SK_IRI
+        from .relational import static_object_kind
+
+        allowed = self._graph_tables(active_graph)
+        table: Optional[str] = None
+        for items, _fb in groups:
+            for pred, _o in items:
+                m = self._pred_map.get(pred.iri)
+                if m is None:
+                    return None
+                if table is None:
+                    table = m[0]
+                elif table != m[0]:
+                    return None
+        if table is None:
+            return None
+        if allowed is not None and table not in allowed:
+            return None
+
+        df = self.table_df(table)
+        prune = []
+        for pred, obj in (consts or ()):  # scan pruning (SIP, see above)
+            iri = getattr(pred, "iri", None)
+            m = self._pred_map.get(iri) if iri else None
+            if m is None or m[0] != table:
+                continue
+            prune.append(F.col(m[1]).isNotNull())
+            prune.append(self._object_filter(table, m[1], df, obj))
+
+        out_cols: dict[str, Column] = {}
+        kinds: dict[str, int] = {subject.name: SK_IRI}
+        for items, fb in groups:
+            cols: dict[str, tuple] = {}
+            m_cond = F.lit(True)
+            for pred, ovar in items:
+                col_name = self._pred_map[pred.iri][1]
+                ot = self._obj_term(table, col_name, df, lazy=True,
+                                    assume_nonnull=True)
+                if ot is None:
+                    return None
+                m_cond = m_cond & F.col(col_name).isNotNull()
+                cols[ovar.name] = (ot, static_object_kind(
+                    table, col_name, df))
+            if fb is not None:
+                fc = fb(cols)
+                if fc is None:
+                    return None
+                m_cond = m_cond & fc
+            for v, (c, k) in cols.items():
+                out_cols[v] = F.when(m_cond, c)
+                if k is not None:
+                    kinds[v] = k
+
+        if prune:
+            cond = prune[0]
+            for c in prune[1:]:
+                cond = cond & c
+            df = df.where(cond)
+        out = df.select(
+            self._subj_term(table, df).alias(subject.name),
+            *[c.alias(v) for v, c in out_cols.items()])
+        out._rf_kinds = kinds
+        return out
+
     # ------------------------------------------------------------------
     # virtualized DESCRIBE and zero-length-path node enumeration
     # (VERDICT r2 #5: neither may touch the exploded quads union)
