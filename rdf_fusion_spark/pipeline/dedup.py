@@ -154,9 +154,15 @@ def content_key_dedup_groups(df: DataFrame, text_col: str = "text",
 
 
 def _jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard of two DISTINCT-element arrays (every caller passes
+    shingles_col output, which is array_distinct by construction):
+    |A∩B| / (|A| + |B| - |A∩B|). One array_intersect pass per candidate
+    pair instead of intersect + array_distinct(concat) — the old union
+    materialized a concatenated array and re-deduped it per pair, the
+    dominant per-candidate cost of the LSH verify stage (guide §1.2-2).
+    Empty∩empty stays NULL (0/0) exactly as before."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_distinct(F.concat(a, b))).cast("double")
-    return inter / union
+    return inter / (F.size(a) + F.size(b) - inter)
 
 
 # jaccard_pairs is O(n²) by construction; refuse corpora where the pair

@@ -106,7 +106,11 @@ def extract_features(df: DataFrame, batch_decoder: Optional[Decoder] = None
                 "feature": feats,
             })
 
-    return df.mapInPandas(run, schema=FEATURE_SCHEMA)
+    # ship ONLY the columns the function reads across the Arrow boundary:
+    # Spark cannot see inside mapInPandas, so an un-projected frame would
+    # serialize (and read from storage) every column (guide §4.1)
+    return df.select("media_id", "kind", "mime", "payload") \
+        .mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
 Resizer = Callable[[bytes, str, int, int], Optional[bytes]]

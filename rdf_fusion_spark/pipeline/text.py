@@ -305,16 +305,26 @@ def bm25_topk(docs: DataFrame, query: str, k: int = 10,
     qterms = sorted({t for t in query.split(" ") if t})
     if not qterms:
         raise ValueError("empty query")
-    toks, lens, stats = _corpus_stats(docs, text_col, id_col)
-    tf = (toks.where(F.col("w").isin(qterms))
-          .groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    _toks, _lens, stats = _corpus_stats(docs, text_col, id_col)
+    # carry the doc length THROUGH the explode instead of joining the
+    # corpus-sized lens relation back onto the (tiny) matching postings:
+    # dl rides as 8 bytes per filtered token row and survives the
+    # per-(doc, term) aggregate, so the only corpus-wide work left is
+    # the 1-row stats aggregate (map-side partial) — no corpus shuffle
+    # for a query over a handful of terms (r11 opt, guide §2.3/§2.4)
+    w = words_col(F.col(text_col))
+    base = docs.select(F.col(id_col).alias("id"), w.alias("__w"))
+    toks_dl = base.select("id", F.size("__w").alias("dl"),
+                          F.explode("__w").alias("w"))
+    tf = (toks_dl.where(F.col("w").isin(qterms))
+          .groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"),
+                                  F.max("dl").alias("dl")))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5))
     denom = F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))
     contrib = idf * F.col("tf") * (k1 + 1) / denom
     scored = (tf.join(F.broadcast(dfreq), "w")
-              .join(lens, "id")
               .crossJoin(F.broadcast(stats))
               .groupBy("id").agg(F.round(F.sum(contrib), 6).alias("score")))
     return (scored.select(F.col("id").alias(id_col), "score")
