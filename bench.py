@@ -258,6 +258,7 @@ def main() -> None:
     sf_is_default = sf_val == 0.1
     comparable_names = set(BENCH_QUERIES[:N_COMPARABLE])
     per_query: dict[str, float] = {}
+    fixed_min: dict[str, float] = {}
     total = 0.0
     for name in names:
         # min of 2 runs (3 for the comparable slice): the first sf0.1
@@ -275,6 +276,13 @@ def main() -> None:
             df = qs[name](spark, SF_DIR)
             df.write.format("noop").mode("overwrite").save()
             samples.append(time.perf_counter() - t0)
+        # fixed-rep min BEFORE any escalation: the r10-comparable series.
+        # The r11 verdict flagged the escalation loop as asymmetric (it
+        # only fires for queries that look slow, deflating exactly the
+        # queries flagged last round); recording both series makes every
+        # future round-over-round diff method-consistent (escalated vs
+        # escalated via `queries`, fixed vs fixed via the DIAG line).
+        fixed_min[name] = round(min(samples), 3)
         # rep escalation (r10 verdict #6): queries with heavy generated
         # code (q_bsbm_explore_q10's JIT signature) keep compiling
         # through the first samples — min-of-2 then records a mid-warmup
@@ -371,6 +379,20 @@ def main() -> None:
         mix_n = int(sys.argv[sys.argv.index("--mix") + 1])
     if mix_n > 0:
         print("DIAG " + json.dumps({"mix": _run_mix(spark, EQ, mix_n)}))
+
+    # fixed-rep (pre-escalation) minima — the symmetric, method-stable
+    # series for round-over-round comparison (r11 verdict "what's wrong"
+    # #1: escalation fires only for slow-looking queries, deflating
+    # exactly the entries flagged the round before; `queries` below stays
+    # the escalated min, same method as r11, and this line carries the
+    # fixed-rep series so both diffs are method-consistent). Printed LAST
+    # of the DIAG lines, adjacent to the headline record, so the driver's
+    # stdout-tail capture keeps it; the headline record itself is capped
+    # at 2 KB and cannot carry a second per-query dict.
+    print("DIAG " + json.dumps(
+        {"fixed_rep_min": fixed_min,
+         "fixed_rep_total": round(sum(fixed_min.values()), 3)},
+        separators=(",", ":")))
 
     record = {
         "metric": "headline_queries_total",

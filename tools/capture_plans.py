@@ -1,7 +1,7 @@
-"""Capture .explain("formatted") for every bench query into plans/r11/.
+"""Capture .explain("formatted") for every bench query into plans/r12/.
 
 Usage: python tools/capture_plans.py <suffix> [query ...]
-Writes plans/r11/<query>_<suffix>.txt for each bench query (default: all).
+Writes plans/r12/<query>_<suffix>.txt for each bench query (default: all).
 Same session confs as bench.py so the captured plans are the plans the
 bench actually executes.
 """
@@ -17,7 +17,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 OUT_DIR = os.path.join(os.path.dirname(os.path.dirname(
-    os.path.abspath(__file__))), "plans", "r11")
+    os.path.abspath(__file__))), "plans", "r12")
 
 
 def main() -> None:
