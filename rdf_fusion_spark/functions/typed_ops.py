@@ -114,6 +114,24 @@ def tag(c: Column, sk) -> Column:
     return c
 
 
+def is_vc(c: Column) -> bool:
+    """True when the column carries the value-canonical marker (see
+    plans/join.py Solution.vcanon): its non-NULL terms' lexical/datatype
+    are pure functions of the typed value fields. Reads __dict__
+    directly for the same reason skind() does."""
+    try:
+        return bool(c.__dict__.get("_rf_vc"))
+    except AttributeError:  # pragma: no cover
+        return False
+
+
+def mark_vc(c: Column) -> Column:
+    """Attach the value-canonical marker (numeric term constructors and
+    provably-canonical constants only)."""
+    c._rf_vc = True
+    return c
+
+
 def _sk_numeric(sk) -> bool:
     return sk is not None and (sk == SK_NUM or sk <= K_DOUBLE)
 
@@ -390,33 +408,48 @@ def _null_str() -> Column:
 
 def int_term(n: Column) -> Column:
     v = _null_str() if _lazy() else n.cast("string")
-    return tag(F.when(
+    return mark_vc(tag(F.when(
         n.isNotNull(),
         term_struct(_tt(TT_LITERAL), v, lit_str(XSD_INTEGER),
                     k=F.lit(K_INTEGER), x=n.cast("double"),
                     d=n.cast(DECIMAL_T), ts=None_ts()),
-    ), K_INTEGER)
+    ), K_INTEGER))
 
 
 def double_term(x: Column) -> Column:
     v = _null_str() if _lazy() else canon_double_string(x)
-    return tag(F.when(
+    return mark_vc(tag(F.when(
         x.isNotNull(),
         term_struct(_tt(TT_LITERAL), v, lit_str(XSD_DOUBLE),
                     k=F.lit(K_DOUBLE), x=x.cast("double"), d=None_d(),
                     ts=None_ts()),
-    ), K_DOUBLE)
+    ), K_DOUBLE))
+
+
+def int_term_from_decimal(d: Column) -> Column:
+    """xsd:integer term rebuilt from its exact decimal value field `d`
+    (the MIN/MAX hash-agg decomposition path): no long roundtrip, so
+    integer values beyond int64 survive; lexical lazy/canonical exactly
+    like int_term (canon_decimal_string of an integer-valued decimal is
+    the plain integer lexical)."""
+    v = _null_str() if _lazy() else canon_decimal_string(d)
+    return mark_vc(tag(F.when(
+        d.isNotNull(),
+        term_struct(_tt(TT_LITERAL), v, lit_str(XSD_INTEGER),
+                    k=F.lit(K_INTEGER), x=d.cast("double"), d=d,
+                    ts=None_ts()),
+    ), K_INTEGER))
 
 
 def decimal_term(x: Column) -> Column:
     x = x.cast(DECIMAL_T)
     v = _null_str() if _lazy() else canon_decimal_string(x)
-    return tag(F.when(
+    return mark_vc(tag(F.when(
         x.isNotNull(),
         term_struct(_tt(TT_LITERAL), v, lit_str(XSD_DECIMAL),
                     k=F.lit(K_DECIMAL), x=x.cast("double"), d=x,
                     ts=None_ts()),
-    ), K_DECIMAL)
+    ), K_DECIMAL))
 
 
 def duration_lex(months: Column, secs: Column) -> Column:

@@ -101,6 +101,17 @@ class Solution:
     maybe: set = field(default_factory=set)
     pending_order: list = field(default_factory=list)  # OrderCondition list
     kinds: dict = field(default_factory=dict)
+    # Variables PROVEN value-canonical: every non-NULL term is a numeric
+    # whose lexical (`v`) is NULL-or-canonical for its exact value and
+    # whose datatype is the kind's canonical type (xsd:integer, not
+    # xsd:int). Producers: virtual scans (lazy lexicals), numeric term
+    # constructors, canonically-written constants. Consumed by the
+    # MIN/MAX hash-aggregate decomposition (r12): for such a column the
+    # winning TERM is a pure function of the winning VALUE, so
+    # min/max of the primitive field + canonical rebuild ≡ min_by of
+    # the term struct. Default-empty is the safe direction — a dropped
+    # entry only misses the optimization.
+    vcanon: set = field(default_factory=set)
     # Variables whose backing column is an EXPENSIVE computed expression
     # (aggregate outputs: promotion ladder + materialize_lexical structs).
     # A later FILTER referencing one must not be alias-substituted by
@@ -130,6 +141,21 @@ def merge_kinds(left: Solution, right: Solution) -> dict:
 def merge_expensive(left: Solution, right: Solution) -> set:
     """Expensive-var markers surviving a join/union: union of both sides."""
     return left.expensive | right.expensive
+
+
+def merge_vcanon(left: Solution, right: Solution) -> set:
+    """Value-canonical markers surviving a join/union: a var present on
+    both sides stays canonical only when BOTH sides prove it; a var
+    present on one side keeps that side's proof (the other contributes
+    only NULLs, which are vacuously canonical)."""
+    out = set()
+    for v in left.vcanon:
+        if v not in right.maybe or v in right.vcanon:
+            out.add(v)
+    for v in right.vcanon:
+        if v not in left.maybe:
+            out.add(v)
+    return out
 
 
 BoolCompiler = Callable[[object, Callable[[str], Column]], Column]
@@ -264,6 +290,7 @@ def _split_union_join(
     return Solution(df=df, bound=bound, maybe=left.maybe | right.maybe,
                     pending_order=left.pending_order,
                     kinds=merge_kinds(left, right),
+                    vcanon=merge_vcanon(left, right),
                     expensive=merge_expensive(left, right))
 
 
@@ -318,6 +345,7 @@ def join_solutions(
             maybe=left.maybe | right.maybe,
             pending_order=left.pending_order,
             kinds=merge_kinds(left, right),
+            vcanon=merge_vcanon(left, right),
             expensive=merge_expensive(left, right),
         )
 
@@ -328,6 +356,7 @@ def join_solutions(
                         maybe=left.maybe | right.maybe,
                         pending_order=left.pending_order,
                         kinds=merge_kinds(left, right),
+                        vcanon=merge_vcanon(left, right),
                         expensive=merge_expensive(left, right))
 
     # scale path: null-pattern split-union → hash joins instead of BNLJ
@@ -385,6 +414,7 @@ def join_solutions(
     return Solution(df=df, bound=bound, maybe=left.maybe | right.maybe,
                     pending_order=left.pending_order,
                     kinds=merge_kinds(left, right),
+                    vcanon=merge_vcanon(left, right),
                     expensive=merge_expensive(left, right))
 
 

@@ -116,7 +116,10 @@ class Ctx:
 def _resolver(sol: Solution) -> Callable[[str], Column]:
     def resolve(name: str) -> Column:
         if name in sol.maybe:
-            return tv.tag(F.col(name), sol.kinds.get(name))
+            c = tv.tag(F.col(name), sol.kinds.get(name))
+            if name in sol.vcanon:
+                c = tv.mark_vc(c)
+            return c
         # provably unbound: tag the NULL constant so arithmetic /
         # comparison folds statically instead of handing the optimizer
         # an exponentially-inlinable literal tree (typed_ops.SK_NULL)
@@ -139,7 +142,10 @@ class Interner:
         name = self.ctx.fresh("ex")
         self.df = self.df.withColumn(name, col)
         self.names.append(name)
-        return tv.tag(F.col(name), tv.skind(col))
+        out = tv.tag(F.col(name), tv.skind(col))
+        if tv.is_vc(col):
+            out = tv.mark_vc(out)
+        return out
 
 
 def _inject_now(expr, ctx: Ctx):
@@ -181,17 +187,6 @@ def _expr_has_vars(expr) -> bool:
     if isinstance(expr, A.EExists):
         return True  # correlated by construction — never hoist
     return False
-
-
-def _expr_vars(e) -> set:
-    if isinstance(e, A.EVar):
-        return {e.name}
-    if isinstance(e, A.ECall):
-        out = set()
-        for a in e.args:
-            out |= _expr_vars(a)
-        return out
-    return set()
 
 
 def _expr_vars(e) -> Optional[set]:
@@ -873,10 +868,13 @@ def _apply_extend(p: A.Extend, sol: Solution, ctx: Ctx) -> Solution:
         kinds[p.var.name] = sk
     else:
         kinds.pop(p.var.name, None)
+    vcanon = set(sol.vcanon) - {p.var.name}
+    if tv.is_vc(col):
+        vcanon.add(p.var.name)
     bound = orig_bound | ({p.var.name}
                           if _extend_certainly_bound(p.expr, sol) else set())
     return replace(sol, df=df, maybe=orig_maybe | {p.var.name},
-                   bound=bound, kinds=kinds,
+                   bound=bound, kinds=kinds, vcanon=vcanon,
                    expensive=sol.expensive | _extend_expensive(expr, sol,
                                                                p.var.name))
 
@@ -946,13 +944,16 @@ def _apply_extend_wave(wave: list, sol: Solution, ctx: Ctx) -> Solution:
             kinds[v] = sk
         else:
             kinds.pop(v, None)
+    vcanon = set(sol.vcanon) - set(cols)
+    vcanon |= {v for v, col in cols.items() if tv.is_vc(col)}
     expensive = set(sol.expensive)
     for e in wave:
         expensive |= _extend_expensive(e.expr, sol, e.var.name)
     bound = orig_bound | {e.var.name for e in wave
                           if _extend_certainly_bound(e.expr, sol)}
     return replace(sol, df=df, maybe=orig_maybe | set(cols),
-                   bound=bound, kinds=kinds, expensive=expensive)
+                   bound=bound, kinds=kinds, vcanon=vcanon,
+                   expensive=expensive)
 
 
 def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
@@ -972,7 +973,9 @@ def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
         return Solution(df=df, bound=set(), maybe=set())
     kinds = {v: k for v, k in df.__dict__.get("_rf_kinds", {}).items()
              if v in vars_}
-    return Solution(df=df, bound=set(vars_), maybe=set(vars_), kinds=kinds)
+    vcanon = {v for v in df.__dict__.get("_rf_vcanon", ()) if v in vars_}
+    return Solution(df=df, bound=set(vars_), maybe=set(vars_), kinds=kinds,
+                    vcanon=vcanon)
 
 
 def _collect_subject_consts(p) -> dict:
@@ -1436,9 +1439,11 @@ def _translate_bgp(p: A.BGP, ctx: Ctx, pushable: Optional[list] = None,
             vars_ = {c for c in df.columns if c != "__match__"}
             kinds = {v: k for v, k in df.__dict__.get("_rf_kinds", {}).items()
                      if v in vars_}
+            vcanon = {v for v in df.__dict__.get("_rf_vcanon", ())
+                      if v in vars_}
             units.append(Solution(df=df.select(*sorted(vars_)) if vars_ else df,
                                   bound=set(vars_), maybe=set(vars_),
-                                  kinds=kinds))
+                                  kinds=kinds, vcanon=vcanon))
     else:
         remaining = list(p.triples)
 
@@ -1607,8 +1612,12 @@ def _apply_plain_filters(sol: Solution, plain: list, ctx: Ctx) -> Solution:
     # pushed through, and no substitution ever happens.
     needs = set()
     for c in rewritten:
-        needs |= _expr_vars(c) & sol.expensive
-    if needs:
+        vs = _expr_vars(c)
+        # None = opaque node (EXISTS — already rewritten above, so this
+        # is defensive): assume it may reference any expensive var
+        needs |= sol.expensive if vs is None else (vs & sol.expensive)
+    import os as _os
+    if needs and not _os.environ.get("RFS_NO_AGG_FILTER_BARRIER"):
         nd = F.spark_partition_id() >= F.lit(-1)  # always true, nondet
         df = df.select(*[
             F.when(nd, F.col(name)).alias(name) if name in needs
@@ -1641,9 +1650,10 @@ def _translate_union(p: A.Union, ctx: Ctx) -> Solution:
         df = ldf.select(*cols).unionByName(rdf.select(*cols))
     else:
         df = ldf.unionByName(rdf)
-    from .join import merge_kinds, merge_expensive
+    from .join import merge_expensive, merge_kinds, merge_vcanon
     return Solution(df=df, bound=l.bound & r.bound, maybe=lv | rv,
                     kinds=merge_kinds(l, r),
+                    vcanon=merge_vcanon(l, r),
                     expensive=merge_expensive(l, r))
 
 
@@ -1915,6 +1925,7 @@ def _translate_project_cse(p: A.Project, ctx: Ctx) -> Solution:
                 bound={ren[v] for v in sol.bound if v in ren},
                 maybe=set(names),
                 kinds={ren[v]: k for v, k in sol.kinds.items() if v in ren},
+                vcanon={ren[v] for v in sol.vcanon if v in ren},
                 expensive={ren[v] for v in sol.expensive if v in ren})
     sol = _translate_project(p, ctx)
     ctx.subquery_cache[key] = (sol, names)
@@ -2253,6 +2264,7 @@ def _translate_project(p: A.Project, ctx: Ctx,
                     pending_order=sol.pending_order,
                     kinds={v: k for v, k in sol.kinds.items() if v in names
                            and v in sol.maybe},
+                    vcanon=sol.vcanon & set(names) & sol.maybe,
                     expensive=sol.expensive & set(names))
 
 
@@ -2620,6 +2632,7 @@ def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
         return F.col(name)
 
     out_kinds: dict = {}
+    out_vcanon: set = set()
     it = Interner(sol.df, ctx)
     with B.intern_scope(it), tv.lazy_lexicals():
         for out_var, call in p.aggregates:
@@ -2627,6 +2640,8 @@ def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
             sk = tv.skind(agg_col)
             if sk is not None:
                 out_kinds[out_var.name] = sk
+            if tv.is_vc(agg_col):
+                out_vcanon.add(out_var.name)
             post_exprs.append(agg_col.alias(out_var.name))
     df = it.df
 
@@ -2685,7 +2700,61 @@ def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
     return Solution(df=out, bound=bound,
                     maybe=set(keys) | {v.name for v, _ in p.aggregates},
                     kinds={**key_kinds, **out_kinds},
+                    vcanon={k for k in keys if k in sol.vcanon} | out_vcanon,
                     expensive={v.name for v, _ in p.aggregates})
+
+
+def _minmax_decomposed(name: str, c: Column,
+                       raw: Callable[[Column], Column]) -> Optional[Column]:
+    """MIN/MAX as a primitive-buffer aggregate + canonical term rebuild.
+
+    min_by/max_by over the 8-field term struct puts the struct in the
+    aggregation buffer, which HashAggregateExec cannot hold (UnsafeRow
+    mutable fields are fixed-width only) — every term-typed MIN/MAX
+    therefore ran as a SortAggregate: a full sort of the input instead
+    of a hash table (guide §5 "hash aggregate vs sort aggregate";
+    r11 verdict #1). When the winning TERM is a pure function of the
+    winning VALUE, aggregate the value instead and rebuild the term once
+    per group:
+
+    * SK_IRI / SK_BNODE / SK_PLAIN — the term IS its `v` string (all
+      other fields are kind constants/NULLs), and the sort key is `v`
+      itself, so min(v) picks exactly min_by's winner, tie-free. The
+      buffer is still a string (SortAggregate), but it sorts ONE string
+      instead of key + 8-field struct, and Catalyst prunes the struct
+      build below the aggregate (§2.3 narrower types).
+    * K_INTEGER / K_DECIMAL / K_DOUBLE, value-canonical input ONLY
+      (Solution.vcanon: lexical NULL-or-canonical, datatype canonical) —
+      aggregate the exact typed field (`d` decimal / `x` double): a
+      fixed-width buffer, so the whole aggregate becomes a
+      HashAggregate with map-side partial aggregation (§2.3). Without
+      the vcanon proof a non-canonical winner ("05"^^xsd:integer,
+      "5"^^xsd:int) could not be rebuilt — those fall back to min_by.
+
+    Ties between DISTINCT terms with equal sort keys cannot occur in any
+    decomposed case (string kinds: key = identity; numeric vcanon: value
+    determines the term), so the rebuild equals min_by's pick exactly.
+    NaN keeps Spark's native greatest-ordering in both forms. Returns
+    None when no case applies (generic min_by runs)."""
+    sk = tv.skind(c)
+    agg = F.min if name == "MIN" else F.max
+    if sk in (tv.SK_IRI, tv.SK_BNODE, tv.SK_PLAIN):
+        from ..terms import bnode_col, iri_col
+        v = raw(agg(c["v"]))
+        if sk == tv.SK_IRI:
+            return tv.tag(iri_col(v), tv.SK_IRI)
+        if sk == tv.SK_BNODE:
+            return tv.tag(bnode_col(v), tv.SK_BNODE)
+        return tv.string_term(v)
+    if not tv.is_vc(c):
+        return None
+    if sk == tv.K_DOUBLE:
+        return tv.double_term(raw(agg(c["x"])))
+    if sk == tv.K_DECIMAL:
+        return tv.decimal_term(raw(agg(c["d"])))
+    if sk == tv.K_INTEGER:
+        return tv.int_term_from_decimal(raw(agg(c["d"])))
+    return None
 
 
 def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
@@ -2704,6 +2773,8 @@ def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
     in_col = compile_term_expr(call.expr, sol, ctx)
     t = tmp(in_col)
     c = tv.tag(F.col(t), tv.skind(in_col))
+    if tv.is_vc(in_col):
+        c = tv.mark_vc(c)
 
     if name == "COUNT":
         n = F.count_distinct(c) if call.distinct else F.count(c)
@@ -2713,12 +2784,18 @@ def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
         return _sum_avg(name, c, tmp, call.distinct, raw)
 
     if name in ("MIN", "MAX"):
+        dec = _minmax_decomposed(name, c, raw)
+        if dec is not None:
+            return dec
         k = tmp(sort_key(c))
         fn = F.min_by if name == "MIN" else F.max_by
-        return tv.tag(raw(fn(c, F.col(k))), tv.skind(c))
+        out = tv.tag(raw(fn(c, F.col(k))), tv.skind(c))
+        # min_by returns an ORIGINAL term — canonical iff the input is
+        return tv.mark_vc(out) if tv.is_vc(c) else out
 
     if name == "SAMPLE":
-        return tv.tag(raw(F.first(c, ignorenulls=True)), tv.skind(c))
+        out = tv.tag(raw(F.first(c, ignorenulls=True)), tv.skind(c))
+        return tv.mark_vc(out) if tv.is_vc(c) else out
 
     if name == "GROUP_CONCAT":
         sep = call.separator if call.separator is not None else " "
@@ -3067,7 +3144,15 @@ def evaluate_query(store: GraphStore, q, optimize: bool = True):
         if bnode_rows:
             sdf = sdf.withColumn("__row_id",
                                  F.monotonically_increasing_id().cast("string"))
-        out = None
+        # ONE pass over the solution: each template triple becomes one
+        # struct in a per-row array, exploded to a triple per (row,
+        # template). The old shape unioned one `sdf.select(...)` per
+        # template triple, and Spark re-evaluated the whole WHERE for
+        # every branch — q_bsbm_explore_q12's 6-triple template re-ran
+        # its 3-table join 6 times (18 scans; guide §2.4 "do fewer
+        # passes"). Same multiset of triples, so dropDuplicates yields
+        # an identical graph.
+        triples = []
         for tpl in q.template:
             cols = []
             for pos, x in (("subject", tpl.subject), ("predicate", tpl.predicate),
@@ -3083,14 +3168,16 @@ def evaluate_query(store: GraphStore, q, optimize: bool = True):
                 else:
                     col = term_lit(x)
                 cols.append(col.alias(pos))
-            t = sdf.select(*cols)
-            t = t.where(
-                F.col("subject").isNotNull() & F.col("predicate").isNotNull()
-                & F.col("object").isNotNull()
-                & (F.col("subject")["t"] != TT_LITERAL)
-                & (F.col("predicate")["t"] == 0)
-            )
-            out = t if out is None else out.unionByName(t)
+            triples.append(F.struct(*cols))
+        out = None
+        if triples:
+            out = (sdf.select(F.explode(F.array(*triples)).alias("__t"))
+                   .select("__t.subject", "__t.predicate", "__t.object")
+                   .where(F.col("subject").isNotNull()
+                          & F.col("predicate").isNotNull()
+                          & F.col("object").isNotNull()
+                          & (F.col("subject")["t"] != TT_LITERAL)
+                          & (F.col("predicate")["t"] == 0)))
         if out is None:
             from ..terms import TERM_TYPE as _TT
             import pyspark.sql.types as T

@@ -147,24 +147,28 @@ def _instantiate(sol, quads: list, default_graph, mint_bnodes: bool
             return F.lit(None).cast(TERM_TYPE)
         return term_lit(x)
 
+    # ONE pass over the solution: each template quad becomes one struct
+    # in a per-row array, exploded to a quad per (row, template). The old
+    # per-template `sdf.select(...)` union re-evaluated the WHERE once
+    # per template quad (same shape as the CONSTRUCT fix in
+    # translator.py; guide §2.4). Per-template validity rides inside the
+    # struct (it differs for variable-graph templates), so the exploded
+    # filter applies each template's own condition. Same multiset of
+    # quads → identical dropDuplicates result.
     parts = []
     for (g, s, p, o) in quads:
-        part = sdf.select(
-            col_for(g).alias("graph"),
-            col_for(s).alias("subject"),
-            col_for(p).alias("predicate"),
-            col_for(o).alias("object"))
-        ok = (F.col("subject").isNotNull() & F.col("predicate").isNotNull()
-              & F.col("object").isNotNull()
-              & (F.col("subject")["t"] != TT_LITERAL)
-              & (F.col("predicate")["t"] == 0))
+        gc, sc, pc, oc = col_for(g), col_for(s), col_for(p), col_for(o)
+        ok = (sc.isNotNull() & pc.isNotNull() & oc.isNotNull()
+              & (sc["t"] != TT_LITERAL) & (pc["t"] == 0))
         if isinstance(g, Variable) and not _is_bnode_var(g):
-            ok = ok & F.col("graph").isNotNull() \
-                & (F.col("graph")["t"] != TT_LITERAL)
-        parts.append(part.where(ok))
-    out = parts[0]
-    for x in parts[1:]:
-        out = out.unionByName(x)
+            ok = ok & gc.isNotNull() & (gc["t"] != TT_LITERAL)
+        parts.append(F.struct(
+            ok.alias("__ok"), gc.alias("graph"), sc.alias("subject"),
+            pc.alias("predicate"), oc.alias("object")))
+    out = (sdf.select(F.explode(F.array(*parts)).alias("__q"))
+           .where(F.col("__q.__ok"))
+           .select("__q.graph", "__q.subject", "__q.predicate",
+                   "__q.object"))
     return out.dropDuplicates()
 
 

@@ -548,6 +548,17 @@ class VirtualRelationalStore(GraphStore):
             return df.select(F.lit(True).alias("__match__"))
         out = df.select(*[c.alias(v) for v, c in out_vars.items()])
         out._rf_kinds = out_kinds
+        # value-canonical promise (plans/join.py Solution.vcanon): scan
+        # terms for numeric columns are built lazily (doubles/decimals,
+        # v=NULL) or with the canonical cast lexical (integers), and the
+        # datatype is always the kind's canonical type — so the MIN/MAX
+        # hash-agg decomposition may rebuild winners from typed fields.
+        # K_DATETIME is deliberately absent: DateType columns keep an
+        # eager date-only lexical a rebuild cannot reproduce.
+        from ..functions.typed_ops import K_DECIMAL as _KDEC
+        from ..terms import K_DOUBLE as _KDBL, K_INTEGER as _KINT
+        out._rf_vcanon = {v for v, k in out_kinds.items()
+                          if k in (_KINT, _KDEC, _KDBL)}
         return out
 
     def optional_star_scan(self, subject: Variable, groups,

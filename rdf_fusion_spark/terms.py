@@ -475,6 +475,55 @@ def typed_literal_col(v: Column, dt: Column) -> Column:
     return term_struct(_tt(TT_LITERAL), v, dt)
 
 
+def _canon_dec_py(d) -> str:
+    """Python mirror of typed_ops.canon_decimal_string over a quantized
+    Decimal: fixed-point, trailing zeros stripped, no signed zero (Spark
+    BigDecimal prints 0 unsigned)."""
+    if d == 0:
+        return "0"
+    s = format(d, "f")
+    if "." in s:
+        s = s.rstrip("0").rstrip(".")
+    return s
+
+
+def _java_simple_double_str(x: float):
+    """Java Double.toString for the plain-notation range, or None when
+    outside it (scientific notation — conservatively 'unknown'). Within
+    [1e-3, 1e7) both Java and Python print the shortest round-trip
+    decimal in plain notation, so repr() matches."""
+    import math
+    if math.isnan(x):
+        return "NaN"
+    if math.isinf(x):
+        return "INF" if x > 0 else "-INF"
+    ax = abs(x)
+    if ax != 0.0 and not (1e-3 <= ax < 1e7):
+        return None
+    r = repr(x)
+    if "e" in r or "E" in r:
+        return None
+    if "." not in r:
+        r += ".0"
+    return r
+
+
+def _const_vcanon(k, v, dt, d, x) -> bool:
+    """True when a constant literal's lexical/datatype are exactly what
+    the engine's canonical rebuild from the typed fields would produce —
+    the precondition for treating the constant as value-canonical
+    (plans/join.py Solution.vcanon). '05'^^xsd:integer, '5'^^xsd:int,
+    '1.0E10'^^xsd:double etc. all answer False."""
+    if k == K_INTEGER:
+        return dt == XSD_INTEGER and d is not None and _canon_dec_py(d) == v
+    if k == K_DECIMAL:
+        return dt == XSD_DECIMAL and d is not None and _canon_dec_py(d) == v
+    if k == K_DOUBLE:
+        return dt == XSD_DOUBLE and x is not None \
+            and _java_simple_double_str(x) == v
+    return False
+
+
 def term_lit(term: Term) -> Column:
     """A constant term as a Column literal.
 
@@ -509,6 +558,8 @@ def _build_term_lit(term: Term) -> Column:
         col._rf_sk = 8    # SK_PLAIN
     elif k is not None:
         col._rf_sk = k
+    if t == TT_LITERAL and _const_vcanon(k, v, dt, d, x):
+        col._rf_vc = True
     return col
 
 
