@@ -253,10 +253,11 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     """Banded-LSH near-duplicate pairs with exact-Jaccard verification.
 
     Plan shape at scale: one scan computes signatures; explode to b rows per
-    doc; ONE shuffle on (band_idx, band_key) joins same-bucket docs; the
-    quadratic blow-up is confined to individual buckets (skew-bounded by
-    band width plus the `bucket_cap` truncation; pass None to disable).
-    No all-pairs join ever materializes.
+    doc; ONE shuffle groups each band bucket's member ids; candidate
+    pairs are enumerated bucket-locally (no self-join), so the quadratic
+    blow-up is confined to individual buckets (skew-bounded by band
+    width plus the `bucket_cap` truncation; pass None to disable). No
+    all-pairs join ever materializes.
     """
     # Materialize the signature table ONCE: it feeds both sides of the
     # band self-join and both shingle-map joins, and without a persist
@@ -269,69 +270,48 @@ def minhash_lsh_pairs(df: DataFrame, threshold: float, text_col: str = "text",
     from pyspark import StorageLevel
     sig = minhash_signature(df, text_col, id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    # eager: compute the cache in ONE job before the join fans out —
-    # otherwise the band self-join's two inputs (and their broadcast-build
-    # jobs) race to compute the same blocks and serialize on block locks.
-    # With a bucket cap the gate aggregate below scans every signature
-    # and materializes sig's cache as a side effect, so the extra job is
-    # skipped.
-    if bucket_cap is None:
-        sig.count()
     # one FUSED long bucket key per band: xxhash64 over (band index, the
-    # band's signature rows). A single 8-byte shuffle/join key instead of
-    # an (int, string) pair — the same change measured 4.5x on the
-    # SimHash membership self-join (BASELINE.md round 7). A 64-bit
-    # bucket collision can only ADD a candidate pair, and every
-    # candidate is verified by exact Jaccard below, so correctness is
-    # unaffected.
+    # band's signature rows). A single 8-byte shuffle key instead of an
+    # (int, string) pair — the same change measured 4.5x on the SimHash
+    # membership self-join (BASELINE.md round 7). A 64-bit bucket
+    # collision can only ADD a candidate pair, and every candidate is
+    # verified by exact Jaccard below, so correctness is unaffected.
     bands = _fused_band_keys()
-    # Bucket join carries ONLY (id, bucket) — never the shingle arrays.
-    # At corpus scale the shingles are the dominant payload; exploding
-    # them b× and shuffling them through the self-join would amplify the
-    # heavy column 2b×. Instead the verify step re-joins the
-    # (id → shingles) map onto the deduped candidate pairs (two cheap
-    # hash joins on id).
+    # Candidate generation is bucket-LOCAL pair enumeration (r12; guide
+    # §2.4 "remove shuffles outright"): ONE aggregate groups each band
+    # bucket's sorted member ids (the groupBy shuffle — on the same key
+    # the old self-join shuffled on — materializes sig's cache as a side
+    # effect), and pairs are enumerated inside each bucket row. The old
+    # shape paid a separate cap-GATE aggregate job plus a band
+    # self-join with two exchange reads; this pays the one aggregate,
+    # reads the checkpointed buckets locally, and reports the exact
+    # dropped mass every run from the tiny aggregate instead of only
+    # when the gate tripped. Only (id, bucket) ever shuffles — never the
+    # shingle arrays (at corpus scale the shingles are the dominant
+    # payload; the verify step re-joins them by id for candidates only).
     exploded = sig.select("id", F.explode(bands).alias("bk"))
+    agg = (exploded.groupBy("bk")
+           .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+           .localCheckpoint(eager=True))
+    members = F.col("ids")
     if bucket_cap is not None:
-        # cap gate (round 8, same as simhash/shared-window paths): one
-        # exact aggregate finds over-cap buckets — and materializes sig's
-        # persist as a side effect — and the rank-and-truncate window
-        # runs ONLY when one exists. A band bucket needs thousands of
-        # near-identical docs to trip, so the common case pays one
-        # count-shuffle of the (id, bk) memberships instead of a full
-        # window sort + eager checkpoint.
-        big = (exploded.groupBy("bk").count()
-               .where(F.col("count") > bucket_cap))
-        if big.head(1):
-            # rank within each bucket (the window shuffles on exactly the
-            # join key, so the self-join below reuses the partitioning);
-            # keep the first `bucket_cap` ids. One extra count job reports
-            # dropped mass — a silent cap would read as full coverage when
-            # it isn't.
-            from pyspark import StorageLevel
-            from pyspark.sql import Window
-            w = Window.partitionBy("bk").orderBy("id")
-            ranked = exploded.withColumn("__rn", F.row_number().over(w)) \
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
-            if n_dropped:
-                _log.warning(
-                    "minhash_lsh_pairs: %d (doc, band) bucket memberships "
-                    "beyond the %d-per-bucket cap were dropped (duplicate-"
-                    "heavy corpus; run exact dedup upstream to remove "
-                    "identical-text mega-clusters)", n_dropped, bucket_cap)
-            # eager checkpoint of the CAPPED table, then release the
-            # ranked cache immediately: the self-join reads the checkpoint
-            # blocks, so repeated calls in a long-lived session don't
-            # accumulate pinned persist blocks (round-5 ADVICE)
-            exploded = ranked.where(F.col("__rn") <= bucket_cap) \
-                .drop("__rn").localCheckpoint(eager=True)
-            ranked.unpersist()
-    a, b = exploded.alias("a"), exploded.alias("b")
+        n_dropped = agg.select(
+            F.sum(F.greatest(F.size("ids") - bucket_cap, F.lit(0)))
+        ).first()[0] or 0
+        if n_dropped:
+            _log.warning(
+                "minhash_lsh_pairs: %d (doc, band) bucket memberships "
+                "beyond the %d-per-bucket cap were dropped (duplicate-"
+                "heavy corpus; run exact dedup upstream to remove "
+                "identical-text mega-clusters)", n_dropped, bucket_cap)
+        # slice keeps the bucket's smallest `cap` ids — exactly the
+        # members the old rank-by-id window kept
+        members = F.slice("ids", 1, bucket_cap)
     cand = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        agg.select(F.explode(members).alias("id_a"), members.alias("ids"))
+        .select("id_a",
+                F.explode(F.filter("ids", lambda x: x > F.col("id_a")))
+                .alias("id_b"))
         .distinct()
     )
     sh_map = sig.select("id", "sh")
@@ -367,6 +347,13 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
     NEW document batch against an EXISTING corpus index
     (minhash_index / minhash_signature output), jaccard >= threshold.
 
+    `index` MUST be minhash_index / minhash_signature output (or a
+    merge_into_index union of them): the exact-Jaccard verify assumes
+    DISTINCT-element shingle arrays (|A∪B| = |A|+|B|−|A∩B|), which
+    shingles_col guarantees by construction. A hand-built index whose
+    `sh` arrays contain duplicates would yield silently wrong (possibly
+    >1) Jaccard values, not merely slower ones.
+
     Asymmetric by design: duplicates WITHIN the new batch are not
     reported (compose with minhash_lsh_pairs(new_df) for those), and a
     document whose id appears in both inputs never matches itself.
@@ -383,33 +370,43 @@ def dedup_against_index(new_df: DataFrame, index: DataFrame,
     from pyspark import StorageLevel
     sig = minhash_signature(new_df, text_col, id_col) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    # eager: the cap gate below scans the INDEX side, not sig, so sig's
-    # cache must be materialized in one job before the band join and the
-    # verify join race to compute the same blocks (minhash_lsh_pairs
-    # policy)
+    # eager: the band join and the verify join below both read sig, so
+    # its cache must be materialized in one job before they race to
+    # compute the same blocks (minhash_lsh_pairs policy)
     sig.count()
     nb = sig.select(F.col("id").alias("new_id"),
                     F.explode(_fused_band_keys()).alias("bk"))
     ib = index.select(F.col("id").alias("corpus_id"),
                       F.explode(_fused_band_keys()).alias("bk"))
     if bucket_cap is not None:
-        big = (ib.groupBy("bk").count()
-               .where(F.col("count") > bucket_cap))
-        if big.head(1):
-            from pyspark.sql import Window
-            w = Window.partitionBy("bk").orderBy("corpus_id")
-            ranked = ib.withColumn("__rn", F.row_number().over(w)) \
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
-            if n_dropped:
-                _log.warning(
-                    "dedup_against_index: %d (corpus doc, band) bucket "
-                    "memberships beyond the %d-per-bucket cap were "
-                    "dropped (boilerplate-heavy corpus index; run exact "
-                    "dedup upstream)", n_dropped, bucket_cap)
-            ib = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn") \
-                .localCheckpoint(eager=True)
-            ranked.unpersist()
+        # Cap via ONE aggregate pass over the index memberships (r11
+        # verdict #3: the old shape paid a full groupBy-count GATE job
+        # over the corpus index per batch — recomputing the corpus
+        # signatures — and then, when tripped, a window rank over ALL
+        # buckets). The per-bucket sorted id list sliced to `bucket_cap`
+        # keeps exactly the same members the rank-by-id window kept, the
+        # checkpoint materializes the corpus signature pass ONCE per
+        # batch (the recurring cost the r11 DIAG phase split flagged),
+        # and the dropped-mass log is computed from the tiny
+        # checkpointed aggregate instead of a second corpus pass. A
+        # mega-bucket materializes its membership as one array row
+        # (bounded in practice by the documented exact-dedup-upstream
+        # requirement; the old window path sorted the same rows).
+        agg = (ib.groupBy("bk")
+               .agg(F.sort_array(F.collect_list("corpus_id")).alias("ids"))
+               .localCheckpoint(eager=True))
+        n_dropped = agg.select(
+            F.sum(F.greatest(F.size("ids") - bucket_cap, F.lit(0)))
+        ).first()[0] or 0
+        if n_dropped:
+            _log.warning(
+                "dedup_against_index: %d (corpus doc, band) bucket "
+                "memberships beyond the %d-per-bucket cap were "
+                "dropped (boilerplate-heavy corpus index; run exact "
+                "dedup upstream)", n_dropped, bucket_cap)
+        ib = agg.select(
+            F.col("bk"),
+            F.explode(F.slice("ids", 1, bucket_cap)).alias("corpus_id"))
     cand = (nb.join(ib, "bk")
             .where(F.col("new_id") != F.col("corpus_id"))
             .select("new_id", "corpus_id").distinct())
@@ -431,7 +428,9 @@ def merge_into_index(index: DataFrame, new_sigs: DataFrame,
     signatures in, so tomorrow's batch is deduped against
     corpus+today without ever rescanning corpus text. `new_sigs` is
     minhash_index/minhash_signature output for the accepted batch docs
-    (id, sh, s0..s{k-1}) — signatures only, no text.
+    (id, sh, s0..s{k-1}) — signatures only, no text. (Like
+    dedup_against_index, consumers assume the `sh` arrays are
+    distinct-element — true for every minhash_* producer.)
 
     `assume_disjoint=True` (the scale path) is a pure unionByName:
     zero shuffle, and on a persisted parquet index it is an APPEND of
@@ -515,20 +514,20 @@ def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
     C(6,3)=20 tables, each keyed on a 30-bit 3-block subset of the
     fingerprint — Manku et al. WWW'07): any pair within distance
     < SIMHASH_BANDS agrees on at least one table key, so candidates
-    come from equi-joins on (band_idx, band_val) — one shuffle, never
-    all-pairs. The exact popcount check then filters candidates.
-    `bucket_cap` truncates pathological band buckets exactly like
-    minhash_lsh_pairs (deterministic rank-by-id, dropped mass logged);
-    pass None to disable.
+    come from ONE shuffle grouping each (band_idx, band_val) bucket,
+    with pairs enumerated bucket-locally — never all-pairs. The exact
+    popcount check then filters candidates. `bucket_cap` truncates
+    pathological band buckets exactly like minhash_lsh_pairs
+    (deterministic smallest-ids-kept, dropped mass logged); pass None
+    to disable.
     """
     assert max_distance < SIMHASH_BANDS, "banding guarantees recall only " \
         "for distance < number of bands"
-    # fingerprints once: the self-join consumes `exploded` twice, and
-    # without a materialization barrier each side would recompute the
-    # full token-aggregate (measured 2x the whole stage at 10^6 docs).
-    # A local checkpoint of `sig` is tiny (16 bytes/doc) and everything
-    # downstream is narrow until the join's own exchange.
-    sig = simhash(df, text_col, id_col).localCheckpoint()
+    # With bucket-local pair enumeration (below) the fingerprint table
+    # has exactly ONE consumer — the bucket aggregate, which carries
+    # (id, simhash) through to the pairs — so the r7 materialization
+    # barrier (the old self-join read `exploded` twice) is gone.
+    sig = simhash(df, text_col, id_col)
     bands = _band_keys_col()
     # table key and band value FUSED into one long (band_val is 30
     # bits, band_idx < 32): a single 8-byte join/shuffle key instead of
@@ -539,37 +538,38 @@ def simhash_near_dup_pairs(df: DataFrame, max_distance: int = 3,
                 .select("id", "simhash",
                         F.shiftleft(F.col("b.band_val"), 5)
                         .bitwiseOR(F.col("b.band_idx")).alias("bk")))
+    # Bucket-local pair enumeration (r12, same restructure as
+    # minhash_lsh_pairs; guide §2.4): group each bucket's sorted
+    # (id, simhash) members in ONE aggregate — the same shuffle key the
+    # old self-join used — and enumerate pairs inside the bucket row,
+    # carrying the 8-byte fingerprints through. Replaces the cap-GATE
+    # aggregate job + band self-join; the dropped-mass log is exact and
+    # always-on from the tiny checkpointed aggregate. sort_array over
+    # structs orders by id (ids are unique within a bucket), so the cap
+    # keeps exactly the members the old rank-by-id window kept.
+    agg = (exploded.groupBy("bk")
+           .agg(F.sort_array(
+               F.collect_list(F.struct("id", "simhash"))).alias("ms"))
+           .localCheckpoint(eager=True))
+    members = F.col("ms")
     if bucket_cap is not None:
-        # cap gate: one exact aggregate finds buckets beyond the cap;
-        # the rank-and-truncate path runs ONLY when one exists (with
-        # 2^30 30-bit key values a bucket needs thousands of block-
-        # identical docs to trip — a duplicate-heavy corpus). The
-        # common case thus pays one count-shuffle of the memberships
-        # instead of a full window sort + eager materialization.
-        big = (exploded.groupBy("bk").count()
-               .where(F.col("count") > bucket_cap))
-        if big.head(1):
-            from pyspark import StorageLevel
-            from pyspark.sql import Window
-            w = Window.partitionBy("bk").orderBy("id")
-            ranked = exploded.withColumn("__rn", F.row_number().over(w)) \
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
-            if n_dropped:
-                _log.warning(
-                    "simhash_near_dup_pairs: %d (doc, band) bucket "
-                    "memberships beyond the %d-per-bucket cap were "
-                    "dropped (duplicate-heavy corpus; run exact dedup "
-                    "upstream)", n_dropped, bucket_cap)
-            exploded = ranked.where(F.col("__rn") <= bucket_cap) \
-                .drop("__rn").localCheckpoint(eager=True)
-            ranked.unpersist()
-    a, b = exploded.alias("a"), exploded.alias("b")
+        n_dropped = agg.select(
+            F.sum(F.greatest(F.size("ms") - bucket_cap, F.lit(0)))
+        ).first()[0] or 0
+        if n_dropped:
+            _log.warning(
+                "simhash_near_dup_pairs: %d (doc, band) bucket "
+                "memberships beyond the %d-per-bucket cap were "
+                "dropped (duplicate-heavy corpus; run exact dedup "
+                "upstream)", n_dropped, bucket_cap)
+        members = F.slice("ms", 1, bucket_cap)
     cand = (
-        a.join(b, (F.col("a.bk") == F.col("b.bk"))
-               & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+        agg.select(F.explode(members).alias("a"), members.alias("ms"))
+        .select(F.col("a.id").alias("id_a"),
                 F.col("a.simhash").alias("sh_a"),
+                F.explode(F.filter(
+                    "ms", lambda m: m["id"] > F.col("a.id"))).alias("b"))
+        .select("id_a", "sh_a", F.col("b.id").alias("id_b"),
                 F.col("b.simhash").alias("sh_b"))
         .distinct()
     )
@@ -629,9 +629,10 @@ def shared_window_pairs(df: DataFrame, k: int = WINDOW_TOKENS,
     exact shared-window count.
 
     Scale shape (same skeleton as minhash_lsh_pairs): one scan builds the
-    distinct window set per doc; candidates come from ONE shuffle on the
-    64-bit window hash (8-byte join key; boilerplate mega-buckets are
-    rank-capped with the dropped mass logged); counts are then verified
+    distinct window set per doc; candidates come from ONE shuffle that
+    groups each 64-bit window-hash bucket, with pairs enumerated
+    bucket-locally (boilerplate mega-buckets are capped with the exact
+    dropped mass logged); counts are then verified
     EXACTLY via array_intersect on the per-doc window arrays re-joined by
     id — a hash collision can only add a candidate, never corrupt a
     count. No all-pairs join ever materializes.
@@ -645,46 +646,36 @@ def shared_window_pairs(df: DataFrame, k: int = WINDOW_TOKENS,
     w = df.select(F.col(id_col).alias("id"),
                   shingles_col(F.col(text_col), n=k).alias("wins")) \
         .persist(StorageLevel.MEMORY_AND_DISK)
-    # one materialization feeds the join and both verify sides; with a
-    # bucket cap the gate aggregate below scans every window set and
-    # materializes w's cache as a side effect, so the extra job is
-    # skipped (same pattern as minhash_lsh_pairs' sig)
-    if bucket_cap is None:
-        w.count()
+    # Bucket-local pair enumeration (r12, same restructure as
+    # minhash_lsh_pairs; guide §2.4): one aggregate pass groups each
+    # window-hash bucket's sorted member ids — materializing w's cache
+    # as a side effect — and candidate pairs are enumerated inside each
+    # bucket row. Replaces the old cap-GATE aggregate job + band
+    # self-join; the dropped-mass log is exact and always-on, computed
+    # from the tiny checkpointed aggregate.
     ex = w.select("id", F.explode("wins").alias("win")) \
         .select("id", F.xxhash64("win").alias("wh"))
+    agg = (ex.groupBy("wh")
+           .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+           .localCheckpoint(eager=True))
+    members = F.col("ids")
     if bucket_cap is not None:
-        # cap gate (same as simhash_near_dup_pairs): one exact aggregate
-        # finds over-cap buckets; the rank-and-truncate window runs ONLY
-        # when one exists. Boilerplate k-token windows (license headers,
-        # generated text) are the only way a bucket exceeds thousands of
-        # docs, so the common case pays one count-shuffle instead of a
-        # full window sort + eager materialization (round-8 ADVICE).
-        big = (ex.groupBy("wh").count()
-               .where(F.col("count") > bucket_cap))
-        if big.head(1):
-            from pyspark.sql import Window
-            win = Window.partitionBy("wh").orderBy("id")
-            ranked = ex.withColumn("__rn", F.row_number().over(win)) \
-                .persist(StorageLevel.MEMORY_AND_DISK)
-            n_dropped = ranked.where(F.col("__rn") > bucket_cap).count()
-            if n_dropped:
-                _log.warning(
-                    "shared_window_pairs: %d window memberships beyond "
-                    "the %d-doc bucket cap were dropped (boilerplate "
-                    "windows); pairs among dropped members are NOT "
-                    "reported", n_dropped, bucket_cap)
-            # eager checkpoint of the CAPPED table BEFORE releasing the
-            # ranked cache — unpersisting first recomputed the window for
-            # both sides of the self-join on every run (round-8 ADVICE)
-            ex = ranked.where(F.col("__rn") <= bucket_cap).drop("__rn") \
-                .localCheckpoint(eager=True)
-            ranked.unpersist()
-    a, b = ex.alias("a"), ex.alias("b")
-    cand = (a.join(b, (F.col("a.wh") == F.col("b.wh"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .distinct())
+        n_dropped = agg.select(
+            F.sum(F.greatest(F.size("ids") - bucket_cap, F.lit(0)))
+        ).first()[0] or 0
+        if n_dropped:
+            _log.warning(
+                "shared_window_pairs: %d window memberships beyond "
+                "the %d-doc bucket cap were dropped (boilerplate "
+                "windows); pairs among dropped members are NOT "
+                "reported", n_dropped, bucket_cap)
+        members = F.slice("ids", 1, bucket_cap)
+    cand = (
+        agg.select(F.explode(members).alias("id_a"), members.alias("ids"))
+        .select("id_a",
+                F.explode(F.filter("ids", lambda x: x > F.col("id_a")))
+                .alias("id_b"))
+        .distinct())
     wa = w.select(F.col("id").alias("id_a"), F.col("wins").alias("wa"))
     wb = w.select(F.col("id").alias("id_b"), F.col("wins").alias("wb"))
     return (cand.join(wa, "id_a").join(wb, "id_b")
