@@ -3607,50 +3607,49 @@ _q(
 # offer rows, then two vendor-level aggregates combined (bi-q8.sparql).
 # The below-average comparison is exact: price * n < sum in DECIMAL on
 # both engines (no double-rounding at the boundary).
+#
+# r12 (guide §2.4, r11 verdict "next round" #4): the two vendor-level
+# subqueries (below-average COUNT over the FILTERed star, total COUNT
+# over the same star) re-evaluated the identical PROMO offer star and
+# joined on ?vendor — two extra lineitem+part scans and a join for what
+# one pass computes. Rewritten as CONDITIONAL aggregation over one star:
+# SUM(IF(below, 1, 0)) alongside COUNT(?offer) in a single GROUP BY
+# ?vendor. Equivalence: the comparison operands are always-bound
+# decimals (no errors), so SUM(IF(c,1,0)) = COUNT over FILTER(c) per
+# group, and HAVING > 0 reproduces the original inner join's dropping
+# of vendors with zero below-average offers. Oracle SQL unchanged;
+# hash-verified at sf0.001/0.01/0.1.
 _q(
     "q_bsbm_bi_q8",
     """
     SELECT ?vendor ?ratio WHERE {
       {
-        SELECT ?vendor ?belowAvg WHERE {
+        SELECT ?vendor
+               (SUM(IF(xsd:decimal(?price) * ?nP < ?sumP,
+                       "1"^^xsd:integer, "0"^^xsd:integer)) AS ?belowAvg)
+               (COUNT(?offer) AS ?offerCount) WHERE {
+          ?product p:p_type "PROMO" .
+          ?offer l:l_partkey ?product .
+          ?offer l:l_suppkey ?vendor .
+          ?offer l:l_extendedprice ?price .
           {
-            SELECT (COUNT(?offer) AS ?cnt) ?vendor WHERE {
-              ?product p:p_type "PROMO" .
-              ?offer l:l_partkey ?product .
-              ?offer l:l_suppkey ?vendor .
-              ?offer l:l_extendedprice ?price .
+            SELECT ?product ?sumP ?nP WHERE {
               {
-                SELECT ?product ?sumP ?nP WHERE {
-                  {
-                    SELECT (SUM(xsd:decimal(?price2)) AS ?sumP)
-                           (COUNT(?price2) AS ?nP) ?product WHERE {
-                      ?product p:p_type "PROMO" .
-                      ?offer2 l:l_partkey ?product .
-                      ?offer2 l:l_extendedprice ?price2 .
-                    }
-                    GROUP BY ?product
-                  }
+                SELECT (SUM(xsd:decimal(?price2)) AS ?sumP)
+                       (COUNT(?price2) AS ?nP) ?product WHERE {
+                  ?product p:p_type "PROMO" .
+                  ?offer2 l:l_partkey ?product .
+                  ?offer2 l:l_extendedprice ?price2 .
                 }
+                GROUP BY ?product
               }
-              FILTER(xsd:decimal(?price) * ?nP < ?sumP)
             }
-            GROUP BY ?vendor
           }
-          BIND(?cnt AS ?belowAvg)
         }
-      }
-      {
-        SELECT ?vendor ?offerCount WHERE {
-          {
-            SELECT (COUNT(?offer3) AS ?cnt3) ?vendor WHERE {
-              ?product3 p:p_type "PROMO" .
-              ?offer3 l:l_partkey ?product3 .
-              ?offer3 l:l_suppkey ?vendor .
-            }
-            GROUP BY ?vendor
-          }
-          BIND(?cnt3 AS ?offerCount)
-        }
+        GROUP BY ?vendor
+        HAVING (SUM(IF(xsd:decimal(?price) * ?nP < ?sumP,
+                       "1"^^xsd:integer, "0"^^xsd:integer))
+                > "0"^^xsd:integer)
       }
       BIND(ROUND(xsd:double(?belowAvg) / ?offerCount * 1000000.0)
            / 1000000.0 AS ?ratio)

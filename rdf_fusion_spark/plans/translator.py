@@ -2658,13 +2658,37 @@ def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
     from ..terms import iri_col
     narrow = {k for k in keys
               if k in sol.bound and sol.kinds.get(k) in (tv.SK_IRI, tv.SK_PLAIN)}
+    # Numeric narrow keys (r12, same soundness base as the MIN/MAX
+    # decomposition): a bound VALUE-CANONICAL numeric key's term is a
+    # pure function of its typed value, so grouping on the primitive
+    # field (16-byte decimal / 8-byte double instead of the 8-field
+    # struct) partitions solutions identically — value↔term is a
+    # bijection under vcanon — and the term is rebuilt once per GROUP.
+    # q3's 600k-row groupBy(?okey) hashed/shuffled full structs for a
+    # key that is one long (guide §2.3 "narrower types"; measured:
+    # engine q3 2.76 s vs 1.52 s for the raw-SQL decimal equivalent,
+    # most of the gap this struct grouping).
+    narrow_num = {k for k in keys
+                  if k in sol.bound and k in sol.vcanon
+                  and sol.kinds.get(k) in (tv.K_INTEGER, tv.K_DECIMAL,
+                                           tv.K_DOUBLE)}
 
     def key_expr(k: str) -> Column:
         if k in narrow:
             return df[k]["v"].alias(k)
+        if k in narrow_num:
+            field = "x" if sol.kinds[k] == tv.K_DOUBLE else "d"
+            return df[k][field].alias(k)
         return (F.col(k) if k in sol.maybe else NULL_TERM()).alias(k)
 
     def key_rebuild(k: str) -> Column:
+        if k in narrow_num:
+            kind = sol.kinds[k]
+            if kind == tv.K_DOUBLE:
+                return tv.double_term(F.col(k)).alias(k)
+            if kind == tv.K_DECIMAL:
+                return tv.decimal_term(F.col(k)).alias(k)
+            return tv.int_term_from_decimal(F.col(k)).alias(k)
         if k not in narrow:
             return F.col(k)
         if sol.kinds[k] == tv.SK_IRI:
@@ -2689,7 +2713,7 @@ def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
         out = out.select(*[key_rebuild(k) for k in keys], *fix)
     else:
         out = gdf.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
-        if narrow:
+        if narrow or narrow_num:
             out = out.select(*[key_rebuild(k) for k in keys])
 
     bound = {k for k in keys if k in sol.bound}
