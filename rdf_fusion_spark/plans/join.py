@@ -119,6 +119,19 @@ class Solution:
     # stacked post-agg Projects grows the condition multiplicatively
     # (~12x per level) and hangs the optimizer. See _apply_plain_filters.
     expensive: set = field(default_factory=set)
+    # Native join keys (r12, guide §2.3 narrower types): var →
+    # (template, native column name). The var's term is an entity IRI
+    # minted as `x:<code>:str(native_long)` from `template`'s id space,
+    # and the df carries the LONG in the named `__nk_<var>` column.
+    # str(long) is injective, so within one template long-equality ⟺
+    # IRI-equality — an equi join on two vars with the SAME template may
+    # key on the longs, skipping the per-row string build + string
+    # hashing (measured ~20% of the whole q3 pipeline). Producers:
+    # virtual star scans (subject + FK-object vars). Consumers MUST
+    # check the column still exists in df (projections drop it — a
+    # stale entry only misses the optimization; default-empty is the
+    # safe direction, like vcanon).
+    nkey: dict = field(default_factory=dict)
 
     def with_df(self, df: DataFrame) -> "Solution":
         return replace(self, df=df)
@@ -155,6 +168,24 @@ def merge_vcanon(left: Solution, right: Solution) -> set:
     for v in right.vcanon:
         if v not in left.maybe:
             out.add(v)
+    return out
+
+
+def _merge_nkey(left: Solution, right: Solution, df: DataFrame) -> dict:
+    """Native-key entries surviving a join: an entry is kept only when
+    its backing column survived into the joined frame. For a shared var
+    the left entry wins (the name-join keeps the left/merged copy); a
+    right entry for a var the left doesn't track is valid too — the join
+    matched on term equality, so the right long still corresponds to the
+    var's term on every (matched) row."""
+    cols = set(df.columns)
+    out = {}
+    for v, e in right.nkey.items():
+        if e[1] in cols:
+            out[v] = e
+    for v, e in left.nkey.items():
+        if e[1] in cols:
+            out[v] = e
     return out
 
 
@@ -308,37 +339,81 @@ def join_solutions(
     # fast path: plain equi join, no extra filter → join on names
     if shared and all_bound and filter_expr is None:
         from ..functions.typed_ops import SK_IRI, SK_PLAIN
-        if all(left.kinds.get(v) == right.kinds.get(v)
-               and left.kinds.get(v) in (SK_IRI, SK_PLAIN)
+
+        def _native_key(v: str) -> Optional[str]:
+            # native LONG key usable when BOTH sides mint the var's IRI
+            # from the SAME template and still carry the long column
+            lk, rk = left.nkey.get(v), right.nkey.get(v)
+            if lk and rk and lk[0] == rk[0] \
+                    and lk[1] == rk[1] \
+                    and lk[1] in left.df.columns \
+                    and rk[1] in right.df.columns:
+                return lk[1]
+            return None
+
+        nat = {v: nk for v in shared if (nk := _native_key(v))}
+        if all(v in nat or (left.kinds.get(v) == right.kinds.get(v)
+                            and left.kinds.get(v) in (SK_IRI, SK_PLAIN))
                for v in shared):
-            # Narrow-identity join keys: sameTerm for IRIs and plain
-            # xsd:string literals is identity on `v` (both sides must be
-            # the SAME kind — an IRI never equals a literal), so
-            # shuffle/hash/compare the ONE string field instead of the
-            # 8-field struct (~25% cheaper on join-heavy plans)
-            jk = [f"__jk_{v}" for v in shared]
+            # Native-long keys where proven (r12: same-template entity
+            # IRIs join on the minted long — no per-row string build, an
+            # 8-byte shuffle/hash key); narrow-identity `v` keys for the
+            # rest: sameTerm for IRIs and plain xsd:string literals is
+            # identity on `v` (both sides must be the SAME kind — an IRI
+            # never equals a literal), so shuffle/hash/compare ONE
+            # string field instead of the 8-field struct (~25% cheaper
+            # on join-heavy plans). In both forms the right side's term
+            # column is dropped: equality of the key implies equality of
+            # the term (same template / same kind + same lexical).
+            jk = []
             L, R = left.df, right.df
+            # a shared var joined on `v` (not natively) may still carry
+            # same-named __nk columns on both sides — drop the right
+            # copies so the joined frame has no duplicate non-key name
+            dup_nk = [c for c in R.columns
+                      if c.startswith("__nk_") and c in L.columns
+                      and c not in set(nat.values())]
+            if dup_nk:
+                R = R.drop(*dup_nk)
             key = (lambda c: F.xxhash64(c)) if _HASH_JOIN_KEYS else \
                 (lambda c: c)
             for v in shared:
+                if v in nat:
+                    continue
+                jk.append(f"__jk_{v}")
                 L = L.withColumn(f"__jk_{v}", key(F.col(v)["v"]))
                 R = R.withColumn(f"__jk_{v}", key(F.col(v)["v"]))
-            if _HASH_JOIN_KEYS:
+            if _HASH_JOIN_KEYS and jk:
                 # hash longs are the equi keys; exact string equality rides
                 # along as the residual, guarding xxhash64 collisions
                 La, Ra = L.alias("l"), R.alias("r")
                 cond = F.lit(True)
                 for v in shared:
+                    if v in nat:
+                        cond = cond & (La[nat[v]] == Ra[nat[v]])
+                        continue
                     cond = cond & (La[f"__jk_{v}"] == Ra[f"__jk_{v}"]) \
                         & (La[v]["v"] == Ra[v]["v"])
                 df = La.join(Ra, cond, how)
                 for v in shared:
                     df = df.drop(Ra[v])
+                    if v in nat:
+                        df = df.drop(Ra[nat[v]])
                 df = df.drop(*jk)
             else:
-                df = L.join(R.drop(*shared), on=jk, how=how).drop(*jk)
+                on = [nat[v] for v in shared if v in nat] + jk
+                df = L.join(R.drop(*shared), on=on, how=how).drop(*jk)
         else:
-            df = left.df.join(right.df, on=shared, how=how)
+            # drop the right side's native-key columns that collide with
+            # a left column name — the generic name-join merges only the
+            # `shared` columns, and a duplicate non-key name would
+            # poison later references
+            L, R = left.df, right.df
+            dup_nk = [c for c in R.columns
+                      if c.startswith("__nk_") and c in L.columns]
+            if dup_nk:
+                R = R.drop(*dup_nk)
+            df = L.join(R, on=shared, how=how)
         return Solution(
             df=df,
             bound=set(left.bound) | (set(right.bound) if how == "inner" else set()),
@@ -347,6 +422,7 @@ def join_solutions(
             kinds=merge_kinds(left, right),
             vcanon=merge_vcanon(left, right),
             expensive=merge_expensive(left, right),
+            nkey=_merge_nkey(left, right, df),
         )
 
     # fast path: disjoint, no filter → cross join

@@ -974,8 +974,11 @@ def _scan(tp: A.TriplePattern, ctx: Ctx) -> Solution:
     kinds = {v: k for v, k in df.__dict__.get("_rf_kinds", {}).items()
              if v in vars_}
     vcanon = {v for v in df.__dict__.get("_rf_vcanon", ()) if v in vars_}
+    nkey = {v: (t, f"__nk_{v}")
+            for v, t in df.__dict__.get("_rf_nkey", {}).items()
+            if v in vars_ and f"__nk_{v}" in df.columns}
     return Solution(df=df, bound=set(vars_), maybe=set(vars_), kinds=kinds,
-                    vcanon=vcanon)
+                    vcanon=vcanon, nkey=nkey)
 
 
 def _collect_subject_consts(p) -> dict:
@@ -1436,14 +1439,19 @@ def _translate_bgp(p: A.BGP, ctx: Ctx, pushable: Optional[list] = None,
             if df is None:
                 remaining.extend(tps)
                 continue
-            vars_ = {c for c in df.columns if c != "__match__"}
+            vars_ = {c for c in df.columns
+                     if c != "__match__" and not c.startswith("__nk_")}
             kinds = {v: k for v, k in df.__dict__.get("_rf_kinds", {}).items()
                      if v in vars_}
             vcanon = {v for v in df.__dict__.get("_rf_vcanon", ())
                       if v in vars_}
-            units.append(Solution(df=df.select(*sorted(vars_)) if vars_ else df,
+            nkey = {v: (t, f"__nk_{v}")
+                    for v, t in df.__dict__.get("_rf_nkey", {}).items()
+                    if v in vars_ and f"__nk_{v}" in df.columns}
+            keep = sorted(vars_) + sorted(e[1] for e in nkey.values())
+            units.append(Solution(df=df.select(*keep) if vars_ else df,
                                   bound=set(vars_), maybe=set(vars_),
-                                  kinds=kinds, vcanon=vcanon))
+                                  kinds=kinds, vcanon=vcanon, nkey=nkey))
     else:
         remaining = list(p.triples)
 
@@ -2633,10 +2641,34 @@ def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
 
     out_kinds: dict = {}
     out_vcanon: set = set()
+    # Identical aggregate calls compile ONCE (r12, guide §2.3): HAVING
+    # repeats its SELECT aggregate verbatim (the algebra lowers it to a
+    # second AggCall), and without dedup each copy registered its own
+    # raw partial/final aggregate functions — bi_q8's vendor group ran 9
+    # aggregate functions where 5 suffice, and every per-row aggregate
+    # INPUT ladder (e.g. SUM's kind-dispatch over an IF) was evaluated
+    # twice per row. AggCall/Expression are pure parser dataclasses, so
+    # repr() is a sound structural key; the shared compiled Column
+    # references the same raw agg columns, and only the cheap per-GROUP
+    # post-projection is duplicated per alias.
+    seen_calls: dict[str, Column] = {}
+
+    def _nondet(e) -> bool:
+        # two textually identical RAND()/UUID()/... calls are distinct
+        # draws — never dedupe an aggregate whose input contains one
+        if isinstance(e, A.ECall):
+            return e.name in ("RAND", "UUID", "STRUUID", "BNODE") \
+                or any(_nondet(a) for a in e.args)
+        return False
+
     it = Interner(sol.df, ctx)
     with B.intern_scope(it), tv.lazy_lexicals():
         for out_var, call in p.aggregates:
-            agg_col = _compile_aggregate(call, sol, ctx, tmp, raw)
+            key = repr(call)
+            agg_col = None if _nondet(call.expr) else seen_calls.get(key)
+            if agg_col is None:
+                agg_col = _compile_aggregate(call, sol, ctx, tmp, raw)
+                seen_calls[key] = agg_col
             sk = tv.skind(agg_col)
             if sk is not None:
                 out_kinds[out_var.name] = sk

@@ -265,6 +265,40 @@ def subject_term(table: str, df: DataFrame) -> Column:
     return term_struct(F.lit(TT_IRI), F.concat(F.lit(f"x:{code}:"), row_id))
 
 
+_INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def subject_native(table: str, df: DataFrame) -> Optional[Column]:
+    """The LONG the table's subject IRI is minted from, or None.
+
+    subject_term builds `x:<code>:` + str(row_id); when row_id is a
+    single integral key (or the xxhash64 of a hash-subject table),
+    str(long) is injective, so long-equality on this column ⟺ subject
+    IRI equality within the table's id space. Consumed by the native
+    join-key path (plans/join.py Solution.nkey)."""
+    _, key_cols, _ = TPCH_SPEC[table]
+    if table in HASH_SUBJECT_TABLES:
+        return F.xxhash64(*[F.col(f.name) for f in df.schema.fields])
+    if len(key_cols) != 1:
+        return None
+    if not isinstance(df.schema[key_cols[0]].dataType, _INT_TYPES):
+        return None
+    return F.col(key_cols[0]).cast("long")
+
+
+def object_native(table: str, col_name: str, df: DataFrame
+                  ) -> Optional[tuple]:
+    """(target table, LONG column) when `col_name` is an integral FK —
+    the object IRI is `x:<tgt code>:` + str(value). None otherwise."""
+    fks = TPCH_SPEC[table][2]
+    tgt = fks.get(col_name)
+    if tgt is None:
+        return None
+    if not isinstance(df.schema[col_name].dataType, _INT_TYPES):
+        return None
+    return tgt, F.col(col_name).cast("long")
+
+
 def static_object_kind(table: str, col_name: str, df: DataFrame) -> Optional[int]:
     """typed_ops static kind (skind) of this column's object terms, or None.
 

@@ -470,17 +470,26 @@ class VirtualRelationalStore(GraphStore):
             return self._empty_solution(subject, items, graph_var)
 
         from ..functions.typed_ops import SK_IRI
-        from .relational import static_object_kind
+        from .relational import object_native, static_object_kind, \
+            subject_native
 
         df = self.table_df(table)
         subj_term = self._subj_term(table, df)
         out_vars: dict[str, Column] = {}
         out_kinds: dict[str, int] = {}
+        # native join keys (plans/join.py Solution.nkey): var → template
+        # table; the minted LONG rides in a `__nk_<var>` column
+        out_nkey: dict[str, str] = {}
+        nkey_cols: dict[str, Column] = {}
         conds: list[Column] = []
 
         if isinstance(subject, Variable):
             out_vars[subject.name] = subj_term
             out_kinds[subject.name] = SK_IRI
+            sn = subject_native(table, df)
+            if sn is not None:
+                out_nkey[subject.name] = table
+                nkey_cols[subject.name] = sn
         elif isinstance(subject, NamedNode):
             conds.append(self._subject_filter(table, df, subject))
         elif isinstance(subject, BlankNode):
@@ -521,10 +530,14 @@ class VirtualRelationalStore(GraphStore):
                     if pred.iri == RDF_TYPE:
                         out_kinds[o.name] = SK_IRI
                     else:
-                        k = static_object_kind(
-                            table, self._pred_map[pred.iri][1], df)
+                        col_name = self._pred_map[pred.iri][1]
+                        k = static_object_kind(table, col_name, df)
                         if k is not None:
                             out_kinds[o.name] = k
+                        on = object_native(table, col_name, df)
+                        if on is not None:
+                            out_nkey[o.name] = on[0]
+                            nkey_cols[o.name] = on[1]
 
         if graph_var is not None:
             from ..terms import term_lit, term_matches
@@ -546,8 +559,11 @@ class VirtualRelationalStore(GraphStore):
         df = df.where(cond)
         if not out_vars:
             return df.select(F.lit(True).alias("__match__"))
-        out = df.select(*[c.alias(v) for v, c in out_vars.items()])
+        out = df.select(*[c.alias(v) for v, c in out_vars.items()],
+                        *[c.alias(f"__nk_{v}")
+                          for v, c in nkey_cols.items()])
         out._rf_kinds = out_kinds
+        out._rf_nkey = out_nkey
         # value-canonical promise (plans/join.py Solution.vcanon): scan
         # terms for numeric columns are built lazily (doubles/decimals,
         # v=NULL) or with the canonical cast lexical (integers), and the
