@@ -814,19 +814,35 @@ def _cast_fn(name: str):
     def fn(args, resolve):
         c = compile_expr(args[0], resolve)
         sk = tv.skind(c)
-        if sk == tv.SK_NUM:
-            sk = None  # numeric-but-rank-unknown: use the runtime ladders
+        num_rt = sk == tv.SK_NUM  # numeric, rank known only at runtime
+        if num_rt:
+            sk = None
+            # 2-branch ladders: every non-NULL value is numeric, so the
+            # non-numeric arms of the generic k-dispatch fold away
+            # (SUM/AVG outputs carry this tag — the post-agg xsd:double
+            # wrapper was a full 5-arm CASE over the output struct)
+            if target in ("integer", "int", "long", "short", "byte"):
+                return int_term(
+                    F.when(c["k"] == K_INTEGER, c["d"].cast("long"))
+                    .otherwise(c["x"].cast("long")))
+            if target == "decimal":
+                return decimal_term(
+                    F.when(c["k"] <= K_DECIMAL, c["d"])
+                    .otherwise(c["x"].cast(DECIMAL_T)))
+            if target in ("double", "float"):
+                mk = double_term if target == "double" else _float_term
+                return mk(c["x"])
         if target in ("integer", "int", "long", "short", "byte"):
             if sk is not None:
                 # single-branch: the input's kind is statically known
                 if sk == tv.K_INTEGER:
-                    val = c["d"].cast("long")
+                    val = tv.dval(c).cast("long")
                 elif tv._sk_numeric(sk):
-                    val = c["x"].cast("long")
+                    val = tv.xval(c).cast("long")
                 elif sk == tv.K_BOOLEAN:
                     val = F.when(as_boolean(c), 1).otherwise(0).cast("long")
                 elif sk == tv.SK_PLAIN:
-                    val = c["v"].try_cast("long")
+                    val = tv.vval(c).try_cast("long")
                 else:
                     val = F.lit(None).cast("long")
                 return int_term(val)
@@ -842,15 +858,16 @@ def _cast_fn(name: str):
         if target == "decimal":
             if sk is not None:
                 if sk <= K_DECIMAL:
-                    val = c["d"]
+                    val = tv.dval(c)
                 elif tv._sk_numeric(sk):
-                    val = c["x"].cast(DECIMAL_T)
+                    val = tv.xval(c).cast(DECIMAL_T)
                 elif sk == tv.K_BOOLEAN:
                     val = F.when(as_boolean(c), 1).otherwise(0).cast(DECIMAL_T)
                 elif sk == tv.SK_PLAIN:
                     # XSD decimal lexical has no exponent form; Spark's
                     # cast accepts one — enforce the lexical grammar
-                    val = F.when(c["v"].rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"), c["v"]).try_cast(DECIMAL_T)
+                    v = tv.vval(c)
+                    val = F.when(v.rlike(r"^[+-]?([0-9]+(\.[0-9]*)?|\.[0-9]+)$"), v).try_cast(DECIMAL_T)
                 else:
                     val = F.lit(None).cast(DECIMAL_T)
                 return decimal_term(val)
@@ -866,11 +883,11 @@ def _cast_fn(name: str):
             mk = double_term if target == "double" else _float_term
             if sk is not None:
                 if tv._sk_numeric(sk):
-                    val = c["x"]
+                    val = tv.xval(c)
                 elif sk == tv.K_BOOLEAN:
                     val = F.when(as_boolean(c), 1.0).otherwise(0.0)
                 elif sk == tv.SK_PLAIN:
-                    val = _str_to_double(c["v"])
+                    val = _str_to_double(tv.vval(c))
                 else:
                     val = F.lit(None).cast("double")
                 return mk(val)

@@ -48,7 +48,7 @@ def sort_key(c: Column) -> Column:
             # single string-ordered class: IRIs, bnodes, or string
             # literals (langString ties with its plain twin exactly like
             # the generic struct: s1=v, lang ignored)
-            return c["v"]
+            return tv.vval(c)
         if sk == tv.K_DATETIME:
             # k=6 spans dateTime/date (generic rank 4, by timestamp) AND
             # xsd:time (generic rank 6, by datatype-then-lexical) — a

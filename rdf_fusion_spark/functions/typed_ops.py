@@ -132,6 +132,81 @@ def mark_vc(c: Column) -> Column:
     return c
 
 
+# ---------------------------------------------------------------------------
+# raw-value side-channel — term CONSTRUCTORS attach the native expression
+# their typed field was built from (`_rf_x` double / `_rf_d` decimal /
+# `_rf_v` string) to the returned Column object. Consumers (the as_* views,
+# the static comparison/arithmetic branches) read the raw expression
+# instead of a struct-field extraction, so Catalyst can PRUNE the 8-field
+# struct build entirely when only the value is consumed — the struct
+# materialization per intermediate arithmetic node was the largest
+# per-row cost of computed-value queries (q3's ?price*(1-?disc): two
+# 8-field structs per row built only to read back `.x`; guide §1.2-2
+# per-task work, §2.3 narrower types). Invariant required of every
+# attach site: the raw expression is NULL exactly when the term struct
+# is NULL (all constructors wrap `F.when(raw.isNotNull(), struct)`), so
+# null-guards may read the raw column. The attributes ride the Column
+# object only — any alias()/F.col() round trip drops them, which is
+# always safe (consumers fall back to the struct field).
+# ---------------------------------------------------------------------------
+
+def _raw(c: Column, key: str):
+    try:
+        return c.__dict__.get(key)
+    except AttributeError:  # pragma: no cover
+        return None
+
+
+def xval(c: Column) -> Column:
+    """The term's double view, bypassing the struct when the constructor
+    exposed it (NULL iff the term is NULL — constructor invariant)."""
+    r = _raw(c, "_rf_x")
+    return r if r is not None else c["x"]
+
+
+def dval(c: Column) -> Column:
+    r = _raw(c, "_rf_d")
+    return r if r is not None else c["d"]
+
+
+def vval(c: Column) -> Column:
+    r = _raw(c, "_rf_v")
+    return r if r is not None else c["v"]
+
+
+def tsval(c: Column) -> Column:
+    r = _raw(c, "_rf_ts")
+    return r if r is not None else c["ts"]
+
+
+def nnval(c: Column) -> Column:
+    """isNotNull via the cheapest raw channel (exact: constructors null
+    the struct exactly when the attached raw expression is null)."""
+    for k in ("_rf_x", "_rf_d", "_rf_v", "_rf_ts"):
+        r = _raw(c, k)
+        if r is not None:
+            return r.isNotNull()
+    return c.isNotNull()
+
+
+def raw_channels(c: Column) -> dict:
+    """The raw-value attachments present on c (for interners to re-home
+    onto named columns)."""
+    try:
+        d = c.__dict__
+    except AttributeError:  # pragma: no cover
+        return {}
+    return {k: d[k] for k in ("_rf_x", "_rf_d", "_rf_v", "_rf_ts") if k in d}
+
+
+def attach_raw(c: Column, **kw) -> Column:
+    """Attach raw-value channels (x=, d=, v=, ts=); None values skipped."""
+    for k, e in kw.items():
+        if e is not None:
+            c.__dict__[f"_rf_{k}"] = e
+    return c
+
+
 def _sk_numeric(sk) -> bool:
     return sk is not None and (sk == SK_NUM or sk <= K_DOUBLE)
 
@@ -148,7 +223,7 @@ def _sk_stringish(sk) -> bool:
 def is_numeric(c: Column) -> Column:
     sk = skind(c)
     if sk is not None:
-        return c.isNotNull() if _sk_numeric(sk) else F.lit(False)
+        return nnval(c) if _sk_numeric(sk) else F.lit(False)
     return c["k"].isNotNull() & (c["k"] <= K_DOUBLE)
 
 
@@ -159,7 +234,7 @@ def numeric_rank(c: Column) -> Column:
         if sk == SK_NUM:
             return F.when(c.isNotNull(), c["k"].cast("int"))
         if _sk_numeric(sk):
-            return F.when(c.isNotNull(), F.lit(sk).cast("int"))
+            return F.when(nnval(c), F.lit(sk).cast("int"))
         return F.lit(None).cast("int")
     return F.when(c["k"] <= K_DOUBLE, c["k"].cast("int"))
 
@@ -168,7 +243,7 @@ def as_double(c: Column) -> Column:
     """Numeric value as double; NULL (error) for non-numerics / ill-typed."""
     sk = skind(c)
     if sk is not None:
-        return c["x"] if _sk_numeric(sk) else None_x()
+        return xval(c) if _sk_numeric(sk) else None_x()
     return F.when(c["k"] <= K_DOUBLE, c["x"])
 
 
@@ -176,7 +251,7 @@ def as_long(c: Column) -> Column:
     sk = skind(c)
     if sk is not None:
         if sk == K_INTEGER:
-            return c["d"].try_cast("long")
+            return dval(c).try_cast("long")
         if sk == SK_NUM:
             return F.when(c["k"] == K_INTEGER, c["d"].try_cast("long"))
         return F.lit(None).cast("long")
@@ -188,7 +263,7 @@ def as_decimal(c: Column) -> Column:
     if sk is not None:
         if sk == SK_NUM:
             return F.when(c["k"] <= K_DECIMAL, c["d"])
-        return c["d"] if sk <= K_DECIMAL else None_d()
+        return dval(c) if sk <= K_DECIMAL else None_d()
     return F.when(c["k"] <= K_DECIMAL, c["d"])
 
 
@@ -197,10 +272,12 @@ def as_boolean(c: Column) -> Column:
     sk = skind(c)
     if sk is not None and sk != K_BOOLEAN:
         return F.lit(None).cast("boolean")
+    if sk == K_BOOLEAN:
+        x = xval(c)
+        return (F.when(x == 1.0, F.lit(True))
+                .when(x == 0.0, F.lit(False)))
     b = (F.when(c["x"] == 1.0, F.lit(True))
          .when(c["x"] == 0.0, F.lit(False)))
-    if sk == K_BOOLEAN:
-        return b
     return F.when(c["k"] == K_BOOLEAN, b)
 
 
@@ -217,14 +294,14 @@ def as_string(c: Column) -> Column:
     (argument-compatibility guard for string functions)."""
     sk = skind(c)
     if sk is not None:
-        return c["v"] if _sk_stringish(sk) else _null_str()
+        return vval(c) if _sk_stringish(sk) else _null_str()
     return F.when(c["k"] == K_STRING, c["v"])
 
 
 def is_string_like(c: Column) -> Column:
     sk = skind(c)
     if sk is not None:
-        return c.isNotNull() if _sk_stringish(sk) else F.lit(False)
+        return nnval(c) if _sk_stringish(sk) else F.lit(False)
     return c["k"].isNotNull() & (c["k"] == K_STRING)
 
 
@@ -232,7 +309,7 @@ def is_plain_string(c: Column) -> Column:
     sk = skind(c)
     if sk is not None:
         if sk == SK_PLAIN:
-            return c.isNotNull()
+            return nnval(c)
         if sk != K_STRING:
             return F.lit(False)
     return (c["k"] == K_STRING) & c["lang"].isNull()
@@ -250,14 +327,15 @@ def ebv(c: Column) -> Column:
     sk = skind(c)
     if sk is not None:
         if sk == K_BOOLEAN:
-            body = F.coalesce(c["x"] == 1.0, F.lit(False))
+            body = F.coalesce(xval(c) == 1.0, F.lit(False))
         elif _sk_numeric(sk):
-            body = F.coalesce((c["x"] != 0.0) & ~F.isnan(c["x"]), F.lit(False))
+            x = xval(c)
+            body = F.coalesce((x != 0.0) & ~F.isnan(x), F.lit(False))
         elif _sk_stringish(sk):
-            body = F.length(c["v"]) > 0
+            body = F.length(vval(c)) > 0
         else:
             return F.lit(None).cast("boolean")
-        return F.when(c.isNotNull(), body)
+        return F.when(nnval(c), body)
     return (
         F.when(c.isNull(), F.lit(None).cast("boolean"))
         .when(c["k"] == K_BOOLEAN,
@@ -273,12 +351,12 @@ def ebv(c: Column) -> Column:
 def bool_term(b: Column) -> Column:
     """Wrap a native boolean Column back into an xsd:boolean term
     (reference: NativeBooleanAsTerm, lib/functions/src/builtin/native/)."""
-    return tag(F.when(
+    return attach_raw(tag(F.when(
         b.isNotNull(),
         term_struct(_tt(TT_LITERAL), F.when(b, "true").otherwise("false"),
                     lit_str(XSD_BOOLEAN), k=F.lit(K_BOOLEAN),
                     x=F.when(b, 1.0).otherwise(0.0), d=None_d(), ts=None_ts()),
-    ), K_BOOLEAN)
+    ), K_BOOLEAN), x=F.when(b, 1.0).when(~b, 0.0))
 
 
 def None_d() -> Column:
@@ -325,12 +403,17 @@ def _lazy() -> bool:
 
 
 def canon_decimal_string(d: Column) -> Column:
-    """Canonical xsd:decimal lexical: strip trailing zeros, keep ≥1 digit."""
+    """Canonical xsd:decimal lexical: strip trailing zeros, keep ≥1 digit.
+
+    Character rtrim instead of the regexp pair (`0+$` then `\\.$`): same
+    result on any decimal rendering (trailing zeros stripped only when a
+    point is present, then a bare trailing point), ~an order of magnitude
+    cheaper per row than two regex-engine passes — this runs once per
+    GROUP for every decimal/integer aggregate output and group key."""
     s = d.cast("string")
-    return F.when(
-        s.contains("."),
-        F.regexp_replace(F.regexp_replace(s, r"0+$", ""), r"\.$", ""),
-    ).otherwise(s)
+    t = F.call_function("rtrim", F.lit("0"), s)
+    t = F.call_function("rtrim", F.lit("."), t)
+    return F.when(s.contains("."), t).otherwise(s)
 
 
 def canon_double_string(x: Column) -> Column:
@@ -349,15 +432,15 @@ def _typed_lex(c: Column) -> Column:
         sk = None  # rank varies at runtime → the generic k-ladder below
     if sk is not None:
         if sk <= K_DECIMAL:
-            return canon_decimal_string(c["d"])
+            return canon_decimal_string(dval(c))
         if sk == K_FLOAT:
             return F.regexp_replace(
-                canon_double_string(c["x"].cast("float").cast("double")),
+                canon_double_string(xval(c).cast("float").cast("double")),
                 r"\.0$", "")
         if sk == K_DOUBLE:
-            return canon_double_string(c["x"])
+            return canon_double_string(xval(c))
         if sk == K_DATETIME:
-            return F.regexp_replace(c["ts"].cast("string"), " ", "T")
+            return F.regexp_replace(tsval(c).cast("string"), " ", "T")
         return _null_str()
     return (
         F.when(c["k"] <= K_DECIMAL, canon_decimal_string(c["d"]))
@@ -408,22 +491,22 @@ def _null_str() -> Column:
 
 def int_term(n: Column) -> Column:
     v = _null_str() if _lazy() else n.cast("string")
-    return mark_vc(tag(F.when(
+    return attach_raw(mark_vc(tag(F.when(
         n.isNotNull(),
         term_struct(_tt(TT_LITERAL), v, lit_str(XSD_INTEGER),
                     k=F.lit(K_INTEGER), x=n.cast("double"),
                     d=n.cast(DECIMAL_T), ts=None_ts()),
-    ), K_INTEGER))
+    ), K_INTEGER)), x=n.cast("double"), d=n.cast(DECIMAL_T))
 
 
 def double_term(x: Column) -> Column:
     v = _null_str() if _lazy() else canon_double_string(x)
-    return mark_vc(tag(F.when(
+    return attach_raw(mark_vc(tag(F.when(
         x.isNotNull(),
         term_struct(_tt(TT_LITERAL), v, lit_str(XSD_DOUBLE),
                     k=F.lit(K_DOUBLE), x=x.cast("double"), d=None_d(),
                     ts=None_ts()),
-    ), K_DOUBLE))
+    ), K_DOUBLE)), x=x.cast("double"))
 
 
 def int_term_from_decimal(d: Column) -> Column:
@@ -433,23 +516,23 @@ def int_term_from_decimal(d: Column) -> Column:
     like int_term (canon_decimal_string of an integer-valued decimal is
     the plain integer lexical)."""
     v = _null_str() if _lazy() else canon_decimal_string(d)
-    return mark_vc(tag(F.when(
+    return attach_raw(mark_vc(tag(F.when(
         d.isNotNull(),
         term_struct(_tt(TT_LITERAL), v, lit_str(XSD_INTEGER),
                     k=F.lit(K_INTEGER), x=d.cast("double"), d=d,
                     ts=None_ts()),
-    ), K_INTEGER))
+    ), K_INTEGER)), x=d.cast("double"), d=d)
 
 
 def decimal_term(x: Column) -> Column:
     x = x.cast(DECIMAL_T)
     v = _null_str() if _lazy() else canon_decimal_string(x)
-    return mark_vc(tag(F.when(
+    return attach_raw(mark_vc(tag(F.when(
         x.isNotNull(),
         term_struct(_tt(TT_LITERAL), v, lit_str(XSD_DECIMAL),
                     k=F.lit(K_DECIMAL), x=x.cast("double"), d=x,
                     ts=None_ts()),
-    ), K_DECIMAL))
+    ), K_DECIMAL)), x=x.cast("double"), d=x)
 
 
 def duration_lex(months: Column, secs: Column) -> Column:
@@ -523,10 +606,11 @@ def _duration_cmp3(a: Column, b: Column) -> Column:
 
 
 def string_term(s: Column) -> Column:
-    return tag(F.when(s.isNotNull(),
-                      term_struct(_tt(TT_LITERAL), s, lit_str(XSD_STRING),
-                                  k=F.lit(K_STRING), x=None_x(), d=None_d(),
-                                  ts=None_ts())), SK_PLAIN)
+    return attach_raw(
+        tag(F.when(s.isNotNull(),
+                   term_struct(_tt(TT_LITERAL), s, lit_str(XSD_STRING),
+                               k=F.lit(K_STRING), x=None_x(), d=None_d(),
+                               ts=None_ts())), SK_PLAIN), v=s)
 
 
 # ---------------------------------------------------------------------------
@@ -556,17 +640,17 @@ def rdf_equal(a: Column, b: Column, flat: bool = False) -> Column:
 
     sa, sb = skind(a), skind(b)
     if sa is not None and sb is not None:
-        null_guard = a.isNull() | b.isNull()
+        null_guard = ~nnval(a) | ~nnval(b)
         if _sk_numeric(sa) and _sk_numeric(sb):
             if _sk_rank_static(sa) and _sk_rank_static(sb):
-                body = (a["d"] == b["d"]) if (sa <= K_DECIMAL
-                                              and sb <= K_DECIMAL) \
-                    else eqx(a["x"], b["x"])
+                body = (dval(a) == dval(b)) if (sa <= K_DECIMAL
+                                                and sb <= K_DECIMAL) \
+                    else eqx(xval(a), xval(b))
             else:  # SK_NUM operand: rank resolved per row
                 body = F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
                               a["d"] == b["d"]).otherwise(eqx(a["x"], b["x"]))
         elif sa == SK_PLAIN and sb == SK_PLAIN:
-            body = a["v"] == b["v"]
+            body = vval(a) == vval(b)
         elif sa == K_DATETIME and sb == K_DATETIME:
             # xsd:dateTime/date/time share the ts view but are DISTINCT
             # value spaces: cross-type comparison is a type error
@@ -579,7 +663,7 @@ def rdf_equal(a: Column, b: Column, flat: bool = False) -> Column:
             body = (a["x"] == b["x"]) & (a["d"] == b["d"])
         elif sa in (SK_IRI, SK_BNODE) or sb in (SK_IRI, SK_BNODE):
             # node-kind mismatch or identity comparison: plain equality
-            body = (a["v"] == b["v"]) if sa == sb else F.lit(False)
+            body = (vval(a) == vval(b)) if sa == sb else F.lit(False)
         elif sa == K_STRING or sb == K_STRING:
             # possibly lang-tagged strings vs anything stringish
             body = None  # fall through to generic below
@@ -640,15 +724,15 @@ def rdf_compare(a: Column, b: Column) -> Column:
     if sa is not None and sb is not None:
         if _sk_numeric(sa) and _sk_numeric(sb):
             if _sk_rank_static(sa) and _sk_rank_static(sb):
-                body = cmp3(a["d"], b["d"]) if (sa <= K_DECIMAL
-                                                and sb <= K_DECIMAL) \
-                    else cmp3x(a["x"], b["x"])
+                body = cmp3(dval(a), dval(b)) if (sa <= K_DECIMAL
+                                                  and sb <= K_DECIMAL) \
+                    else cmp3x(xval(a), xval(b))
             else:  # SK_NUM operand: rank resolved per row
                 body = F.when((a["k"] <= K_DECIMAL) & (b["k"] <= K_DECIMAL),
                               cmp3(a["d"], b["d"])) \
                     .otherwise(cmp3x(a["x"], b["x"]))
         elif sa == SK_PLAIN and sb == SK_PLAIN:
-            body = cmp3(a["v"], b["v"])
+            body = cmp3(vval(a), vval(b))
         elif sa == K_BOOLEAN and sb == K_BOOLEAN:
             body = cmp3(as_boolean(a).cast("int"), as_boolean(b).cast("int"))
         elif sa == K_DATETIME and sb == K_DATETIME:
@@ -661,7 +745,7 @@ def rdf_compare(a: Column, b: Column) -> Column:
         else:
             return F.lit(None).cast("int")  # statically not comparable
         if body is not None:
-            return F.when(a.isNotNull() & b.isNotNull(), body)
+            return F.when(nnval(a) & nnval(b), body)
 
     both_num = is_numeric(a) & is_numeric(b)
     both_str = is_plain_string(a) & is_plain_string(b)
@@ -719,14 +803,14 @@ def _rel_direct(a: Column, b: Column, op: str,
         if not (_sk_rank_static(sa) and _sk_rank_static(sb)):
             return None
         if sa <= K_DECIMAL and sb <= K_DECIMAL:
-            body = rel(a["d"], b["d"])
+            body = rel(dval(a), dval(b))
         else:
             # NaN is UNORDERED (false for every operator) — Spark's
             # native comparison would instead sort NaN above everything
-            body = (~F.isnan(a["x"])) & (~F.isnan(b["x"])) \
-                & rel(a["x"], b["x"])
+            xa, xb = xval(a), xval(b)
+            body = (~F.isnan(xa)) & (~F.isnan(xb)) & rel(xa, xb)
     elif sa == SK_PLAIN and sb == SK_PLAIN:
-        body = rel(a["v"], b["v"])
+        body = rel(vval(a), vval(b))
     elif sa == K_BOOLEAN and sb == K_BOOLEAN:
         body = rel(as_boolean(a).cast("int"), as_boolean(b).cast("int"))
     elif sa == K_DATETIME and sb == K_DATETIME:
@@ -738,8 +822,8 @@ def _rel_direct(a: Column, b: Column, op: str,
         # positive-filter context (NULL ≡ false): a plain conjunction —
         # the shape DataSourceStrategy can translate into a pushed
         # parquet range predicate, unlike any CASE form
-        return a.isNotNull() & b.isNotNull() & body
-    return F.when(a.isNotNull() & b.isNotNull(), body)
+        return nnval(a) & nnval(b) & body
+    return F.when(nnval(a) & nnval(b), body)
 
 
 # exact comparisons against the -1/0/1 outcomes (not range tests): the
@@ -823,17 +907,17 @@ def _binary_numeric(a: Column, b: Column, op: str) -> Column:
             return tag(F.when(a.isNotNull() & b.isNotNull(), out), SK_NUM)
         rank = max(sa, sb)
         if rank >= RANK_FLOAT:
-            xa, xb = a["x"], b["x"]
+            xa, xb = xval(a), xval(b)
             res = {"+": xa + xb, "-": xa - xb, "*": xa * xb,
                    "/": _double_div(xa, xb)}[op]
             return double_term(res)
         if rank == RANK_DECIMAL or op == "/":
-            da, db = a["d"], b["d"]
+            da, db = dval(a), dval(b)
             if op == "/":
                 return decimal_term(F.when(db != 0, da / db))
             res = {"+": da + db, "-": da - db, "*": da * db}[op]
             return decimal_term(res)
-        la, lb = a["d"].try_cast("long"), b["d"].try_cast("long")
+        la, lb = dval(a).try_cast("long"), dval(b).try_cast("long")
         res = {"+": F.try_add(la, lb), "-": F.try_subtract(la, lb),
                "*": F.try_multiply(la, lb)}[op]
         return int_term(res)

@@ -145,6 +145,18 @@ class Interner:
         out = tv.tag(F.col(name), tv.skind(col))
         if tv.is_vc(col):
             out = tv.mark_vc(out)
+        # re-home the raw-value channels onto named columns: downstream
+        # consumers then reference __ex_N_x instead of __ex_N.x, and
+        # Catalyst PRUNES the struct column when only the value is used
+        # (the struct build per intermediate arithmetic node was the
+        # dominant per-row cost of computed-value queries; typed_ops
+        # raw-value side-channel)
+        raws = tv.raw_channels(col)
+        for key, expr in raws.items():
+            rn = f"{name}{key[3:]}"  # "_rf_x" -> "__ex_N_x"
+            self.df = self.df.withColumn(rn, expr)
+            self.names.append(rn)
+            out.__dict__[key] = F.col(rn)
         return out
 
 
@@ -2704,16 +2716,33 @@ def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
                   if k in sol.bound and k in sol.vcanon
                   and sol.kinds.get(k) in (tv.K_INTEGER, tv.K_DECIMAL,
                                            tv.K_DOUBLE)}
+    # Native-LONG group keys (r12, guide §2.3): an integer-literal key
+    # whose scan minted a companion long column (Solution.nkey template
+    # "xsd:integer": term ≡ int_term(long), injective) groups on the
+    # 8-byte long instead of the 16-byte decimal(38,18) `d` view — the
+    # decimal's unscaled value exceeds a compact long (v·10¹⁸), so every
+    # per-row key hash/compare boxed a BigDecimal; the long is a native
+    # hash. Rebuild: int_term(long), cheaper than the decimal rtrim.
+    from ..sources.relational import NKEY_INT
+    narrow_long = {k: sol.nkey[k][1] for k in keys
+                   if k in sol.bound and sol.nkey.get(k)
+                   and sol.nkey[k][0] == NKEY_INT
+                   and sol.nkey[k][1] in sol.df.columns
+                   and sol.kinds.get(k) == tv.K_INTEGER}
 
     def key_expr(k: str) -> Column:
         if k in narrow:
             return df[k]["v"].alias(k)
+        if k in narrow_long:
+            return F.col(narrow_long[k]).alias(k)
         if k in narrow_num:
             field = "x" if sol.kinds[k] == tv.K_DOUBLE else "d"
             return df[k][field].alias(k)
         return (F.col(k) if k in sol.maybe else NULL_TERM()).alias(k)
 
     def key_rebuild(k: str) -> Column:
+        if k in narrow_long:
+            return tv.int_term(F.col(k)).alias(k)
         if k in narrow_num:
             kind = sol.kinds[k]
             if kind == tv.K_DOUBLE:
@@ -2745,7 +2774,7 @@ def _translate_group(p: A.Group, ctx: Ctx, sol: Optional[Solution] = None,
         out = out.select(*[key_rebuild(k) for k in keys], *fix)
     else:
         out = gdf.agg(F.count(F.lit(1)).alias("__n")).drop("__n")
-        if narrow or narrow_num:
+        if narrow or narrow_num or narrow_long:
             out = out.select(*[key_rebuild(k) for k in keys])
 
     bound = {k for k in keys if k in sol.bound}
@@ -2796,7 +2825,7 @@ def _minmax_decomposed(name: str, c: Column,
     agg = F.min if name == "MIN" else F.max
     if sk in (tv.SK_IRI, tv.SK_BNODE, tv.SK_PLAIN):
         from ..terms import bnode_col, iri_col
-        v = raw(agg(c["v"]))
+        v = raw(agg(tv.vval(c)))
         if sk == tv.SK_IRI:
             return tv.tag(iri_col(v), tv.SK_IRI)
         if sk == tv.SK_BNODE:
@@ -2805,11 +2834,11 @@ def _minmax_decomposed(name: str, c: Column,
     if not tv.is_vc(c):
         return None
     if sk == tv.K_DOUBLE:
-        return tv.double_term(raw(agg(c["x"])))
+        return tv.double_term(raw(agg(tv.xval(c))))
     if sk == tv.K_DECIMAL:
-        return tv.decimal_term(raw(agg(c["d"])))
+        return tv.decimal_term(raw(agg(tv.dval(c))))
     if sk == tv.K_INTEGER:
-        return tv.int_term_from_decimal(raw(agg(c["d"])))
+        return tv.int_term_from_decimal(raw(agg(tv.dval(c))))
     return None
 
 
@@ -2831,9 +2860,22 @@ def _compile_aggregate(call: A.AggCall, sol: Solution, ctx: Ctx,
     c = tv.tag(F.col(t), tv.skind(in_col))
     if tv.is_vc(in_col):
         c = tv.mark_vc(c)
+    # re-home raw-value channels across the tmp() boundary (same move as
+    # Interner.__call__): SUM/MIN/... then aggregate the named raw column
+    # and the struct build below the aggregate is pruned when unused
+    for key, expr in tv.raw_channels(in_col).items():
+        c.__dict__[key] = F.col(tmp(expr))
 
     if name == "COUNT":
-        n = F.count_distinct(c) if call.distinct else F.count(c)
+        # plain COUNT needs only the input's NULLity — count the cheapest
+        # raw channel (NULL exactly when the term is NULL) so the struct
+        # build is pruned; DISTINCT must stay on the term itself
+        base = c
+        if not call.distinct:
+            raws = tv.raw_channels(c)
+            if raws:
+                base = next(iter(raws.values()))
+        n = F.count_distinct(c) if call.distinct else F.count(base)
         return tv.int_term(raw(n))
 
     if name in ("SUM", "AVG"):
@@ -2930,19 +2972,23 @@ def _sum_avg(name: str, c: Column, tmp: Callable[[Column], str],
     any_bad = raw(F.max(bad_t))
 
     if name == "SUM":
-        return (
+        # SK_NUM: every non-NULL output is numeric (int/decimal/double) —
+        # consumers (xsd:double of the HAVING/SELECT wrapper, arithmetic)
+        # then use the 2-branch runtime ladder instead of the full
+        # kind-dispatch CASE over the output struct
+        return tv.tag(
             F.when(any_bad == 1, NULL_TERM())
             .when(max_rank.isNull(), tv.int_term(F.lit(0)))  # empty group
             .when(max_rank >= tv.RANK_FLOAT, tv.double_term(agg_dbl))
             .when(max_rank == tv.RANK_DECIMAL, tv.decimal_term(agg_dec))
-            .otherwise(tv.int_term(agg_dec.cast("decimal(38,0)")))
-        )
+            .otherwise(tv.int_term(agg_dec.cast("decimal(38,0)"))),
+            tv.SK_NUM)
     # AVG
-    return (
+    return tv.tag(
         F.when(any_bad == 1, NULL_TERM())
         .when(max_rank.isNull(), tv.int_term(F.lit(0)))
         .when(max_rank >= tv.RANK_FLOAT, tv.double_term(agg_dbl / n_dbl))
-        .otherwise(tv.decimal_term(agg_dec / n))
+        .otherwise(tv.decimal_term(agg_dec / n)), tv.SK_NUM
     )
 
 
@@ -2965,27 +3011,36 @@ def _sum_avg_static(name: str, c: Column, sk: int,
         any_bad = raw(F.max(bad_t))
         return F.when(any_bad == 1, NULL_TERM()).otherwise(tv.int_term(F.lit(0)))
 
+    # outputs below are tagged: every non-NULL value is numeric, and the
+    # single-constructor branches pin the exact kind (the empty-group
+    # integer-0 branch makes two-kind outputs SK_NUM, not the input kind)
     if sk >= tv.RANK_FLOAT:
-        val = F.col(tmp(c["x"]))
+        val = F.col(tmp(tv.xval(c)))
         agg = raw(F.sum_distinct(val) if distinct else F.sum(val))
         if name == "SUM":
-            return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
-                .otherwise(tv.double_term(agg))
+            return tv.tag(
+                F.when(agg.isNull(), tv.int_term(F.lit(0)))
+                .otherwise(tv.double_term(agg)), tv.SK_NUM)
         n = raw(F.count_distinct(val) if distinct else F.count(val))
-        return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
-            .otherwise(tv.double_term(agg / n))
+        return tv.tag(
+            F.when(agg.isNull(), tv.int_term(F.lit(0)))
+            .otherwise(tv.double_term(agg / n)), tv.SK_NUM)
 
-    val = F.col(tmp(c["d"]))
+    val = F.col(tmp(tv.dval(c)))
     agg = raw(F.sum_distinct(val) if distinct else F.sum(val))
     if name == "SUM":
         if sk == tv.RANK_INTEGER:
-            return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
-                .otherwise(tv.int_term(agg.cast("decimal(38,0)")))
-        return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
-            .otherwise(tv.decimal_term(agg))
+            return tv.mark_vc(tv.tag(
+                F.when(agg.isNull(), tv.int_term(F.lit(0)))
+                .otherwise(tv.int_term(agg.cast("decimal(38,0)"))),
+                tv.K_INTEGER))
+        return tv.tag(
+            F.when(agg.isNull(), tv.int_term(F.lit(0)))
+            .otherwise(tv.decimal_term(agg)), tv.SK_NUM)
     n = raw(F.count_distinct(val) if distinct else F.count(val))
-    return F.when(agg.isNull(), tv.int_term(F.lit(0))) \
-        .otherwise(tv.decimal_term(agg / n))
+    return tv.tag(
+        F.when(agg.isNull(), tv.int_term(F.lit(0)))
+        .otherwise(tv.decimal_term(agg / n)), tv.SK_NUM)
 
 
 # ---------------------------------------------------------------------------

@@ -267,6 +267,10 @@ def subject_term(table: str, df: DataFrame) -> Column:
 
 _INT_TYPES = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
+# nkey template marker for integer-LITERAL objects (vs entity IRIs,
+# whose template is the target table name)
+NKEY_INT = "xsd:integer"
+
 
 def subject_native(table: str, df: DataFrame) -> Optional[Column]:
     """The LONG the table's subject IRI is minted from, or None.
@@ -288,15 +292,21 @@ def subject_native(table: str, df: DataFrame) -> Optional[Column]:
 
 def object_native(table: str, col_name: str, df: DataFrame
                   ) -> Optional[tuple]:
-    """(target table, LONG column) when `col_name` is an integral FK —
-    the object IRI is `x:<tgt code>:` + str(value). None otherwise."""
+    """(template, LONG column) when the object term is an injective
+    function of an integral column: for an FK the object IRI is
+    `x:<tgt code>:` + str(value) and the template is the target table;
+    for a plain integral column the object is the xsd:integer literal of
+    the value (int_term is injective on long) and the template is the
+    marker "xsd:integer" — two vars minted under the SAME template may
+    join/group on the longs (plans/join.py Solution.nkey). The marker
+    can never collide with a table name."""
     fks = TPCH_SPEC[table][2]
-    tgt = fks.get(col_name)
-    if tgt is None:
-        return None
     if not isinstance(df.schema[col_name].dataType, _INT_TYPES):
         return None
-    return tgt, F.col(col_name).cast("long")
+    tgt = fks.get(col_name)
+    if tgt is not None:
+        return tgt, F.col(col_name).cast("long")
+    return NKEY_INT, F.col(col_name).cast("long")
 
 
 def static_object_kind(table: str, col_name: str, df: DataFrame) -> Optional[int]:
